@@ -1,0 +1,34 @@
+"""Declared query inventory.
+
+Importing this package registers every query module with the central
+registry (``oamap_spark.queries.registry``), which backs the driver
+contract in ``__spark_entry__.py``.
+"""
+
+from oamap_spark.queries import registry as registry
+
+# Import for side effect: each module registers its queries.
+from oamap_spark.queries import tpch as _tpch  # noqa: F401
+
+
+def _load_all() -> None:
+    """Import every query module (kept lazy-tolerant so one broken
+    module doesn't take down the whole inventory during development)."""
+    import importlib
+
+    for mod in (
+        "oamap_spark.queries.relational",
+        "oamap_spark.queries.functions_suite",
+        "oamap_spark.queries.nested",
+        "oamap_spark.queries.events",
+        "oamap_spark.queries.llm_text",
+        "oamap_spark.queries.llm_dedup",
+        "oamap_spark.queries.llm_similarity",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            pass
+
+
+_load_all()

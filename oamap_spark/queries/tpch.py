@@ -1,0 +1,275 @@
+"""TPC-H-style headline queries over the star schema.
+
+These are the flagship relational queries: scan → filter → hash-agg and
+multi-way joins. oamap itself has no joins or group-by (its `reduce` is
+a global fold — ``oamap/operations.py — reduce`` [SURVEY §2.A]); these
+queries are the Spark-native capability layer (SURVEY §2.D).
+
+Scale design:
+- Aggregations are expressed on the declarative plan → Tungsten hash
+  agg with automatic partial (map-side) aggregation; no Python in the
+  hot path, whole-stage codegen end to end.
+- Dimension tables (region/nation, and customer at "dim" cardinality)
+  are joined with an explicit ``broadcast()`` hint so the 100 TB fact
+  scan never shuffles for them.
+- Filters appear directly on the scan columns → pushed to parquet
+  row-group/page stats (verified via plans/inspect.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+# Rounding discipline for double aggregates (see registry docstring).
+def _r2(c):
+    return F.round(c, 2)
+
+
+@register(
+    "q1_pricing_summary",
+    bench=True,
+    tags=("agg", "filter", "flagship"),
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2)                                   AS sum_qty,
+  round(sum(l_extendedprice), 2)                              AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 2)                                   AS avg_qty,
+  round(avg(l_extendedprice), 2)                              AS avg_price,
+  round(avg(l_discount), 4)                                   AS avg_disc,
+  count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report. filter → groupBy → 8 aggregates.
+
+    Whole-stage-codegen'd hash aggregate with map-side partials; the
+    shipdate predicate is pushed to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(F.sum(disc_price)).alias("sum_disc_price"),
+            _r2(F.sum(charge)).alias("sum_charge"),
+            _r2(F.avg("l_quantity")).alias("avg_qty"),
+            _r2(F.avg("l_extendedprice")).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    bench=True,
+    tags=("join", "agg", "topk"),
+    oracle="""
+SELECT
+  l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(o_orderdate AS DATE)                          AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue.
+
+    customer (filtered, broadcast) ⋈ orders ⋈ lineitem → hash agg →
+    TakeOrderedAndProject (Catalyst turns orderBy+limit into top-k, so
+    no global sort materializes at scale).
+    """
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    bench=True,
+    tags=("join", "agg", "broadcast"),
+    oracle="""
+SELECT
+  n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation for local customer–supplier pairs.
+
+    Six-way join; region/nation/supplier broadcast (constant-size dims
+    at any SF), so the only shuffle is lineitem⋈orders and the final
+    tiny agg. Co-nationality (c_nationkey = s_nationkey) rides the same
+    join.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    bench=True,
+    tags=("filter", "agg"),
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-global-agg; every predicate is
+    parquet-pushable, the aggregate is a single partial+final sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    bench=True,
+    tags=("join", "agg", "topk"),
+    oracle="""
+SELECT
+  c_custkey,
+  c_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  n_name
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned items, top-20 by lost revenue."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
