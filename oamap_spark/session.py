@@ -30,6 +30,11 @@ _RUNTIME_CONF = {
     # Nested schema pruning so struct/array queries read only touched
     # leaves from parquet (oamap's lazy-array-fetch equivalent).
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses to read
+    # natively ([PARQUET_TYPE_ILLEGAL]); read as bigint nanos and let
+    # sources.tables re-derive a µs timestamp (exactness preserved in
+    # ts_ns).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -34,10 +34,25 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table from an sf directory as a DataFrame (lazy scan)."""
+    """Load one table from an sf directory as a DataFrame (lazy scan).
+
+    ``events`` is normalized: its parquet ``ts`` is TIMESTAMP(NANOS),
+    which Spark reads (only) as bigint via
+    ``spark.sql.legacy.parquet.nanosAsLong``; we expose both the exact
+    ``ts_ns`` (bigint nanoseconds since epoch — DuckDB twin:
+    ``epoch_ns(ts)``) and a µs-truncated proper ``ts`` timestamp
+    (DuckDB twin: ``make_timestamp(epoch_ns(ts)//1000)``).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
