@@ -120,9 +120,12 @@ def nested_index_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oamap/operations.py — index). Events nested per user ordered by
     (ts, event_id), indexed, flattened back."""
     ev = load_table(spark, sf_dir, "events")
-    # sort on ts_ns (exact nanos) — µs-truncated ts could tie-break wrong
+    # sort on (µs, event_id) — DuckDB truncates parquet ns→µs, so the
+    # oracle can only order at µs; event_id breaks µs ties identically
     nested = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts_ns", "event_id"))).alias("seq")
+        F.array_sort(
+            F.collect_list(F.struct(F.unix_micros("ts").alias("ts_us"), "event_id"))
+        ).alias("seq")
     )
     indexed = ops.index(nested, "pos", "seq")
     flat = ops.flatten(indexed, "seq")

@@ -49,8 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # integer `div`, NOT `/`: epoch-ns (~1.7e18) exceeds double's
+        # 2^53 exact range, so float division would corrupt low digits
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros((F.col("ts_ns") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     return df
 
