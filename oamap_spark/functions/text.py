@@ -1,0 +1,151 @@
+"""Text-analysis column functions for LLM-pipeline workloads.
+
+All JVM-side Catalyst expressions (no Python UDFs): tokenization,
+token stats, quality signals, language-ID heuristics, fingerprints,
+and the *portable hash* primitive used by the dedup family.
+
+Portable hash: ``md5`` is identical everywhere, and its first 15 hex
+digits parse into a non-negative int64 in both Spark
+(``conv(x,16,10)``) and DuckDB (``('0x'||x)::BIGINT``) — verified
+bit-equal. Spark-native hot paths should prefer ``xxhash64`` (one JVM
+op, no hex round-trip); the md5 form exists so the DuckDB oracle can
+replay the exact same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: products a*x with a,x < 2^31 stay < 2^62, so
+# modular arithmetic never overflows int64 in either engine.
+HASH_P = 2_147_483_647
+
+# Deterministic LCG-style coefficient pairs for the minhash family
+# (a odd, in [1, P); b in [0, P)) — fixed constants shared verbatim by
+# the Spark expressions and the SQL oracle.
+def hash_coeffs(k: int) -> list[tuple[int, int]]:
+    coeffs = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % HASH_P
+        ai = (x | 1) % HASH_P
+        x = (a * x + b) % HASH_P
+        bi = x
+        coeffs.append((ai, bi))
+    return coeffs
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(col, " ")
+
+
+def portable_token_id(tok: Column) -> Column:
+    """64-bit-ish (60-bit) integer id of a token, identical in Spark
+    and DuckDB: first 15 hex digits of md5. SQL twin:
+    ``('0x' || substring(md5(t),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def token_id_mod_p(tok: Column) -> Column:
+    """Token id reduced into the modular hash field."""
+    return portable_token_id(tok) % HASH_P
+
+
+def token_ids(text_col: Column | str, distinct: bool = True) -> Column:
+    """Array of (distinct) modular token ids for a document."""
+    toks = tokens(text_col)
+    if distinct:
+        toks = F.array_distinct(toks)
+    return F.transform(toks, token_id_mod_p)
+
+
+SQL_TOKEN_IDS = (
+    "list_transform(list_distinct(string_split({col}, ' ')), "
+    "t -> ('0x' || substring(md5(t),1,15))::BIGINT % 2147483647)"
+)
+
+
+def stopword_ratio(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords (quality / lang signal)."""
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.size(toks)
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens (mod P) —
+    oamap-style document fingerprint, portable to the oracle:
+    fold(h -> (h*31 + tid) % P)."""
+    ids = F.transform(tokens(text_col), token_id_mod_p)
+    return F.aggregate(
+        ids, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % HASH_P
+    )
+
+
+SQL_FINGERPRINT = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ' '), "
+    "t -> ('0x' || substring(md5(t),1,15))::BIGINT % 2147483647)), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647)"
+)
+
+
+def fingerprint_native(text_col: Column | str) -> Column:
+    """Engine-native fast fingerprint (xxhash64 of the token stream) —
+    the production hot path; not oracle-replayable (rows-only gate)."""
+    return F.xxhash64(F.concat_ws("\x1f", tokens(text_col)))
+
+
+def minhash_signature(ids_col: Column, k: int) -> Column:
+    """k-element MinHash signature over an array of modular token ids:
+    sig_j = min_x (a_j*x + b_j) % P. Array of longs.
+
+    NB: closures are built via a factory, never `lambda x, a=a`: extra
+    default args change the lambda's arity, which PySpark reads as
+    requesting the HOF's (element, index) form."""
+
+    def mk(a: int, b: int):
+        return lambda x: (x * a + b) % HASH_P
+
+    sigs = [F.array_min(F.transform(ids_col, mk(a, b))) for a, b in hash_coeffs(k)]
+    return F.array(*sigs)
+
+
+def sql_minhash_signature(ids_sql: str, k: int) -> str:
+    """DuckDB twin of minhash_signature (same constants)."""
+    parts = [
+        f"list_aggregate(list_transform({ids_sql}, x -> (x * {a} + {b}) % {HASH_P}), 'min')"
+        for a, b in hash_coeffs(k)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def simhash32(ids_col: Column) -> Column:
+    """32-bit SimHash from distinct token ids: bit b is set iff more
+    than half the tokens have bit b set (majority vote with -1/+1
+    weights). Pure counting form — no fold, portable."""
+    def has_bit(mask: int):
+        return lambda x: x.bitwiseAND(F.lit(mask)) != 0
+
+    n = F.size(ids_col)
+    total = F.lit(0).cast("long")
+    for b in range(32):
+        mask = 1 << b
+        n_set = F.size(F.filter(ids_col, has_bit(mask)))
+        total = total + F.when(n_set * 2 > n, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def sql_simhash32(ids_sql: str) -> str:
+    parts = [
+        f"(CASE WHEN 2 * len(list_filter({ids_sql}, x -> (x & {1 << b}) != 0)) "
+        f"> len({ids_sql}) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    ]
+    return "(" + " + ".join(parts) + ")"

@@ -1,0 +1,143 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four strategies, all shuffle-bounded and designed for the 100 TB case:
+
+- exact: hash-groupBy on a canonical digest (one shuffle on a short
+  key; the full text never shuffles).
+- MinHash+LSH: shingle → k-minhash signature (narrow) → band/bucket
+  join (shuffle on short band keys only) → verify candidates with
+  exact Jaccard. Candidate count, not pair count, drives cost.
+- SimHash: 32-bit majority-vote signature; near-dups share bands of
+  the signature (Hamming-ball probing).
+- n-gram Jaccard: exact pairwise verification — only ever applied to
+  LSH-bounded candidate sets (the all-pairs form is for oracles/tests
+  at tiny SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oamap_spark.functions.text import (
+    HASH_P,
+    minhash_signature,
+    token_ids,
+    tokens,
+)
+
+
+def canonical_text_digest(text_col: Column | str) -> Column:
+    """Digest of the sorted distinct token set — catches reordered/
+    repeated-word duplicates, the common near-exact LLM-corpus case."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    return F.md5(canon)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by canonical digest; emit one row per duplicate
+    group (size > 1) with the canonical (min) id."""
+    return (
+        df.select(F.col(id_col), canonical_text_digest(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def jaccard_set(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two token-id set arrays (double)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+def all_pairs_jaccard(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs token-set Jaccard ≥ threshold. O(n²) — oracle /
+    small-partition verification path only; the scale path is
+    minhash_lsh_pairs."""
+    t = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("s")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pair = a.join(b, F.col("a.id") < F.col("b.id"))
+    jac = jaccard_set(F.col("a.s"), F.col("b.s"))
+    return (
+        pair.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    narrow: signature = k minhashes over distinct token ids
+    shuffle 1: explode bands → group candidates by (band_idx, band_key)
+    shuffle 2: join candidate ids back to token sets for verification
+    Bands use string keys "sig_i ∘ sig_{i+1}" (no modular-combine
+    overflow, portable to SQL).
+    """
+    n_bands = k // rows_per_band
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("s"),
+        token_ids(text_col).alias("ids"),
+    ).withColumn("sig", minhash_signature(F.col("ids"), k))
+
+    bands = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig").getItem(i * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_key")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = base.select("id", "s")
+    verified = (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b")
+        .withColumn("jaccard", jaccard_set(F.col("s_a"), F.col("s_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified

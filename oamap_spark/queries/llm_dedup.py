@@ -1,0 +1,158 @@
+"""Deduplication declared queries on `documents` (LLM-pipeline
+surface — exact, MinHash+LSH, SimHash, n-gram Jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.functions import text as X
+from oamap_spark.operators import dedup as D
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+_IDS = X.SQL_TOKEN_IDS.format(col="text")
+
+
+@register(
+    "dedup_exact_canonical",
+    tags=("llm", "dedup", "exact"),
+    oracle="""
+WITH digests AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS digest
+  FROM documents
+)
+SELECT digest, min(doc_id) AS canonical_id, count(*) AS group_size
+FROM digests
+GROUP BY digest
+HAVING count(*) > 1
+""",
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via canonical token-set digest (md5 of sorted
+    distinct tokens): one shuffle on a 32-char key; the text itself
+    never moves. Emits duplicate groups with canonical (min) id."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d, "doc_id", "text")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    tags=("llm", "dedup", "jaccard"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs token-set Jaccard ≥ 0.9 — the ground-truth
+    near-dup definition. O(n²): correctness oracle and the verifier
+    inside the LSH path; never the scale path itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.all_pairs_jaccard(d, "doc_id", "text", 0.9)
+
+
+@register(
+    "dedup_minhash_lsh",
+    tags=("llm", "dedup", "minhash", "lsh"),
+    bench=True,
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS s,
+         {_IDS} AS ids
+  FROM documents
+), sig AS (
+  SELECT doc_id, s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
+), bands AS (
+  SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
+  FROM (
+    SELECT doc_id,
+           unnest([{{'band_idx': i,
+                     'band_key': CAST(sg[2*i + 1] AS VARCHAR) || '_' || CAST(sg[2*i + 2] AS VARCHAR)}}
+                   for i in range(0, 8)]) AS u
+    FROM sig
+  )
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.9
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(8 bands × 2 rows) near-dup pairs, verified
+    with exact Jaccard ≥ 0.9 — the 100 TB dedup path: signatures are
+    narrow, the only shuffles are the short band keys and the bounded
+    candidate set. The oracle replays the identical hash family."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9)
+
+
+@register(
+    "dedup_simhash_signatures",
+    tags=("llm", "dedup", "simhash"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_IDS} AS ids FROM documents)
+SELECT doc_id, {X.sql_simhash32('ids')} AS simhash
+FROM base
+""",
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (majority-vote bits over token ids).
+    Near-dup candidates share signature bands; Hamming distance over
+    the packed int is one xor+popcount at query time."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.simhash32(X.token_ids("text")).alias("simhash"),
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    tags=("llm", "dedup", "simhash", "pairs"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_IDS} AS ids FROM documents),
+sh AS (SELECT doc_id, {X.sql_simhash32('ids')} AS h FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 over the 32-bit
+    signatures (all-pairs form for the oracle; banded probing is the
+    scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", X.simhash32(X.token_ids("text")).alias("h"))
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,177 @@
+"""Text-analysis declared queries on `documents` (LLM-pipeline
+surface; beyond the reference — SURVEY §2.D last row / §7.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.functions import text as X
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_SW_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+@register(
+    "doc_token_stats",
+    tags=("llm", "text", "tokens"),
+    bench=True,
+    oracle="""
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS INT)                 AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT)  AS n_unique,
+  CAST(length(text) AS BIGINT)                              AS n_chars_m,
+  CAST(length(replace(text, ' ', '')) AS BIGINT)            AS n_alpha,
+  CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT)
+                                                            AS n_long_tokens
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document — whitespace tokens, uniques, char
+    counts, long-token counts. All codegen'd array ops, narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 6)).alias("n_long_tokens"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS nc
+  FROM documents
+)
+SELECT doc_id, lang,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+    / len(toks)                                            AS stop_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)     AS ttr,
+  CAST(nc AS DOUBLE) / len(toks)                           AS chars_per_token,
+  (CASE WHEN len(toks) BETWEEN 20 AND 400 THEN 1 ELSE 0 END
+   + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+          THEN 1 ELSE 0 END
+   + CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+               / len(toks) BETWEEN 0.02 AND 0.4 THEN 1 ELSE 0 END)
+                                                           AS quality_score
+FROM t
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, type-token ratio, chars/token,
+    and a 0–3 integer quality score from range checks (the standard
+    pre-training filter signals)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double") / n
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    cpt = F.length("text").cast("double") / n
+    score = (
+        F.when(n.between(20, 400), 1).otherwise(0)
+        + F.when(ttr > 0.3, 1).otherwise(0)
+        + F.when(stop_ratio.between(0.02, 0.4), 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        cpt.alias("chars_per_token"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id_ngram_heuristic",
+    tags=("llm", "text", "langid"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+      / len(toks) AS stop_ratio
+  FROM t
+)
+SELECT lang,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN stop_ratio >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS pred_en,
+  CAST(sum(CASE WHEN stop_ratio <  0.05 THEN 1 ELSE 0 END) AS BIGINT) AS pred_other
+FROM feat
+GROUP BY lang
+""",
+)
+def lang_id_ngram_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword density classifier,
+    confusion counts against the labeled `lang` column. (The synthetic
+    corpus shares one vocabulary across langs, so this measures the
+    plumbing, not linguistics — the operator shape is the deliverable.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / F.size(toks)
+    )
+    feat = d.select("doc_id", "lang", stop_ratio.alias("stop_ratio"))
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("stop_ratio") >= 0.05, 1).otherwise(0)).alias("pred_en"),
+        F.sum(F.when(F.col("stop_ratio") < 0.05, 1).otherwise(0)).alias("pred_other"),
+    )
+
+
+@register(
+    "doc_fingerprint_rolling",
+    tags=("llm", "text", "fingerprint"),
+    oracle=f"""
+SELECT doc_id,
+       {X.SQL_FINGERPRINT.format(col='text')} AS fp,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents
+""",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint over the
+    token stream (mod 2^31-1) — portable to the oracle; detects exact
+    token-sequence duplicates regardless of doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars_m"),
+    )
+
+
+@register(
+    "doc_fingerprint_native",
+    tags=("llm", "text", "fingerprint", "native"),
+    # xxhash64 is Spark-specific — rows-only gate; equivalence with the
+    # portable fingerprint is asserted in tests (same duplicate groups).
+    oracle=None,
+)
+def doc_fingerprint_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native fingerprint (xxhash64 over the token stream) —
+    the production hot path: one JVM hash op, no hex round-trip."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint_native("text").alias("fp64"),
+    )

@@ -1,0 +1,81 @@
+"""Quality assertions for the rows-only (non-oracle) LLM operators —
+the oamap 'two independent implementations must agree' pattern applied
+where DuckDB can't be the second implementation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_ann_recall_vs_bruteforce(spark, queries):
+    """LSH ANN top-5 must recover most of the exact brute-force top-5
+    (multi-probe Hamming-1, 8 planes → recall is high but not 1.0)."""
+    exact = queries["cosine_topk_bruteforce"](spark, SF_SMOKE).collect()
+    approx = queries["ann_lsh_topk"](spark, SF_SMOKE).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall {recall:.2f} too low vs brute force"
+
+
+def test_approx_count_distinct_accuracy(spark, queries):
+    """HLL estimate within 5% of the exact count (rsd=0.02 configured)."""
+    from oamap_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in queries["approx_distinct_parts"](spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, f"{k}: approx {approx[k]} vs exact {v}"
+
+
+def test_fingerprint_native_matches_portable_groups(spark, queries):
+    """xxhash64 and the portable rolling hash must induce the same
+    duplicate groups (same partition of doc_ids by fingerprint)."""
+    port = queries["doc_fingerprint_rolling"](spark, SF_SMOKE).collect()
+    nat = queries["doc_fingerprint_native"](spark, SF_SMOKE).collect()
+
+    def groups(rows, key):
+        g = {}
+        for r in rows:
+            g.setdefault(r[key], set()).add(r["doc_id"])
+        return {frozenset(v) for v in g.values() if len(v) > 1}
+
+    assert groups(port, "fp") == groups(nat, "fp64")
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(spark, queries):
+    """Every LSH-verified pair must appear in the exact all-pairs
+    result (LSH can miss pairs, never invent them — the verify step
+    guarantees precision 1.0)."""
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in queries["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in queries["dedup_jaccard_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.3, f"LSH recall {recall:.2f} vs exact jaccard pairs"
