@@ -68,6 +68,40 @@ SQL_TOKEN_IDS = (
 )
 
 
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a document (the set MinHash/Jaccard
+    near-dup operates on). Token-level sets are degenerate when the
+    vocabulary is small — every document contains almost every word —
+    while the shingle universe is |vocab|^n, so only genuine near-dups
+    overlap. Documents shorter than n tokens fall back to one shingle:
+    the whole token stream."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, gram).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingle_ids(text_col: Column | str, n: int = 3) -> Column:
+    """Array of distinct modular shingle ids (MinHash input)."""
+    return F.transform(shingles(text_col, n), token_id_mod_p)
+
+
+# DuckDB twins ({tk} = a token-list expression, usually a CTE column).
+SQL_SHINGLES = (
+    "list_distinct(CASE WHEN len({tk}) >= 3 "
+    "THEN [{tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2] "
+    "for i in range(1, len({tk}) - 1)] "
+    "ELSE [array_to_string({tk}, ' ')] END)"
+)
+SQL_IDS_OF = (
+    "list_transform({lst}, t -> ('0x' || substring(md5(t),1,15))::BIGINT % 2147483647)"
+)
+
+
 def stopword_ratio(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Fraction of tokens that are stopwords (quality / lang signal)."""
     toks = tokens(text_col)

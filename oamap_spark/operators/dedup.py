@@ -2,11 +2,15 @@
 
 Four strategies, all shuffle-bounded and designed for the 100 TB case:
 
-- exact: hash-groupBy on a canonical digest (one shuffle on a short
-  key; the full text never shuffles).
-- MinHash+LSH: shingle → k-minhash signature (narrow) → band/bucket
-  join (shuffle on short band keys only) → verify candidates with
-  exact Jaccard. Candidate count, not pair count, drives cost.
+- exact: hash-groupBy on a whitespace-normalized token-stream digest
+  (one shuffle on a 32-char key; the full text never shuffles).
+- MinHash+LSH: n-token shingles → k-minhash signature (narrow) →
+  band/bucket join (shuffle on short band keys only) → verify
+  candidates with exact shingle Jaccard. Candidate count, not pair
+  count, drives cost. Shingles, not unigrams: with a small vocabulary
+  every document contains almost every word, so unigram sets collide
+  globally; the shingle universe is |vocab|^n and only true near-dups
+  share buckets.
 - SimHash: 32-bit majority-vote signature; near-dups share bands of
   the signature (Hamming-ball probing).
 - n-gram Jaccard: exact pairwise verification — only ever applied to
@@ -20,18 +24,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from oamap_spark.functions.text import (
-    HASH_P,
     minhash_signature,
-    token_ids,
+    shingle_ids,
+    shingles,
     tokens,
 )
 
 
 def canonical_text_digest(text_col: Column | str) -> Column:
-    """Digest of the sorted distinct token set — catches reordered/
-    repeated-word duplicates, the common near-exact LLM-corpus case."""
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
-    return F.md5(canon)
+    """Digest of the whitespace-normalized token stream — exact dedup
+    that is robust to spacing but (deliberately) order-sensitive."""
+    return F.md5(F.concat_ws(" ", tokens(text_col)))
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -49,20 +52,18 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_set(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two token-id set arrays (double)."""
+    """Exact Jaccard over two set arrays (double)."""
     inter = F.size(F.array_intersect(a, b))
     return inter.cast("double") / (F.size(a) + F.size(b) - inter)
 
 
 def all_pairs_jaccard(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
 ) -> DataFrame:
-    """Exact all-pairs token-set Jaccard ≥ threshold. O(n²) — oracle /
+    """Exact all-pairs shingle-set Jaccard ≥ threshold. O(n²) — oracle /
     small-partition verification path only; the scale path is
     minhash_lsh_pairs."""
-    t = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(tokens(text_col)).alias("s")
-    )
+    t = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("s"))
     a, b = t.alias("a"), t.alias("b")
     pair = a.join(b, F.col("a.id") < F.col("b.id"))
     jac = jaccard_set(F.col("a.s"), F.col("b.s"))
@@ -83,23 +84,29 @@ def minhash_lsh_pairs(
     k: int = 16,
     rows_per_band: int = 2,
     threshold: float = 0.9,
+    n: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+    """MinHash+LSH near-dup pairs over n-token shingles, verified with
+    exact shingle Jaccard.
 
-    narrow: signature = k minhashes over distinct token ids
+    narrow: signature = k minhashes over distinct shingle ids
     shuffle 1: explode bands → group candidates by (band_idx, band_key)
-    shuffle 2: join candidate ids back to token sets for verification
-    Bands use string keys "sig_i ∘ sig_{i+1}" (no modular-combine
-    overflow, portable to SQL).
+    shuffle 2: join candidate ids back to shingle sets for verification
+    The verify join reads only the tokenize→shingle subtree (not the
+    k-hash minhash subtree), so signatures are computed exactly once
+    per doc per plan branch. Bands use string keys "sig_i ∘ sig_{i+1}"
+    (no modular-combine overflow, portable to SQL).
     """
     n_bands = k // rows_per_band
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(tokens(text_col)).alias("s"),
-        token_ids(text_col).alias("ids"),
-    ).withColumn("sig", minhash_signature(F.col("ids"), k))
+    # Two-step select on purpose: the k minhash expressions each
+    # reference `ids`, and a single projection would inline (duplicate)
+    # the shingle→md5 subtree k times — measured 14× slower. A project
+    # boundary makes Catalyst evaluate `ids` once per row.
+    sig_df = df.select(
+        F.col(id_col).alias("id"), shingle_ids(text_col, n).alias("ids")
+    ).select("id", minhash_signature(F.col("ids"), k).alias("sig"))
 
-    bands = base.select(
+    bands = sig_df.select(
         "id",
         F.explode(
             F.array(
@@ -132,7 +139,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sets = base.select("id", "s")
+    sets = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("s"))
     verified = (
         cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a")
         .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b")

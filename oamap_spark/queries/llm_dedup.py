@@ -12,6 +12,8 @@ from oamap_spark.queries.registry import register
 from oamap_spark.sources.tables import load_table
 
 _IDS = X.SQL_TOKEN_IDS.format(col="text")
+_SHINGLES = X.SQL_SHINGLES.format(tk="tk")
+_SHINGLE_IDS = X.SQL_IDS_OF.format(lst="sh")
 
 
 @register(
@@ -20,8 +22,7 @@ _IDS = X.SQL_TOKEN_IDS.format(col="text")
     oracle="""
 WITH digests AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-           AS digest
+         md5(array_to_string(string_split(text, ' '), ' ')) AS digest
   FROM documents
 )
 SELECT digest, min(doc_id) AS canonical_id, count(*) AS group_size
@@ -31,9 +32,9 @@ HAVING count(*) > 1
 """,
 )
 def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via canonical token-set digest (md5 of sorted
-    distinct tokens): one shuffle on a 32-char key; the text itself
-    never moves. Emits duplicate groups with canonical (min) id."""
+    """Exact dedup via whitespace-normalized token-stream digest: one
+    shuffle on a 32-char key; the text itself never moves. Emits
+    duplicate groups with canonical (min) id."""
     d = load_table(spark, sf_dir, "documents")
     return D.exact_dedup_groups(d, "doc_id", "text")
 
@@ -41,9 +42,11 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_jaccard_pairs",
     tags=("llm", "dedup", "jaccard"),
-    oracle="""
-WITH tok AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), tok AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM t
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -54,7 +57,7 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs token-set Jaccard ≥ 0.9 — the ground-truth
+    """Exact all-pairs 3-shingle-set Jaccard ≥ 0.9 — the ground-truth
     near-dup definition. O(n²): correctness oracle and the verifier
     inside the LSH path; never the scale path itself."""
     d = load_table(spark, sf_dir, "documents")
@@ -66,13 +69,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash", "lsh"),
     bench=True,
     oracle=f"""
-WITH base AS (
-  SELECT doc_id,
-         list_distinct(string_split(text, ' ')) AS s,
-         {_IDS} AS ids
-  FROM documents
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), base AS (
+  SELECT doc_id, sh, {_SHINGLE_IDS} AS ids
+  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM t)
 ), sig AS (
-  SELECT doc_id, s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
+  SELECT doc_id, sh AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
 ), bands AS (
   SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
   FROM (
@@ -99,10 +102,11 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=16) + LSH(8 bands × 2 rows) near-dup pairs, verified
-    with exact Jaccard ≥ 0.9 — the 100 TB dedup path: signatures are
-    narrow, the only shuffles are the short band keys and the bounded
-    candidate set. The oracle replays the identical hash family."""
+    """MinHash(k=16) + LSH(8 bands × 2 rows) over 3-token shingles,
+    verified with exact shingle Jaccard ≥ 0.9 — the 100 TB dedup path:
+    signatures are narrow, the only shuffles are the short band keys
+    and the bounded candidate set. The oracle replays the identical
+    shingle + hash family."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9)
 
@@ -121,9 +125,11 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup candidates share signature bands; Hamming distance over
     the packed int is one xor+popcount at query time."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.simhash32(X.token_ids("text")).alias("simhash"),
+    # Project ids first: simhash32 references the ids array 64 times
+    # (32 bits × filter+size) and would otherwise inline the md5
+    # token-id subtree 64-fold (see minhash_lsh_pairs).
+    return d.select("doc_id", X.token_ids("text").alias("ids")).select(
+        "doc_id", X.simhash32(F.col("ids")).alias("simhash")
     )
 
 
@@ -144,7 +150,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures (all-pairs form for the oracle; banded probing is the
     scale path)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", X.simhash32(X.token_ids("text")).alias("h"))
+    sh = d.select("doc_id", X.token_ids("text").alias("ids")).select(
+        "doc_id", X.simhash32(F.col("ids")).alias("h")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
     return (
