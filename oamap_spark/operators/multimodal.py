@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column operators.
+
+Convention for media at 100 TB: one row per asset, an opaque
+``payload binary`` column next to a typed ``media`` metadata struct
+(kind, mime, width/height, duration_ms). All *metadata* operations are
+native Column expressions (prunable — a scan that touches only
+metadata never reads the payload bytes, which parquet stores as its
+own column chunk). *Decode/feature* operations are Arrow-batched
+``mapInPandas`` passes whose batch shape, schema, and partitioning are
+real; the pixel/sample decode itself is STUBBED — the container has no
+image/audio codecs — behind a deterministic byte-level fake
+(documented per function) or ``NotImplementedError`` for true codec
+paths. Swap `_decode_*_stub` for PIL/ffmpeg in production; every
+schema and plan stays identical.
+
+Design rule mirrored from oamap's lazy column fetch (oamap/generator.py
+— arrays load on first touch [H]): metadata-only queries must show a
+parquet ``ReadSchema`` without the payload column; tests assert this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KINDS = ("image", "audio", "video")
+MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def media_metadata(doc_id: Column, n_chars: Column) -> Column:
+    """Deterministic typed metadata derived from document identity —
+    the testbed stand-in for real asset metadata. Portable: the DuckDB
+    oracle replays the same arithmetic."""
+    kind_idx = (doc_id % 3).cast("int")
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]), kind_idx + 1)
+    mime = F.element_at(F.array(*[F.lit(MIME[k]) for k in KINDS]), kind_idx + 1)
+    is_image = kind_idx == 0
+    return F.struct(
+        kind.alias("kind"),
+        mime.alias("mime"),
+        F.when(is_image, (64 + (doc_id % 8) * 16).cast("int")).alias("width"),
+        F.when(is_image, (64 + (doc_id % 5) * 32).cast("int")).alias("height"),
+        F.when(~is_image, (n_chars * 10).cast("long")).alias("duration_ms"),
+    )
+
+
+def with_media_columns(docs: DataFrame) -> DataFrame:
+    """documents → media table: payload = UTF-8 bytes of text (the
+    deterministic fake asset), media = typed metadata struct."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        media_metadata(F.col("doc_id"), F.col("n_chars")).alias("media"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode / feature-extract — Arrow-batched mapInPandas.
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _decode_payload_stub(payload: bytes) -> tuple[float, float, list[float]]:
+    """STUB decoder (no codecs in this container): deterministic
+    byte-level statistics + an 8-dim folded-histogram 'feature'.
+    A real deployment replaces this body with PIL/torchaudio/ffmpeg;
+    the mapInPandas plumbing, schema, and batching stay unchanged."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return 0.0, 0.0, [0.0] * FEATURE_DIM
+    counts = np.bincount(arr, minlength=256).astype(np.float64)
+    p = counts / arr.size
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    feat = counts.reshape(FEATURE_DIM, 256 // FEATURE_DIM).sum(axis=1)
+    feat = (feat / arr.size).astype(np.float32)
+    return float(arr.mean()), entropy, feat.tolist()
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract over media payloads via Arrow-batched
+    ``mapInPandas``. Narrow (no shuffle); each task decodes its own
+    partition's batches. Output drops the payload — downstream stages
+    carry the small feature vector, never the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_payload_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "byte_mean": [r[0] for r in rows],
+                    "byte_entropy": [r[1] for r in rows],
+                    "feature": [r[2] for r in rows],
+                }
+            )
+
+    slim = df.select("asset_id", F.col("media.kind").alias("kind"), "payload")
+    return slim.mapInPandas(run, DECODE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pass: metadata update is native (width/height withField);
+    the pixel resample itself is the stubbed decode path. Real codec
+    work would replace the payload in the same mapInPandas slot as
+    ``decode_features``; here the payload passes through untouched."""
+    resized = (
+        F.col("media")
+        .withField("width", F.lit(width).cast("int"))
+        .withField("height", F.lit(height).cast("int"))
+    )
+    return df.withColumn(
+        "media",
+        F.when(F.col("media.kind") == "image", resized).otherwise(F.col("media")),
+    )
+
+
+def frame_sample(df: DataFrame, every_ms: int) -> DataFrame:
+    """Sample frame timestamps every ``every_ms`` from video assets:
+    pure metadata math (sequence + explode), no payload read — the
+    ReadSchema must not contain `payload`. Each output row is one
+    frame reference (asset_id, frame_no, t_ms); the actual frame
+    decode would join back to payload via the stub path."""
+    frames = df.where(F.col("media.kind") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("media.duration_ms"), F.lit(every_ms))
+        ).alias("t_ms"),
+    )
+    return frames.withColumn(
+        "frame_no", ((F.col("t_ms") / every_ms)).cast("long")
+    ).select("asset_id", "frame_no", "t_ms")

@@ -24,6 +24,7 @@ def _load_all() -> None:
         "oamap_spark.queries.llm_text",
         "oamap_spark.queries.llm_dedup",
         "oamap_spark.queries.llm_similarity",
+        "oamap_spark.queries.llm_multimodal",
     ):
         try:
             importlib.import_module(mod)

@@ -1,0 +1,69 @@
+"""Multimodal operator tests: stub-decoder equivalence (the oamap
+'two implementations must agree' pattern — Spark mapInPandas vs a
+local recompute), metadata-only pruning, and oracle compares."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oamap_spark.operators import multimodal as MM
+from oamap_spark.plans import audit
+from oamap_spark.plans.verify import compare_query
+from oamap_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+
+
+def test_decode_features_matches_local_recompute(spark):
+    """The mapInPandas decode must agree with a driver-local run of the
+    same stub over collected payloads (validates Arrow batch plumbing,
+    not the stub's arithmetic with itself)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    m = MM.with_media_columns(docs)
+    got = {r["asset_id"]: r for r in MM.decode_features(m).collect()}
+    for row in m.select("asset_id", "payload").collect():
+        mean, ent, feat = MM._decode_payload_stub(bytes(row["payload"]))
+        g = got[row["asset_id"]]
+        assert g["n_bytes"] == len(bytes(row["payload"]))
+        assert math.isclose(g["byte_mean"], mean, rel_tol=1e-9)
+        assert math.isclose(g["byte_entropy"], ent, rel_tol=1e-9)
+        assert len(g["feature"]) == MM.FEATURE_DIM
+        assert all(
+            math.isclose(a, b, rel_tol=1e-6) for a, b in zip(g["feature"], feat)
+        )
+
+
+def test_frame_sample_never_scans_payload(spark):
+    """Frame planning is metadata-only: the documents scan must not
+    read `text` (the payload source column) — at 100 TB this is the
+    difference between scanning bytes and scanning a catalog."""
+    m = MM.with_media_columns(load_table(spark, SF_SMOKE, "documents"))
+    frames = MM.frame_sample(m, every_ms=2000)
+    cols = audit.scanned_columns(frames)
+    assert "text" not in cols, f"payload column scanned: {cols}"
+    assert "doc_id" in cols and "n_chars" in cols
+
+
+def test_resize_only_touches_images(spark):
+    m = MM.with_media_columns(load_table(spark, SF_SMOKE, "documents"))
+    r = MM.resize_images(m, 224, 224)
+    rows = r.select("media.kind", "media.width", "media.height").collect()
+    for row in rows:
+        if row["kind"] == "image":
+            assert row["width"] == 224 and row["height"] == 224
+        else:
+            assert row["width"] is None
+
+
+def test_multimodal_oracles_at_smoke_sf(spark):
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "multimodal_metadata_stats",
+        "multimodal_frame_sample",
+        "multimodal_resize_metadata",
+    ):
+        errs = compare_query(spark, SF_SMOKE, q[name], o[name])
+        assert not errs, f"{name}: {errs}"

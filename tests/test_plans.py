@@ -1,0 +1,88 @@
+"""Physical-plan audits: the scale story asserted, not assumed.
+
+Every test here encodes a property that must survive a 100×/1000×
+scale-up: dims broadcast (no shuffle of the fact table against tiny
+tables), filters pushed into the parquet scan (row-group pruning),
+ReadSchema pruned to the touched columns (oamap's only-fetch-what-you-
+touch guarantee), and the hot path inside WholeStageCodegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from oamap_spark.plans import audit
+from tests.conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_q5_broadcasts_dimension_tables(spark, queries):
+    """region/nation/supplier/customer are O(rows-of-dim) at every SF;
+    the 5-way join must broadcast them, never shuffle lineitem against
+    them pairwise."""
+    df = queries["q5_local_supplier_volume"](spark, SF_SMOKE)
+    assert audit.broadcast_join_count(df) >= 3
+
+
+def test_q6_pushes_filters_to_scan(spark, queries):
+    df = queries["q6_forecast_revenue"](spark, SF_SMOKE)
+    pushed = " ".join(audit.pushed_filters(df)).lower()
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_q1_prunes_lineitem_scan(spark, queries):
+    """Q1 touches 7 of lineitem's 16 columns; ReadSchema must show
+    exactly those — reading 16 columns for a 7-column agg would double
+    the scan volume at 100 TB."""
+    df = queries["q1_pricing_summary"](spark, SF_SMOKE)
+    cols = audit.scanned_columns(df)
+    assert cols == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }, cols
+
+
+def test_q1_two_shuffles(spark, queries):
+    """filter→partial agg→final agg→sort: exactly two exchanges (the
+    group-key hash and the final orderBy's range partitioning over a
+    4-row result). Partial aggregation must stay map-side."""
+    df = queries["q1_pricing_summary"](spark, SF_SMOKE)
+    assert audit.shuffle_count(df) == 2
+
+
+def test_q1_wholestage_codegen(spark, queries):
+    """scan→filter→partial-agg must fuse into whole-stage codegen.
+    AQE only reports codegen ids on the finalized plan, so execute
+    first."""
+    df = queries["q1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_minhash_lsh_shuffles_bounded(spark, queries):
+    """LSH dedup must shuffle only band keys + candidate ids — the
+    wide shingle/signature stages are narrow. Exchanges: band
+    self-join (2 sides), pair distinct, 2 verify joins ≈ 7; a
+    regression that shuffles payloads shows up as growth here."""
+    df = queries["dedup_minhash_lsh"](spark, SF_SMOKE)
+    assert audit.shuffle_count(df) <= 8
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark, queries):
+    """The query set broadcasts; the corpus must stream (never the
+    other way around at 100 TB)."""
+    df = queries["cosine_topk_bruteforce"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
