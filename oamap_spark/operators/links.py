@@ -1,0 +1,124 @@
+"""Pointer and Union — oamap's two non-relational schema nodes,
+re-expressed Spark-first.
+
+**Pointer** (oamap/schema.py — Pointer; positions array dereference in
+oamap/generator.py — PointerGenerator [H]): an indirection into another
+(possibly the same) structure. Spark has no address-valued columns, so
+a pointer is a surrogate key + equi-join — the positions array becomes
+the join key column, dereference becomes `resolve_pointer`. Broadcast
+the target when it is dimension-sized; self-referential pointers
+(linked lists, prev-element links) join the table to itself on a
+row_number surrogate, which at scale co-partitions by the partition
+key (no extra shuffle beyond the window's own).
+
+**Union** (oamap/schema.py — Union; tags+offsets arrays [H]): a tagged
+sum type. Spark structs are product types, so the encoding is
+`struct(tag: int, v0: T0 nullable, …, vn: Tn nullable)` with exactly
+one non-null variant per row; `union_case` dispatches on the tag the
+way oamap's UnionProxy selects a possibility by tags[i].
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Pointer
+# ---------------------------------------------------------------------------
+
+def resolve_pointer(
+    df: DataFrame,
+    ptr_col: str,
+    target: DataFrame,
+    target_key: str,
+    fields: Sequence[str],
+    *,
+    prefix: str = "",
+    broadcast: bool = False,
+    how: str = "left",
+) -> DataFrame:
+    """Dereference: for each row, fetch ``fields`` from the ``target``
+    row whose ``target_key`` equals ``ptr_col``. Null pointer → null
+    fields (oamap's masked pointer). ``broadcast=True`` for
+    dimension-sized targets — at 100 TB the fact side never shuffles."""
+    proj = target.select(
+        F.col(target_key).alias("__ptr_key"),
+        *[F.col(f).alias(prefix + f) for f in fields],
+    )
+    if broadcast:
+        proj = F.broadcast(proj)
+    out = df.join(proj, on=df[ptr_col] == proj["__ptr_key"], how=how)
+    return out.drop("__ptr_key")
+
+
+def with_position(
+    df: DataFrame, pos_col: str, partition_by: Sequence[str], order_by: Sequence[Column | str]
+) -> DataFrame:
+    """Attach oamap's implicit element position (0-based within its
+    parent list) as an explicit surrogate column — the bridge that
+    turns position-based Pointers into joinable keys."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+
+
+def self_pointer_prev(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    fields: Sequence[str],
+    *,
+    prefix: str = "prev_",
+) -> DataFrame:
+    """Self-referential Pointer: each element points at its
+    predecessor within the partition (oamap linked-list shape). Built
+    from positions + a co-partitioned self-join; the first element's
+    pointer is null (masked)."""
+    pos = with_position(df, "__pos", partition_by, order_by)
+    left = pos.alias("l")
+    target = pos.select(
+        *[F.col(c) for c in partition_by],
+        F.col("__pos").alias("__tpos"),
+        *[F.col(f).alias(prefix + f) for f in fields],
+    ).alias("r")
+    on = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in partition_by]
+    on.append(F.col("l.__pos") - 1 == F.col("r.__tpos"))
+    joined = left.join(target, on=_conj(on), how="left")
+    keep = [F.col(f"l.{c}") for c in df.columns] + [
+        F.col(f"r.{prefix + f}") for f in fields
+    ]
+    return joined.select(*keep)
+
+
+def _conj(conds: Sequence[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Union
+# ---------------------------------------------------------------------------
+
+def union_encode(tag: Column, variants: Sequence[tuple[str, Column]]) -> Column:
+    """Encode a tagged union: struct(tag, v0..vn) where variant i is
+    non-null iff tag == i. ``variants`` = [(name, value_expr), ...];
+    value_expr is only evaluated into its slot when the tag selects it."""
+    slots = [
+        F.when(tag == i, v).alias(name) for i, (name, v) in enumerate(variants)
+    ]
+    return F.struct(tag.cast("int").alias("tag"), *slots)
+
+
+def union_case(u: Column, *branches: Column) -> Column:
+    """Dispatch on a union's tag: branches[i] handles variant i
+    (each branch is an expression over the already-projected variant
+    slot). oamap's UnionProxy tags[i] lookup, as a when-chain."""
+    expr = F.when(u.getField("tag") == 0, branches[0])
+    for i, b in enumerate(branches[1:], start=1):
+        expr = expr.when(u.getField("tag") == i, b)
+    return expr

@@ -25,6 +25,7 @@ def _load_all() -> None:
         "oamap_spark.queries.llm_dedup",
         "oamap_spark.queries.llm_similarity",
         "oamap_spark.queries.llm_multimodal",
+        "oamap_spark.queries.pointers",
     ):
         try:
             importlib.import_module(mod)
