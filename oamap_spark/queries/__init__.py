@@ -26,6 +26,7 @@ def _load_all() -> None:
         "oamap_spark.queries.llm_similarity",
         "oamap_spark.queries.llm_multimodal",
         "oamap_spark.queries.pointers",
+        "oamap_spark.queries.streaming_queries",
     ):
         try:
             importlib.import_module(mod)

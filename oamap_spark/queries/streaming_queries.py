@@ -1,0 +1,92 @@
+"""Structured Streaming declared queries (SURVEY §7.7 extension).
+
+Each callable builds an incremental plan over the events file stream,
+drains it with trigger(availableNow) into a memory sink, and returns
+the sink as a batch DataFrame — so the driver's DuckDB oracle gates
+streaming semantics too (window assignment, stateful dedup, session
+merge), not just row counts. On an unbounded source the identical
+plans run continuously; the watermark clauses that bound state are in
+place even though a bounded replay never needs to evict."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.queries.registry import register
+from oamap_spark.streaming import pipelines as P
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "stream_tumbling_daily_counts",
+    tags=("streaming", "window", "watermark"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-day tumbling windows per event_type with a 1-day
+    watermark, drained via availableNow. The oracle is the batch
+    date_trunc image — window assignment must agree exactly."""
+    ev = P.read_events_stream(spark, sf_dir)
+    sink = P.drain_to_memory(
+        P.tumbling_counts(ev), output_mode="complete", spark=spark
+    )
+    return sink.select("day", "event_type", "n", "sum_value")
+
+
+@register(
+    "stream_distinct_user_event_keys",
+    tags=("streaming", "dedup", "state"),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct_user_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (first-seen wins, one state entry per
+    key), append mode. Only the keys are emitted, so which duplicate
+    arrived first is irrelevant to the oracle."""
+    ev = P.read_events_stream(spark, sf_dir)
+    return P.drain_to_memory(
+        P.streaming_distinct_keys(ev), output_mode="append", spark=spark
+    )
+
+
+@register(
+    "stream_user_sessions",
+    tags=("streaming", "session_window", "watermark"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id,
+       CAST(1 + sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM seq
+GROUP BY user_id
+""",
+)
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window (30-min gap) per user, rolled up
+    batch-side after the drain (one stateful agg per streaming query).
+    Oracle: lag-islands with `>= gap` — session_window starts a new
+    session when the inter-event gap reaches the gap exactly, i.e.
+    an event at session_end is outside the [start, end) session."""
+    ev = P.read_events_stream(spark, sf_dir)
+    sessions = P.drain_to_memory(
+        P.user_sessions(ev, gap="30 minutes"), output_mode="complete", spark=spark
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming pipelines over the events table.
+
+oamap has no streaming surface (absent from oamap/operations.py [H]);
+this is the §7.7 extension: the same events analytics, expressed as
+incremental plans. Each pipeline reads the events parquet as a file
+stream (schema pinned from a batch read — required by readStream),
+applies watermark/window/state, and drains with trigger(availableNow)
+into a memory sink so the driver contract (batch DataFrame out) and
+the DuckDB oracle still apply. At scale the identical plan runs
+against a live file/Kafka source with the same semantics — that is
+the point of Structured Streaming's unified model.
+
+Aggregations use complete output mode for oracle comparison (append
+mode would hold back the final watermark-open windows of a bounded
+replay); the watermark-driven append path is exercised in tests.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_ids = itertools.count()
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file-stream source wants a directory it can monitor; the
+    testdata ships single .parquet files. Build (once) a /tmp dir per
+    sf containing a symlink to the events file — on a real deployment
+    the source would already be a landing directory."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join("/tmp", "oamap_spark_stream", key, "events")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events parquet as a file stream. ts arrives as bigint ns (the
+    nanosAsLong scan path); normalize to a µs `ts` timestamp exactly
+    like the batch loader so stream and batch plans share semantics."""
+    path = _stream_dir(sf_dir)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def drain_to_memory(
+    stream: DataFrame, *, output_mode: str, spark: SparkSession
+) -> DataFrame:
+    """Run a bounded replay of the stream (availableNow) into a memory
+    sink and return the sink as a batch DataFrame."""
+    name = f"oamap_stream_sink_{next(_sink_ids)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, *, watermark: str = "1 day") -> DataFrame:
+    """1-day tumbling windows per event_type: count + value sum.
+    Watermark bounds state at scale (windows older than max-event-time
+    − 1 day are finalized and evicted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_distinct_keys(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup: first-seen wins per (user_id,
+    event_type); emits each key once. State is one entry per distinct
+    key — the watermarked variant (dropDuplicatesWithinWatermark)
+    bounds it in time for unbounded sources."""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def user_sessions(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions with an inactivity gap via session_window —
+    Spark merges events closer than the gap into one [start, end)
+    session; equivalent to the batch islands (lag > gap ⇒ new island)
+    formulation. One streaming aggregation only: per-user rollups
+    happen batch-side on the drained sink (chained stateful aggs are
+    not supported in a single streaming query)."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )

@@ -1,0 +1,90 @@
+"""Streaming tests: oracle compares for the declared streaming
+queries, stream-vs-batch equivalence, and a custom stateful operator
+via applyInPandasWithState (the §7.7 'custom stateful op' slot)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oamap_spark.plans.verify import compare_query
+from oamap_spark.sources.tables import load_table
+from oamap_spark.streaming import pipelines as P
+from tests.conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+
+
+def test_streaming_oracles(spark):
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    for name in (
+        "stream_tumbling_daily_counts",
+        "stream_distinct_user_event_keys",
+        "stream_user_sessions",
+    ):
+        errs = compare_query(spark, SF_SMOKE, q[name], o[name])
+        assert not errs, f"{name}: {errs}"
+
+
+def test_stream_tumbling_equals_batch_window(spark):
+    """The streaming windowed agg must equal the same F.window agg run
+    in batch over the same file (unified-model check)."""
+    stream = P.drain_to_memory(
+        P.tumbling_counts(P.read_events_stream(spark, SF_SMOKE)),
+        output_mode="complete",
+        spark=spark,
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "sum_value")
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_apply_in_pandas_with_state_counts(spark):
+    """applyInPandasWithState running counts must equal batch
+    groupBy().count() after a bounded replay."""
+    from oamap_spark.streaming.stateful import running_user_counts
+
+    ev = P.read_events_stream(spark, SF_SMOKE)
+    sink = P.drain_to_memory(
+        running_user_counts(ev), output_mode="update", spark=spark
+    )
+    got = {r["user_id"]: r["n_events"] for r in sink.collect()}
+    exact = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_session_window_matches_batch_islands(spark):
+    """session_window sessions must match the batch lag-islands count
+    per user (>= gap ⇒ new session)."""
+    q = entrymod.queries()
+    stream_rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q["stream_user_sessions"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = ev.select("user_id", F.unix_micros("ts").alias("t"), "event_id").withColumn(
+        "is_new",
+        F.when(F.col("t") - F.lag("t").over(w) >= 30 * 60 * 1_000_000, 1).otherwise(0),
+    )
+    batch_rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in seq.groupBy("user_id")
+        .agg(
+            (F.lit(1) + F.sum("is_new")).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert stream_rows == batch_rows
