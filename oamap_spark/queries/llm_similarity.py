@@ -171,6 +171,153 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    tags=("llm", "dedup", "embedding", "cosine"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({V.SQL_DOT.format(a='a.e', b='b.e')}
+         / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
+         AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
+      / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.99 — the
+    semantic-duplicate detector of the dedup family. Exact all-pairs
+    form (the oracle-checkable ground truth); the scale path reuses
+    the ann LSH/IVF bucketing so only same-bucket pairs are scored,
+    exactly as dedup_minhash_lsh bounds the candidate set for text."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double("embedding").alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = V.cosine(F.col("a.e"), F.col("b.e"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+# IVF coarse quantizer: the first N_CENTROIDS corpus vectors serve as
+# deterministic centroids (a real deployment trains k-means; the
+# assignment/probe plan is identical and that is what's under test).
+N_CENTROIDS = 16
+N_PROBES = 8
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    return e.where(F.col("vec_id") < N_QUERIES + N_CENTROIDS).where(
+        F.col("vec_id") >= N_QUERIES
+    ).select(
+        (F.col("vec_id") - N_QUERIES).alias("cid"),
+        V.as_double("embedding").alias("cv"),
+    )
+
+
+def _assign(df: DataFrame, vcol: str, cents: DataFrame, k: int) -> DataFrame:
+    """Nearest-k centroid assignment via broadcast cross join + window
+    rank on cosine — narrow over the corpus, centroids broadcast."""
+    cos = V.cosine(F.col(vcol), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .select(df["*"], F.col("cid"), cos.alias("sim"))
+        .withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") <= k)
+        .drop("sim", "crnk")
+    )
+
+
+@register(
+    "ivf_centroid_assignment",
+    tags=("llm", "similarity", "ann", "ivf"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+), cents AS (
+  SELECT vec_id - {N_QUERIES} AS cid, e AS cv FROM v
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+), scored AS (
+  SELECT v.vec_id, cents.cid,
+         {V.SQL_DOT.format(a='v.e', b='cents.cv')}
+           / (sqrt({V.SQL_SUMSQ.format(a='v.e')}) * sqrt({V.SQL_SUMSQ.format(a='cents.cv')}))
+           AS sim
+  FROM v, cents
+  WHERE v.vec_id >= {N_QUERIES}
+), best AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rnk
+  FROM scored
+)
+SELECT cid, count(*) AS bucket_size
+FROM best WHERE rnk = 1
+GROUP BY cid
+""",
+)
+def ivf_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: every corpus vector joins its nearest
+    centroid's inverted list (broadcast centroids — the corpus never
+    shuffles for assignment). Emits bucket sizes; the oracle replays
+    the argmax-cosine assignment."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(e)
+    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    assigned = _assign(corpus, "v", cents, 1)
+    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("bucket_size"))
+
+
+@register(
+    "ann_ivf_topk",
+    tags=("llm", "similarity", "ann", "ivf"),
+    # bucketed search path — recall vs brute force asserted in tests;
+    # rows-only gate (same policy as ann_lsh_topk).
+    oracle=None,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: corpus vectors live in their nearest centroid's
+    list; each query probes its N_PROBES nearest centroids and scores
+    only those lists — the (cid) equi-join replaces the cross product
+    at scale. Exact cosine + top-k within the probed lists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(e)
+    corpus = _assign(
+        e.where(F.col("vec_id") >= N_QUERIES).select(
+            "vec_id", V.as_double("embedding").alias("v")
+        ),
+        "v",
+        cents,
+        1,
+    ).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "cid")
+    probes = _assign(
+        e.where(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", V.as_double("embedding").alias("v")
+        ),
+        "v",
+        cents,
+        N_PROBES,
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    pairs = probes.join(corpus, "cid").select(
+        "query_id", "cand_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+@register(
     "embedding_label_stats",
     tags=("llm", "similarity", "stats"),
     oracle=f"""

@@ -29,6 +29,30 @@ def test_ann_recall_vs_bruteforce(spark, queries):
     assert recall >= 0.5, f"ANN recall {recall:.2f} too low vs brute force"
 
 
+def test_ivf_recall_vs_bruteforce(spark, queries):
+    """IVF (16 centroids, 8 probes) top-5 must recover most of the
+    exact top-5; with 8/16 buckets probed recall is high but not
+    guaranteed 1.0."""
+    exact = queries["cosine_topk_bruteforce"](spark, SF_SMOKE).collect()
+    approx = queries["ann_ivf_topk"](spark, SF_SMOKE).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low vs brute force"
+
+
+def test_embedding_neardup_symmetric_and_thresholded(spark, queries):
+    """Every reported embedding near-dup pair is ordered, unique, and
+    above threshold."""
+    rows = queries["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos_sim"] >= 0.99
+        assert (r["id_a"], r["id_b"]) not in seen
+        seen.add((r["id_a"], r["id_b"]))
+
+
 def test_approx_count_distinct_accuracy(spark, queries):
     """HLL estimate within 5% of the exact count (rsd=0.02 configured)."""
     from oamap_spark.sources.tables import load_table
