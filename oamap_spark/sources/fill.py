@@ -1,0 +1,89 @@
+"""Ingest: nested Python/JSON object trees → DataFrames, and back.
+
+oamap's second entry point (SURVEY §3): `oamap.inference.fromdata`
+walks an object tree inferring the narrowest schema (ints widen to
+floats, missing values set nullable, conflicts become Unions), then
+`oamap.fill.fromdata` shreds the objects into flat arrays
+(oamap/inference.py, oamap/fill.py [H]). Spark already owns both
+halves — `createDataFrame` sampling/Arrow conversion and the columnar
+shred inside Tungsten — so this module is the thin, tested contract:
+
+- fromdata: objects → DataFrame (inference or explicit schema), with
+  oamap's widening flavor via Spark's sampling inference.
+- from_json_lines: JSON-string ingest through the same inference.
+- to_objects: proxy-style exit ramp (DataFrame → Python object trees)
+  used by round-trip tests (`proxy == original`, oamap's workhorse
+  test pattern).
+- write/read parquet round-trip helpers for the nested shapes.
+
+Union-typed conflicts are the one deliberate divergence: Spark has no
+sum type, so conflicting leaf types must be pre-encoded with
+operators/links.union_encode (documented limitation; oamap would
+synthesize a Union node).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def infer_schema(spark: SparkSession, objs: Sequence[dict]) -> T.StructType:
+    """Schema inference over example objects (oamap.inference.fromdata
+    analog): numeric widening, nullable on missing. Routed through the
+    JSON reader: `createDataFrame` would infer nested dicts as
+    MapType(string→string), but oamap (and this engine) treat
+    dict-shaped data as *records* — JSON inference yields the
+    StructType tree with oamap's widening flavor."""
+    return fromdata(spark, objs).schema
+
+
+def fromdata(
+    spark: SparkSession,
+    objs: Sequence[dict],
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Objects → DataFrame. With `schema=None` infers like oamap
+    (records, not maps — see infer_schema); explicit schemas pin types
+    exactly (oamap's declared-schema path)."""
+    if schema is None:
+        rdd = spark.sparkContext.parallelize([json.dumps(o) for o in objs])
+        return spark.read.json(rdd)
+    return spark.createDataFrame(objs, schema)
+
+
+def from_json_lines(
+    spark: SparkSession,
+    lines: Iterable[str],
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """JSON-lines ingest (oamap fromiterdata flavor): parse locally,
+    then the fromdata path. For files at scale use spark.read.json —
+    same inference, distributed parse."""
+    return fromdata(spark, [json.loads(ln) for ln in lines], schema)
+
+
+def to_objects(df: DataFrame) -> list[dict]:
+    """Exit ramp: DataFrame → plain Python object trees (lists/dicts/
+    scalars), the deep shape oamap proxies render. Test-sized data
+    only — this is `collect`."""
+
+    def conv(v):
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        if hasattr(v, "asDict"):
+            return {k: conv(x) for k, x in v.asDict().items()}
+        return v
+
+    return [conv(r) for r in df.collect()]
+
+
+def roundtrip_parquet(df: DataFrame, path: str, spark: SparkSession) -> DataFrame:
+    """Write nested data as parquet and re-read it (Dremel shred +
+    assemble — oamap/backend/parquet.py's whole job, here one write
+    and one scan)."""
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
