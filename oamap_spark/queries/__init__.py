@@ -17,6 +17,7 @@ def _load_all() -> None:
     import importlib
 
     for mod in (
+        "oamap_spark.queries.tpch2",
         "oamap_spark.queries.relational",
         "oamap_spark.queries.functions_suite",
         "oamap_spark.queries.nested",

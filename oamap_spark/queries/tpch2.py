@@ -1,0 +1,449 @@
+"""TPC-H-shaped breadth queries (second tranche), adapted to the
+driver's trimmed schemas (no partsupp table, no commit/receipt dates —
+each adaptation noted). These exercise the relational shapes the first
+tranche (q1/q3/q5/q6/q10) does not: EXISTS / NOT EXISTS correlation,
+scalar subqueries, conditional aggregation shares, disjunctive
+pushdown-hostile predicates, and having-gated IN subqueries.
+
+Dates are timestamps in the testdata; year extraction is `year(ts)`
+on both engines (UTC pinned)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table, load_tables
+
+
+@register(
+    "q4_priority_with_late_ship",
+    tags=("join", "exists", "semi"),
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def q4_priority_with_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commitdate absent → 'shipped after order
+    date'): correlated EXISTS becomes a left-semi join — one shuffle
+    on orderkey, no row duplication from multi-line orders."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    sem = t["orders"].join(
+        late,
+        (t["orders"].o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > t["orders"].o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q7_volume_between_nations",
+    tags=("join", "multi_join", "broadcast"),
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+)
+def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year. supplier/customer/
+    nation broadcast; lineitem⋈orders is the only big shuffle."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    tags=("join", "conditional_agg", "share"),
+    oracle="""
+WITH all_sales AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'REGION_0'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM all_sales
+GROUP BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of REGION_0's purchase volume per
+    year — conditional-aggregation ratio, all dims broadcast."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sales = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["region"]), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("r_name") == "REGION_0")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    tags=("join", "agg", "like"),
+    oracle="""
+SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+       sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity) * 100 + 0.5) AS BIGINT))
+         AS profit_cents
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp ⇒ supply cost proxied as
+    0.5·retailprice·qty): per-nation per-year profit on PROMO parts.
+    The p_type filter prunes part before its broadcast. Per-row cents
+    then integer sum: a double sum rounds nondeterministically at the
+    2-decimal boundary across partition orders (observed at sf0.01)."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(F.floor(profit * 100 + 0.5).cast("long")).alias("profit_cents")
+    )
+
+
+@register(
+    "q12_priority_by_ship_year",
+    tags=("join", "conditional_agg"),
+    oracle="""
+SELECT year(l.l_shipdate) AS ship_year,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q12_priority_by_ship_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column → ship-year buckets):
+    high/low-priority line counts via conditional aggregation."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    tags=("join", "share", "broadcast"),
+    oracle="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO revenue share of one ship-year; part
+    broadcasts, the shipdate range pushes into the scan."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q15_top_suppliers",
+    tags=("agg", "scalar_subquery", "topk"),
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarter revenue per supplier, keep the max (scalar
+    subquery → window max over an unpartitioned frame on the already-
+    aggregated per-supplier rows, then broadcast-join supplier)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = rev.withColumn(
+        "mx", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("mx"))
+    return (
+        F.broadcast(top)
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    tags=("join", "scalar_subquery", "correlated"),
+    oracle="""
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part avg quantity)
+    de-correlated into a pre-aggregation + broadcast join — the
+    classic rewrite Catalyst also applies to the SQL form."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    avg_q = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
+    )
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].where(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(avg_q, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+    )
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+@register(
+    "q18_large_volume_customers",
+    tags=("join", "having", "in_subquery"),
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 150 — the IN
+    subquery becomes a semi join against the pre-aggregated keys."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .where(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    j = (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+
+
+@register(
+    "q19_disjunctive_predicates",
+    tags=("join", "disjunction"),
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 15)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 25)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: three-way disjunction across both join sides — the
+    optimizer extracts the common l_quantity/p_brand conjuncts for
+    pushdown while keeping the cross-table OR in the join filter."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 25))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    tags=("anti", "scalar_subquery"),
+    oracle="""
+SELECT c_nationkey,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (no phone column → grouped by nationkey):
+    above-average-balance customers with no orders. Scalar subquery →
+    cross-joined singleton agg (broadcast); NOT EXISTS → anti join."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("abal"))
+    )
+    rich = t["customer"].crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("abal")
+    )
+    idle = rich.join(
+        t["orders"].select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
