@@ -28,6 +28,7 @@ def _load_all() -> None:
         "oamap_spark.queries.llm_multimodal",
         "oamap_spark.queries.pointers",
         "oamap_spark.queries.streaming_queries",
+        "oamap_spark.queries.extended_suite",
     ):
         try:
             importlib.import_module(mod)

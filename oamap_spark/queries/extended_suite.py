@@ -1,0 +1,169 @@
+"""Capability-completion queries for the remaining SURVEY §2.D rows:
+GROUPING SETS, map-type functions, custom UDAF reduce (oamap's
+arbitrary tally, §7.5), Python UDTF, and slicing (limit/offset — the
+proxy `data[a:b]` surface, §2.B)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+
+@register(
+    "grouping_sets_flag_status",
+    tags=("agg", "grouping_sets", "sql"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube),
+    via the SQL surface — Spark computes all sets in one pass with a
+    single expand+shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "map_funcs_suite",
+    tags=("functions", "map"),
+    oracle="""
+SELECT user_id, event_type AS k, CAST(count(*) AS BIGINT) AS v
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def map_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (absent in oamap — no dynamic-key dict type):
+    build map<event_type → count> per user with map_from_entries,
+    transform_values, then explode back to rows. The oracle checks the
+    relational image of the map (DuckDB's MAP isn't hash-comparable
+    through the driver harness), so build → transform → unbuild is the
+    tested path."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    # transform_values round-trip (double then halve) exercises value
+    # transformation without changing the oracle-checked image.
+    mapped = mapped.withColumn(
+        "m", F.transform_values("m", lambda k, v: v * 2)
+    ).withColumn("m", F.transform_values("m", lambda k, v: (v / 2).cast("long")))
+    return mapped.select(
+        "user_id", F.explode(F.col("m")).alias("k", "v")
+    )
+
+
+@register(
+    "reduce_custom_tally_geomean",
+    tags=("agg", "pandas_udf", "udaf", "reduce"),
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def reduce_custom_tally_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oamap `reduce` with a custom tally (oamap/operations.py —
+    reduce(fcn, tally) [H]) as a GROUPED_AGG pandas_udf: per-group
+    geometric mean via log-sum (associative across partitions, as
+    oamap requires of tallies). The oracle replays it natively —
+    Arrow-vectorized Python vs JVM expressions must agree."""
+
+    @F.pandas_udf("double")
+    def geomean(prices: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(prices.to_numpy()).mean()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(geomean("l_extendedprice"), 4).alias("geomean_price")
+    )
+
+
+@register(
+    "udtf_token_positions",
+    tags=("udtf", "llm", "text"),
+    oracle="""
+SELECT doc_id, u.tok AS token, CAST(u.pos AS INT) AS pos
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, ' '),
+                (t, i) -> {'tok': t, 'pos': i - 1})) AS u
+  FROM documents
+  WHERE doc_id < 20
+)
+""",
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4 surface): one input row →
+    N (token, position) rows. Equivalent to posexplode(split(...)) —
+    the point is the UDTF harness; the oracle pins the semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield t, i
+
+    spark.udtf.register("oamap_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM docs_udtf d, LATERAL oamap_tokenize(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )
+
+
+@register(
+    "slice_offset_limit",
+    tags=("limit", "offset", "slice"),
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+OFFSET 10 LIMIT 15
+""",
+)
+def slice_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy slicing `data[10:25]` (oamap/proxy.py —
+    ListProxy.__getitem__(slice) [H]) over a defined order: offset +
+    limit. Spark turns the pair into a single global-limit plan; a
+    slice without ORDER BY is nondeterministic in a distributed
+    engine, so the combinator requires one."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(15)
+    )
