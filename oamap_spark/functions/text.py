@@ -102,6 +102,54 @@ SQL_IDS_OF = (
 )
 
 
+def token_id_array(text_col: Column | str) -> Column:
+    """Positional (non-distinct) modular token ids — the md5 pass runs
+    once per token; downstream shingle ids are pure arithmetic."""
+    return F.transform(tokens(text_col), token_id_mod_p)
+
+
+def combine_shingle_ids(tids: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle ids from a *materialized* token-id
+    array: id = ((t₁·31 + t₂) mod P · 31 + t₃) mod P — no hashing per
+    shingle, just modular arithmetic (products stay < 2⁶² for int64).
+    Documents shorter than n tokens fall back to one id: the
+    polynomial fold of the whole stream.
+
+    `tids` MUST be a projected column, not an inline expression: each
+    element_at in the lambda re-evaluates its argument subtree, so an
+    inline md5-transform would run 3·|shingles| times per row
+    (measured 12× slower at sf0.1)."""
+    idx = F.sequence(F.lit(1), F.size(tids) - (n - 1))
+
+    def comb(i: Column) -> Column:
+        out = F.element_at(tids, i)
+        for j in range(1, n):
+            out = (out * 31 + F.element_at(tids, i + j)) % HASH_P
+        return out
+
+    gram = F.transform(idx, comb)
+    whole = F.aggregate(
+        tids, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % HASH_P
+    )
+    return F.array_distinct(
+        F.when(F.size(tids) >= n, gram).otherwise(F.array(whole))
+    )
+
+
+# DuckDB twins ({tids} = a token-id-list CTE column).
+SQL_TOKEN_ID_ARRAY = (
+    "list_transform(string_split({col}, ' '), "
+    "t -> ('0x' || substring(md5(t),1,15))::BIGINT % 2147483647)"
+)
+SQL_COMBINE_SHINGLE_IDS = (
+    "list_distinct(CASE WHEN len({tids}) >= 3 "
+    "THEN [((({tids}[i] * 31 + {tids}[i+1]) % 2147483647) * 31 + {tids}[i+2]) % 2147483647 "
+    "for i in range(1, len({tids}) - 1)] "
+    "ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), {tids}), "
+    "(acc, x) -> (acc * 31 + x) % 2147483647)] END)"
+)
+
+
 def stopword_ratio(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Fraction of tokens that are stopwords (quality / lang signal)."""
     toks = tokens(text_col)

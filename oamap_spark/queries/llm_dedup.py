@@ -13,7 +13,6 @@ from oamap_spark.sources.tables import load_table
 
 _IDS = X.SQL_TOKEN_IDS.format(col="text")
 _SHINGLES = X.SQL_SHINGLES.format(tk="tk")
-_SHINGLE_IDS = X.SQL_IDS_OF.format(lst="sh")
 
 
 @register(
@@ -70,12 +69,11 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
 ), base AS (
-  SELECT doc_id, sh, {_SHINGLE_IDS} AS ids
-  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM t)
+  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM t
 ), sig AS (
-  SELECT doc_id, sh AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
+  SELECT doc_id, ids AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
 ), bands AS (
   SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
   FROM (
