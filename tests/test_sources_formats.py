@@ -1,0 +1,69 @@
+"""Source/sink format coverage (SURVEY §2.D scans row): CSV, JSON,
+ORC, and parquet write→read round-trips through the same engine
+session. The driver testdata is parquet-only, so these are
+self-contained round-trips on derived data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oamap_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _nation_rows(spark):
+    return load_table(spark, SF_SMOKE, "nation").orderBy("n_nationkey")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = _nation_rows(spark)
+    path = str(tmp_path / "nation_csv")
+    df.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(path)
+        .orderBy("n_nationkey")
+    )
+    assert [tuple(r) for r in back.collect()] == [tuple(r) for r in df.collect()]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _nation_rows(spark)
+    path = str(tmp_path / "nation_json")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.json(path).select(*df.columns).orderBy("n_nationkey")
+    assert [tuple(r) for r in back.collect()] == [tuple(r) for r in df.collect()]
+
+
+def test_orc_roundtrip_nested(spark, tmp_path):
+    """ORC preserves nested structs/arrays like parquet (same
+    column-pruned scan path at scale)."""
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("lines"))
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+    path = str(tmp_path / "orders_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).orderBy("l_orderkey").limit(100)
+    a = [(r["l_orderkey"], sorted(map(tuple, r["lines"]))) for r in li.collect()]
+    b = [(r["l_orderkey"], sorted(map(tuple, r["lines"]))) for r in back.collect()]
+    assert a == b
+
+
+def test_partitioned_parquet_write_prunes(spark, tmp_path):
+    """Hive-partitioned write + partition-pruned read: the scan of one
+    partition must not list the others (PartitionFilters at 100 TB)."""
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "events_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    one = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    from oamap_spark.plans import audit
+
+    p = audit.plan_string(one)
+    assert "PartitionFilters" in p
+    exact = ev.where(F.col("event_type") == "purchase").count()
+    assert one.count() == exact
