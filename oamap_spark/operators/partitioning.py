@@ -1,0 +1,56 @@
+"""Partitioning & skew operators — the shuffle-shaping levers for the
+100 TB case (SURVEY §7.1/§7.4; absent in oamap, which never shuffles).
+
+- co_partition: pre-shuffle N dataframes onto the same hash
+  partitioning so every downstream equi-join/agg on that key reuses
+  the partitioning instead of inserting its own exchange. The Spark
+  image of bucketed tables when no metastore is at hand; with one,
+  `writer.bucketBy(n, key).saveAsTable(...)` persists the same layout.
+- salted_join: big×big equi-join with one hot key side salted and the
+  other exploded across the salt domain. AQE's skew-join splitting
+  (`spark.sql.adaptive.skewJoin`, on by default) handles moderate
+  skew at runtime; explicit salting is for the pathological case
+  where one key dominates a partition regardless of splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_partition(dfs: Sequence[DataFrame], key: str, n: int) -> list[DataFrame]:
+    """Hash-partition every df on `key` into n partitions. Joins/aggs
+    on `key` downstream see matching outputPartitioning and add no
+    further exchange (assert via plans.audit.shuffle_count)."""
+    return [df.repartition(n, F.col(key)) for df in dfs]
+
+
+def salted_join(
+    big: DataFrame,
+    skewed: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed`'s key distribution is pathological:
+    `skewed` rows get a random salt in [0, salt); `big` is replicated
+    across all salt values. The shuffle key becomes (key, salt), so a
+    hot key spreads over `salt` reducers instead of one. Result equals
+    the plain join (salt columns are internal).
+
+    Cost model: replicates `big` salt-fold — use when `big` is the
+    *smaller* big table or when a handful of keys carry a large share
+    of `skewed`. rand() is seeded per-salt-row, not per-task, so the
+    join stays correct under task retry (each row's salt is computed
+    once, travels with the row)."""
+    salted_small = skewed.withColumn(
+        "__salt", (F.rand(seed=7) * salt).cast("int")
+    )
+    exploded_big = big.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_small.join(exploded_big, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

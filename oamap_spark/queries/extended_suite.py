@@ -145,6 +145,31 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_order_price",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). The scale path swaps in
+    `percentile_approx` (t-digest, mergeable map-side) — same plan
+    shape, bounded memory; exact form is the oracle-checkable one."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
     "slice_offset_limit",
     tags=("limit", "offset", "slice"),
     oracle="""

@@ -1,0 +1,75 @@
+"""Partitioning/skew operator tests: result equivalence + the plan
+properties that matter at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import contextlib
+
+from oamap_spark.operators.partitioning import co_partition, salted_join
+from oamap_spark.plans import audit
+from oamap_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@contextlib.contextmanager
+def _no_auto_broadcast(spark):
+    """sf0.001 tables all fit under the broadcast threshold, which
+    would hide the shuffle behavior these tests pin — force the
+    shuffled path the big-big case takes at real scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_co_partition_join_adds_no_exchange(spark):
+    """Two dfs pre-partitioned on the join key: the join itself must
+    not insert a third exchange — the partitioning is reused (this is
+    the bucketed-table effect without a metastore)."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    with _no_auto_broadcast(spark):
+        li_p, o_p = co_partition([li, o], "l_orderkey", 8)
+        j = li_p.join(o_p, "l_orderkey")
+        assert audit.shuffle_count(j) == 2, audit.plan_string(j)
+
+
+def test_co_partition_reused_by_followup_agg(spark):
+    """After a co-partitioned join, an agg on the same key must reuse
+    the partitioning (no extra exchange) — oamap's 'one partitioning,
+    many operations' execution story, Spark-side."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    (li_p,) = co_partition([li], "l_orderkey", 8)
+    agg = li_p.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    assert audit.shuffle_count(agg) == 1  # only the explicit repartition
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is plan surgery, not semantics: result must equal the
+    plain join exactly (including duplicate key multiplicity)."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").select("l_orderkey", "l_linenumber", "o_totalprice")
+    salted = salted_join(o, li, "l_orderkey", salt=4).select(
+        "l_orderkey", "l_linenumber", "o_totalprice"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_shuffles_on_composite_key(spark):
+    """The salted plan's exchanges hash on (key, salt) — the hot key
+    spreads across `salt` reducers."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    j = salted_join(o, li, "l_orderkey", salt=4)
+    assert "__salt" in audit.plan_string(j)
