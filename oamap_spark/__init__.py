@@ -15,5 +15,69 @@ minimization, broadcast joins, partial aggregation).
 from oamap_spark.session import configure_session, get_spark
 from oamap_spark.sources.tables import load_table, load_tables
 
-__all__ = ["configure_session", "get_spark", "load_table", "load_tables"]
+# The oamap 15 (structural combinators over nested data).
+from oamap_spark.operators.structural import (
+    define,
+    drop,
+    fieldname,
+    filter_,
+    flatten,
+    index,
+    keep,
+    map_,
+    merge,
+    parents,
+    project,
+    recordname,
+    reduce_,
+    split,
+    tomask,
+)
+
+# Pointer / Union (oamap's non-relational schema nodes).
+from oamap_spark.operators.links import (
+    resolve_pointer,
+    self_pointer_prev,
+    union_case,
+    union_encode,
+    with_position,
+)
+
+# Scale levers.
+from oamap_spark.operators.partitioning import co_partition, salted_join
+
+# LLM-pipeline operators.
+from oamap_spark.operators.dedup import (
+    all_pairs_jaccard,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+)
+
+# Ingest (fromdata / inference / round-trip).
+from oamap_spark.sources.fill import (
+    from_json_lines,
+    fromdata,
+    infer_schema,
+    roundtrip_parquet,
+    to_objects,
+)
+
+__all__ = [
+    # session / sources
+    "configure_session", "get_spark", "load_table", "load_tables",
+    # the oamap 15
+    "fieldname", "recordname", "project", "keep", "drop", "split",
+    "merge", "parents", "index", "tomask", "flatten", "filter_",
+    "define", "map_", "reduce_",
+    # pointer / union
+    "resolve_pointer", "self_pointer_prev", "with_position",
+    "union_encode", "union_case",
+    # scale levers
+    "co_partition", "salted_join",
+    # dedup
+    "exact_dedup_groups", "all_pairs_jaccard", "minhash_lsh_pairs",
+    # ingest
+    "fromdata", "infer_schema", "from_json_lines", "to_objects",
+    "roundtrip_parquet",
+]
 __version__ = "0.1.0"
