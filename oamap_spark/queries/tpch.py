@@ -9,9 +9,12 @@ Scale design:
 - Aggregations are expressed on the declarative plan → Tungsten hash
   agg with automatic partial (map-side) aggregation; no Python in the
   hot path, whole-stage codegen end to end.
-- Dimension tables (region/nation, and customer at "dim" cardinality)
-  are joined with an explicit ``broadcast()`` hint so the 100 TB fact
-  scan never shuffles for them.
+- Only fixed-cardinality dimensions (region=5, nation=25 rows at any
+  SF) carry an explicit ``broadcast()`` hint. Tables that scale with
+  the data (customer/supplier/part) are left to AQE: it broadcasts
+  them at small SF and switches to shuffled joins when they outgrow
+  the threshold — a hard-coded hint would force an OOM broadcast at
+  100 TB.
 - Filters appear directly on the scan columns → pushed to parquet
   row-group/page stats (verified via plans/inspect.py).
 """
@@ -100,7 +103,8 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: top-10 unshipped orders by revenue.
 
-    customer (filtered, broadcast) ⋈ orders ⋈ lineitem → hash agg →
+    customer (segment-filtered; join strategy AQE-decided — customer
+    scales with SF) ⋈ orders ⋈ lineitem → hash agg →
     TakeOrderedAndProject (Catalyst turns orderBy+limit into top-k, so
     no global sort materializes at scale).
     """
@@ -122,7 +126,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select(
@@ -159,10 +163,10 @@ ORDER BY revenue DESC, n_name
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue by nation for local customer–supplier pairs.
 
-    Six-way join; region/nation/supplier broadcast (constant-size dims
-    at any SF), so the only shuffle is lineitem⋈orders and the final
-    tiny agg. Co-nationality (c_nationkey = s_nationkey) rides the same
-    join.
+    Six-way join; region/nation broadcast (constant-size at any SF);
+    supplier/customer are AQE-decided (broadcast at small SF, shuffle
+    at 100 TB). Co-nationality (c_nationkey = s_nationkey) rides the
+    supplier join.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = (
@@ -185,7 +189,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -64,8 +64,10 @@ GROUP BY 1, 2, 3
 """,
 )
 def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume by year. supplier/customer/
-    nation broadcast; lineitem⋈orders is the only big shuffle."""
+    """TPC-H Q7: bilateral trade volume by year. Broadcast hints pin
+    only the fixed-cardinality nation dims (25 rows at every SF);
+    customer/supplier scale with the data, so their join strategy is
+    left to AQE — broadcast at small SF, shuffle at 100 TB."""
     t = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
     )
@@ -78,8 +80,8 @@ def q7_volume_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .where(
@@ -122,7 +124,9 @@ GROUP BY o_year
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_3's share of REGION_0's purchase volume per
-    year — conditional-aggregation ratio, all dims broadcast."""
+    year — conditional-aggregation ratio. Fixed-size dims
+    (nation/region) carry broadcast hints; SF-scaling customer/
+    supplier are AQE-decided."""
     t = load_tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
     )
@@ -135,10 +139,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(t["region"]), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .where(F.col("r_name") == "REGION_0")
         .select(
@@ -176,17 +180,18 @@ GROUP BY 1, 2
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (no partsupp ⇒ supply cost proxied as
     0.5·retailprice·qty): per-nation per-year profit on PROMO parts.
-    The p_type filter prunes part before its broadcast. Per-row cents
+    The p_type filter prunes part before its join (strategy
+    AQE-decided — part scales with SF). Per-row cents
     then integer sum: a double sum rounds nondeterministically at the
     2-decimal boundary across partition orders (observed at sf0.01)."""
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
     j = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].where(F.col("p_type") == "PROMO")),
+            t["part"].where(F.col("p_type") == "PROMO"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
     )
@@ -252,7 +257,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     return j.agg(
         F.round(
@@ -337,7 +342,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(
-            F.broadcast(t["part"].where(F.col("p_brand") == "Brand#1")),
+            t["part"].where(F.col("p_brand") == "Brand#1"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(avg_q, F.col("l_partkey") == F.col("ap_key"))
@@ -375,7 +380,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["orders"]
         .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("o_orderkey") == F.col("bk"), "left_semi")
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
     )
     return j.groupBy(
@@ -399,7 +404,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer extracts the common l_quantity/p_brand conjuncts for
     pushdown while keeping the cross-table OR in the join filter."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
