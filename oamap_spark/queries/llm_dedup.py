@@ -132,6 +132,66 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_banded",
+    tags=("llm", "dedup", "simhash", "lsh", "banded"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_IDS} AS ids FROM documents),
+sh AS (SELECT doc_id, {X.sql_simhash32('ids')} AS h FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+""",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 3 via 4×8-bit band
+    bucketing — the scale path: by pigeonhole, ≤3 flipped bits leave
+    at least one of 4 bands intact, so the band equi-join's candidate
+    set provably contains every qualifying pair (the oracle is the
+    all-pairs form — results are identical, only the plan differs).
+    Shuffles band keys + candidates, never the n² cross product."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", X.token_ids("text").alias("ids")).select(
+        "doc_id", X.simhash32(F.col("ids")).alias("h")
+    )
+    bands = sh.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("h"), 8 * i).bitwiseAND(F.lit(255)).alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.h").alias("h_a"),
+            F.col("y.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= 3)
+
+
+@register(
     "dedup_simhash_pairs",
     tags=("llm", "dedup", "simhash", "pairs"),
     oracle=f"""

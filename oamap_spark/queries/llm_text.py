@@ -175,3 +175,73 @@ def doc_fingerprint_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.fingerprint_native("text").alias("fp64"),
     )
+
+
+@register(
+    "doc_top_bigrams",
+    tags=("llm", "text", "ngram", "topk"),
+    oracle="""
+WITH t AS (
+  SELECT string_split(text, ' ') AS tk FROM documents
+), grams AS (
+  SELECT unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS bigram
+  FROM t WHERE len(tk) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams: per-doc bigram arrays (narrow) →
+    explode → count → top-k (TakeOrdered, no global sort). Ties break
+    on the bigram text so the limit is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    # Project tokens first: element_at inside the transform lambda
+    # re-evaluates its argument subtree, so an inline split() would
+    # re-tokenize per bigram (see functions/text.combine_shingle_ids).
+    toks = F.col("tk")
+    grams = d.select(X.tokens("text").alias("tk")).select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "doc_lang_source_profile",
+    tags=("llm", "text", "metadata"),
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY lang, source
+""",
+)
+def doc_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile by language × source — the first
+    query every training-data pipeline runs before sampling weights."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

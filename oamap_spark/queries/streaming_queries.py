@@ -58,6 +58,24 @@ def stream_distinct_user_event_keys(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_stateful_user_counts",
+    tags=("streaming", "state", "apply_in_pandas_with_state"),
+    oracle="SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState GroupState
+    harness): per-user running event counts. A bounded availableNow
+    replay emits each key's final total exactly once, so the batch
+    groupBy-count oracle gates the state machine end-to-end."""
+    from oamap_spark.streaming.stateful import running_user_counts
+
+    ev = P.read_events_stream(spark, sf_dir)
+    return P.drain_to_memory(
+        running_user_counts(ev), output_mode="update", spark=spark
+    )
+
+
+@register(
     "stream_user_sessions",
     tags=("streaming", "session_window", "watermark"),
     oracle=f"""
