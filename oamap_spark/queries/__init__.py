@@ -18,6 +18,7 @@ def _load_all() -> None:
 
     for mod in (
         "oamap_spark.queries.tpch2",
+        "oamap_spark.queries.tpch3",
         "oamap_spark.queries.relational",
         "oamap_spark.queries.functions_suite",
         "oamap_spark.queries.nested",
