@@ -1,0 +1,84 @@
+"""Deterministic sampling & splitting for training-data pipelines
+(beyond the reference — oamap has no sampling surface; SURVEY §2.D).
+
+Everything here is **hash-deterministic**, not RNG-based: membership
+depends only on a row's key, via the first hex digits of ``md5(key)``.
+That is the property a 100 TB pipeline actually needs —
+
+- reproducible across runs, partitionings, cluster sizes, and engines
+  (``rand()``/``sampleBy`` depend on partition layout and seed-stream
+  order; md5 of the key does not);
+- stable under incremental reprocessing: a document keeps its
+  train/test assignment when the corpus grows;
+- embarrassingly parallel: a narrow per-row predicate, no shuffle, and
+  it pushes below joins like any other filter.
+
+Fractions are expressed in 1/65536 granularity (4 hex digits compared
+lexicographically — both Spark and DuckDB emit lowercase hex md5, so
+the string compare equals the numeric compare and the same rows are
+selected by either engine, which is what makes these oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex4(key: Column) -> Column:
+    """First 4 hex digits of md5(key) — a uniform value in [0, 0x10000)
+    encoded as a lexicographically ordered lowercase-hex string."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def hash_threshold(fraction: float) -> str:
+    """Hex threshold string such that P[_hex4(key) < threshold] ==
+    round(fraction * 65536) / 65536 under a uniform hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    v = round(fraction * 0x10000)
+    # 0x10000 would render as the 5-char "10000", which sorts *below*
+    # "ffff" lexicographically; "g" is above every hex string.
+    return "g" if v >= 0x10000 else format(v, "04x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose md5(key)
+    prefix falls under the fraction threshold. Narrow (no shuffle);
+    re-runs and engine swaps select byte-identical membership."""
+    return df.where(_hex4(F.col(key_col)) < hash_threshold(fraction))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float, label_col: str = "split"
+) -> DataFrame:
+    """Tag each row 'test' / 'train' by hash threshold. A row's
+    assignment is a pure function of its key: growing the corpus never
+    reassigns existing rows (the property that keeps eval sets
+    uncontaminated across dataset versions)."""
+    return df.withColumn(
+        label_col,
+        F.when(
+            _hex4(F.col(key_col)) < hash_threshold(test_fraction), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_quota_sample(
+    df: DataFrame, strata_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Exactly-k-per-stratum sample, ranked by md5(key) — i.e. a
+    deterministic uniform draw without replacement within each
+    stratum. One shuffle on the strata key; the window never sees more
+    than a stratum per partition. (Ties are impossible: md5 of
+    distinct keys collides with probability ~2⁻¹²⁸; key appended to
+    the ordering anyway for total order.)"""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -30,6 +30,7 @@ def _load_all() -> None:
         "oamap_spark.queries.pointers",
         "oamap_spark.queries.streaming_queries",
         "oamap_spark.queries.extended_suite",
+        "oamap_spark.queries.pipeline_sampling",
     ):
         try:
             importlib.import_module(mod)

@@ -1,0 +1,160 @@
+"""Declared queries: deterministic sampling / splitting / duplicate-
+cluster resolution on `documents` (LLM-pipeline surface; beyond the
+reference — oamap has no sampling or graph operators, SURVEY §2.D).
+
+All sampling here is md5-hash-deterministic (operators/sampling.py),
+which is exactly what makes it oracle-checkable: both engines emit the
+same lowercase-hex md5, so lexicographic threshold compares select the
+same rows under Spark and DuckDB — unlike rand()/sampleBy whose
+membership depends on partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.functions import text as X
+from oamap_spark.operators import clustering as C
+from oamap_spark.operators import dedup as D
+from oamap_spark.operators import sampling as S
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+# Shared DuckDB CTE: exact 3-shingle Jaccard ≥ 0.9 pair edges (same
+# text pipeline as dedup_jaccard_pairs — the ground-truth near-dup
+# edge set the clustering queries resolve into components).
+_PAIRS_CTES = f"""
+t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), tok AS (
+  SELECT doc_id, {X.SQL_SHINGLES.format(tk="tk")} AS s FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)"""
+
+
+@register(
+    "sample_hash_bernoulli",
+    tags=("llm", "sampling", "deterministic"),
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+""",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample by md5(doc_id) prefix — a
+    narrow per-row predicate (no shuffle, pushes below joins); the
+    same rows are selected at any partitioning, cluster size, or
+    engine. 0x4000/0x10000 = 25%."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.hash_sample(d, "doc_id", 0.25).select("doc_id", "lang")
+
+
+@register(
+    "train_test_split_counts",
+    tags=("llm", "sampling", "split"),
+    oracle="""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+            THEN 'test' ELSE 'train' END AS split,
+       lang,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 20% test split (0x3333/0x10000 ≈ 0.19999):
+    a document's assignment is a pure function of its id, so growing
+    the corpus never moves a document across the split — the property
+    that keeps eval sets uncontaminated across dataset versions."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        S.train_test_split(d, "doc_id", 0.2)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "stratified_topk_per_lang",
+    tags=("llm", "sampling", "stratified", "window"),
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def stratified_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language stratified sample, ranked by md5(id) —
+    a deterministic uniform draw without replacement per stratum. One
+    shuffle on the strata key; each window sees only its stratum."""
+    d = load_table(spark, sf_dir, "documents")
+    return S.stratified_quota_sample(d, "lang", "doc_id", 20).select("doc_id", "lang")
+
+
+@register(
+    "dedup_clusters_minid",
+    tags=("llm", "dedup", "clustering", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES}
+SELECT node, cluster_id FROM comp
+""",
+)
+def dedup_clusters_minid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair edges (exact 3-shingle Jaccard ≥ 0.9) resolved
+    into duplicate clusters: every graph node labeled with the min id
+    reachable through the edge set — transitive, so A~B~C clusters
+    A,C together even though the pair A,C was never emitted.
+    Spark side: distributed min-label propagation to an exact fixpoint
+    (operators/clustering.py; one shuffle per hop, iterations = cluster
+    diameter ≈ 2–4 for near-dup graphs). Oracle side: recursive CTE
+    transitive closure — same fixpoint, quadratic blowup, tiny-SF only;
+    at 100 TB the propagation loop (or its large-star/small-star
+    variant) is the only viable form."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.all_pairs_jaccard(d, "doc_id", "text", 0.9)
+    return C.connected_components_min_id(pairs)
+
+
+@register(
+    "dedup_keep_canonical_counts",
+    tags=("llm", "dedup", "clustering", "policy"),
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES}
+SELECT d.lang, count(*) AS kept
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+GROUP BY d.lang
+""",
+)
+def dedup_keep_canonical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup policy applied end-to-end: resolve near-dup clusters,
+    keep each cluster's canonical (min-id) member plus all singleton
+    documents, count survivors per language — i.e. the corpus a
+    training run would actually consume after near-dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.all_pairs_jaccard(d, "doc_id", "text", 0.9)
+    comp = C.connected_components_min_id(pairs)
+    kept = C.dedup_keepers(d, "doc_id", comp)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))

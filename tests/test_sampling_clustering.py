@@ -1,0 +1,107 @@
+"""Operator-level semantics for deterministic sampling and duplicate-
+cluster resolution (oracle parity is covered by test_driver_contract;
+these pin the properties the oracle can't see: determinism across
+partitionings, fixpoint transitivity on chain graphs, keeper-policy
+invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oamap_spark.operators import clustering as C
+from oamap_spark.operators import sampling as S
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_hash_sample_fraction_and_determinism(spark):
+    d = _docs(spark)
+    got = S.hash_sample(d, "doc_id", 0.25)
+    n = got.count()
+    # binomial(2000, 0.25): ±5 sigma ≈ ±97
+    assert 400 <= n <= 600
+    # membership is a pure function of the key: repartitioning the
+    # input must select the identical ids (rand()/sampleBy would not)
+    again = S.hash_sample(d.repartition(13), "doc_id", 0.25)
+    assert got.exceptAll(again).count() == 0
+    assert again.exceptAll(got).count() == 0
+
+
+def test_hash_sample_fraction_bounds(spark):
+    d = _docs(spark, 100)
+    assert S.hash_sample(d, "doc_id", 0.0).count() == 0
+    assert S.hash_sample(d, "doc_id", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        S.hash_sample(d, "doc_id", 1.5)
+
+
+def test_train_test_split_partitions_all_rows(spark):
+    d = _docs(spark)
+    tagged = S.train_test_split(d, "doc_id", 0.2)
+    by_split = dict(
+        tagged.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert set(by_split) == {"train", "test"}
+    assert sum(by_split.values()) == 2000
+    # stability under corpus growth: the first 1000 docs keep their
+    # assignment when 1000 more arrive
+    small = S.train_test_split(_docs(spark, 1000), "doc_id", 0.2)
+    grown = tagged.where(F.col("doc_id") < 1000)
+    assert small.exceptAll(grown).count() == 0
+
+
+def test_stratified_quota_exact_k(spark):
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("stratum")
+    )
+    got = S.stratified_quota_sample(d, "stratum", "doc_id", 7)
+    counts = got.groupBy("stratum").count().collect()
+    assert len(counts) == 5
+    assert all(r["count"] == 7 for r in counts)
+
+
+def test_connected_components_chain_transitivity(spark):
+    # chain 0-1-2-3-4 plus isolated pair 10-11: one component each.
+    # The 0..4 chain has diameter 4 — exercises multi-hop propagation
+    # (a single-pass neighbor-min would leave node 4 labeled 3).
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = C.connected_components_min_id(pairs).collect()
+    labels = {r["node"]: r["cluster_id"] for r in comp}
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        C.connected_components_min_id(pairs, max_iter=1)
+
+
+def test_dedup_keepers_one_per_cluster_plus_singletons(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (7, 8)], ["id_a", "id_b"])
+    comp = C.connected_components_min_id(pairs)
+    kept = C.dedup_keepers(df, "doc_id", comp)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # clusters {1,3,5}→keep 1, {7,8}→keep 7; singletons 0,2,4,6,9 kept
+    assert ids == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_components_compose_with_lsh_pairs(spark):
+    """The scale path end-to-end: LSH candidate pairs (not the exact
+    all-pairs oracle form) feed the same clustering operator."""
+    from oamap_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9)
+    if pairs.count() == 0:
+        pytest.skip("no near-dup pairs at this SF")
+    comp = C.connected_components_min_id(pairs)
+    rows = comp.collect()
+    # every cluster id is a member of its own cluster (root present)
+    nodes = {r["node"] for r in rows}
+    assert {r["cluster_id"] for r in rows} <= nodes
