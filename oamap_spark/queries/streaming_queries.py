@@ -108,3 +108,47 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "stream_static_enrich_counts",
+    tags=("streaming", "stream_static_join", "broadcast"),
+    oracle="""
+SELECT c.c_mktsegment, e.event_type, count(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched per micro-batch
+    with the (broadcast) customer dimension, then counted per
+    (segment, event_type). The static side re-plans each micro-batch —
+    dim refreshes flow in without restarting the stream."""
+    from oamap_spark.sources.tables import load_table
+
+    ev = P.read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = P.enrich_with_dim(
+        ev, cust, ev.user_id == cust.c_custkey
+    ).groupBy("c_mktsegment", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return P.drain_to_memory(enriched, output_mode="complete", spark=spark)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    tags=("streaming", "dedup", "watermark", "state"),
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded streaming dedup: the stream is self-unioned (every
+    event arrives exactly twice) and dropDuplicatesWithinWatermark
+    suppresses the duplicate — state for a key lives only until the
+    1-hour watermark passes its event time, unlike plain
+    dropDuplicates' unbounded state. The oracle is the original
+    (duplicate-free) events relation: exactly-once emission is the
+    whole contract."""
+    ev = P.read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)
+    deduped = P.dedup_within_watermark(doubled, ["event_id"], delay="1 hour")
+    sink = P.drain_to_memory(deduped, output_mode="append", spark=spark)
+    return sink.select("event_id", "user_id", "event_type")

@@ -104,3 +104,22 @@ def user_sessions(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static join: enrich each streaming micro-batch with a
+    batch dimension table. The static side is re-planned per
+    micro-batch (picking up dim refreshes) and broadcast when small —
+    the standard 100 TB pattern for attaching slowly-changing
+    dimensions to an event firehose without a stateful join."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with *time-bounded* state:
+    dropDuplicatesWithinWatermark keeps a key's state only until the
+    watermark passes its event time, so an unbounded source can't grow
+    state forever (plain dropDuplicates state is unbounded). Duplicates
+    arriving within the delay window are suppressed; each key is
+    emitted once, on first arrival (append mode)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)

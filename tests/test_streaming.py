@@ -88,3 +88,28 @@ def test_session_window_matches_batch_islands(spark):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch: the escape hatch for sinks Structured Streaming
+    lacks natively — each micro-batch DataFrame is handed to arbitrary
+    batch code (idempotent by batch_id at scale). Draining the events
+    stream through a foreachBatch parquet writer must reproduce the
+    source exactly."""
+    from oamap_spark.streaming import pipelines as P
+
+    out = str(tmp_path / "sink")
+    ev = P.read_events_stream(spark, SF_SMOKE).select("event_id", "user_id", "value")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = ev.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    assert got.count() == src.count()
+    assert got.exceptAll(src).count() == 0
