@@ -31,6 +31,7 @@ def _load_all() -> None:
         "oamap_spark.queries.streaming_queries",
         "oamap_spark.queries.extended_suite",
         "oamap_spark.queries.pipeline_sampling",
+        "oamap_spark.queries.reshape",
     ):
         try:
             importlib.import_module(mod)

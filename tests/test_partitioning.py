@@ -73,3 +73,31 @@ def test_salted_join_shuffles_on_composite_key(spark):
     )
     j = salted_join(o, li, "l_orderkey", salt=4)
     assert "__salt" in audit.plan_string(j)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key at equal bucket counts join
+    with ZERO exchanges — the repeated-join scale story (bucketed scan
+    → sort-merge join straight from co-located buckets)."""
+    from oamap_spark.operators.partitioning import write_bucketed
+    from oamap_spark.plans.audit import shuffle_count
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_b", "l_orderkey", 8, str(tmp_path / "li_b"))
+    write_bucketed(o, "o_b", "o_orderkey", 8, str(tmp_path / "o_b"))
+    try:
+        j = spark.table("li_b").join(
+            spark.table("o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert shuffle_count(j) == 0
+        assert j.count() == li.count()  # every line has its order
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
