@@ -86,6 +86,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.9,
     n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over n-token shingles, verified with
     exact shingle Jaccard.
@@ -97,6 +98,17 @@ def minhash_lsh_pairs(
     k-hash minhash subtree), so signatures are computed exactly once
     per doc per plan branch. Bands use string keys "sig_i ∘ sig_{i+1}"
     (no modular-combine overflow, portable to SQL).
+
+    ``bucket_cap`` is the 100 TB skew guard: a band bucket larger than
+    the cap (a boilerplate cluster — thousands of near-identical docs
+    sharing every band) would otherwise quadratic-blow its reducer
+    (s² pairs on ONE key, unsplittable by AQE). Capped buckets emit a
+    star — every member paired with the bucket's min id — which is
+    linear in bucket size and keeps the duplicate group fully
+    connected for downstream clustering (connected components recovers
+    the same groups), at the cost of no longer listing every pairwise
+    edge inside the giant bucket. None (default) = exact pair list,
+    the oracle-checkable form.
     """
     n_bands = k // rows_per_band
     # One narrow, persisted shingle-id table feeds everything: the md5
@@ -140,6 +152,21 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_key")
 
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        annot = bands.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
+            "bmin", F.min("id").over(w)
+        )
+        bands = annot.where(F.col("cnt") <= bucket_cap).drop("cnt", "bmin")
+        star = (
+            annot.where((F.col("cnt") > bucket_cap) & (F.col("id") != F.col("bmin")))
+            .select(F.col("bmin").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        star = None
+
     cand = (
         bands.alias("x")
         .join(
@@ -149,8 +176,10 @@ def minhash_lsh_pairs(
             & (F.col("x.id") < F.col("y.id")),
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
 
     # Verification runs exact Jaccard over the same cached shingle-id
     # arrays (id-set Jaccard == string-set Jaccard modulo 2⁻³¹ hash

@@ -59,6 +59,20 @@ def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
+        # The driver materializes DuckDB results through pandas, where
+        # HUGEINT (e.g. sum(BIGINT)) degrades to float64 and hash-
+        # mismatches Spark's int64 even when values are identical
+        # (CORRECTNESS_r01 q9/q11). fetchall() returns Python ints and
+        # hides that, so flag HUGEINT columns as hard errors here.
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+        huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in t.upper()]
+        if huge:
+            raise AssertionError(
+                "oracle emits HUGEINT column(s) "
+                f"{huge} — the driver's pandas path degrades these to "
+                "float64 and false-fails the hash; wrap in CAST(... AS "
+                "BIGINT)"
+            )
         res = con.execute(sql)
         cols = [d[0] for d in res.description]
         rows = res.fetchall()

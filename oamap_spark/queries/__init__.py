@@ -35,8 +35,18 @@ def _load_all() -> None:
     ):
         try:
             importlib.import_module(mod)
-        except ModuleNotFoundError:
-            pass
+        except ModuleNotFoundError as exc:
+            # Only a genuinely missing OPTIONAL third-party dep may be
+            # skipped; a broken/missing module inside oamap_spark must
+            # fail loudly or the driver would silently see fewer queries.
+            if (exc.name or "").startswith("oamap_spark"):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"query module {mod} skipped: missing dependency {exc.name}",
+                stacklevel=2,
+            )
 
 
 _load_all()

@@ -40,7 +40,7 @@ def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_pairs",
-    tags=("llm", "dedup", "jaccard"),
+    tags=("llm", "dedup", "jaccard", "sf_bounded_oracle_twin"),
     oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
@@ -133,6 +133,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_banded",
+    bench=True,
     tags=("llm", "dedup", "simhash", "lsh", "banded"),
     oracle=f"""
 WITH base AS (SELECT doc_id, {_IDS} AS ids FROM documents),
@@ -193,7 +194,7 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    tags=("llm", "dedup", "simhash", "pairs"),
+    tags=("llm", "dedup", "simhash", "pairs", "sf_bounded_oracle_twin"),
     oracle=f"""
 WITH base AS (SELECT doc_id, {_IDS} AS ids FROM documents),
 sh AS (SELECT doc_id, {X.sql_simhash32('ids')} AS h FROM base)

@@ -37,7 +37,7 @@ SELECT kind,
        count(DISTINCT mime) AS n_mimes,
        round(avg(width), 2) AS avg_width,
        max(duration_ms) AS max_duration_ms,
-       sum(octet_length(payload)) AS total_bytes
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
 FROM media
 GROUP BY kind
 """,

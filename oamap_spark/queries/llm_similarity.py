@@ -4,10 +4,13 @@ path."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oamap_spark.functions import vectors as V
+from oamap_spark.operators import kmeans as KM
 from oamap_spark.queries.registry import register
 from oamap_spark.sources.tables import load_table
 
@@ -86,8 +89,105 @@ _SIGNS = [
 ]
 
 
+def _bucket_struct(t: int, vcol):
+    """(tbl, bkt) sign-bucket of ``vcol`` under table ``t``'s planes."""
+    bits = []
+    for p in range(N_PLANES):
+        signs = _SIGNS[t][p]
+        proj = F.aggregate(
+            F.zip_with(
+                vcol,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return F.struct(F.lit(t).alias("tbl"), out.alias("bkt"))
+
+
+def _all_buckets(vcol):
+    return F.array(*[_bucket_struct(t, vcol) for t in range(N_TABLES)])
+
+
+# Dedup-grade signatures: 16 planes per table, split into 2 × 8-bit
+# bands (256-value buckets). The first 4 planes per table are shared
+# with the ANN search signature above — same LCG sign family. Unlike
+# the 32-projection ANN signature, the 128 projections here are done
+# as ONE numpy matmul in an Arrow-batched pandas UDF: Spark's
+# higher-order-function folds are interpreted (not codegen'd) and 128
+# folds × 64 lanes per row measured ~10× slower than the matmul. The
+# signature only steers candidate RECALL — pair verification is exact
+# cosine — so the engine-internal float path is correctness-neutral.
+D_PLANES = 16
+D_BAND_BITS = 8
+D_BANDS = D_PLANES // D_BAND_BITS
+
+
+def _dedup_sign_matrix():
+    # DIM × (N_TABLES·D_PLANES), column (t, p) = that plane's signs
+    m = np.empty((DIM, N_TABLES * D_PLANES), dtype=np.float64)
+    for t in range(N_TABLES):
+        for p in range(D_PLANES):
+            for c in range(DIM):
+                m[c, t * D_PLANES + p] = _plane_sign(t, p, c)
+    return m
+
+
+def _bucket_neardup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One LSH bucket → numpy-prefiltered candidate pairs: gram matrix
+    over the bucket's vectors, upper triangle ≥ 0.99 − 1e-9 emitted as
+    (id_a < id_b). O(s²) in bucket size s but fully vectorized; the
+    exact fold re-verifies downstream."""
+    ids = pdf["vec_id"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                             "id_b": np.array([], dtype=np.int64)})
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+    sim = (M @ M.T) / np.outer(nrm, nrm)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sim[iu, ju] >= 0.99 - 1e-9
+    a, b = ids[iu[keep]], ids[ju[keep]]
+    return pd.DataFrame(
+        {"id_a": np.minimum(a, b).astype(np.int64),
+         "id_b": np.maximum(a, b).astype(np.int64)}
+    )
+
+
+def _dedup_band_keys_udf():
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    M = _dedup_sign_matrix()
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        V = np.stack(emb.to_numpy()).astype(np.float64)  # n × DIM
+        bits = (V @ M) > 0  # n × (tables·planes)
+        weights = np.tile(
+            np.fromiter(
+                (1 << (p % D_BAND_BITS) for p in range(D_PLANES)),
+                dtype=np.int64,
+            ),
+            N_TABLES,
+        )
+        codes = (bits * weights).reshape(len(V), N_TABLES * D_BANDS, D_BAND_BITS).sum(
+            axis=2
+        )
+        base = np.arange(N_TABLES * D_BANDS, dtype=np.int64) << D_BAND_BITS
+        keys = codes + base  # band index in high bits, 8-bit code low
+        return pd.Series(list(keys.astype(np.int32)))
+
+    return band_keys
+
+
 @register(
     "ann_lsh_topk",
+    bench=True,
     tags=("llm", "similarity", "ann", "lsh"),
     # random-hyperplane bucketing is engine-internal; correctness is
     # the recall assertion in tests → rows-only gate here.
@@ -101,30 +201,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full cross product; recall vs brute force is asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
 
-    def bucket_struct(t: int, vcol):
-        bits = []
-        for p in range(N_PLANES):
-            signs = _SIGNS[t][p]
-            proj = F.aggregate(
-                F.zip_with(
-                    vcol,
-                    F.array(*[F.lit(float(s)) for s in signs]),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return F.struct(F.lit(t).alias("tbl"), out.alias("bkt"))
-
-    def all_buckets(vcol):
-        return F.array(*[bucket_struct(t, vcol) for t in range(N_TABLES)])
-
     base = e.select("vec_id", V.as_double("embedding").alias("v")).withColumn(
-        "buckets", all_buckets(F.col("v"))
+        "buckets", _all_buckets(F.col("v"))
     )
     c = (
         base.where(F.col("vec_id") >= N_QUERIES)
@@ -172,7 +250,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    tags=("llm", "dedup", "embedding", "cosine"),
+    tags=("llm", "dedup", "embedding", "cosine", "sf_bounded_oracle_twin"),
     oracle=f"""
 WITH v AS (
   SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
@@ -189,9 +267,10 @@ WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ 0.99 — the
     semantic-duplicate detector of the dedup family. Exact all-pairs
-    form (the oracle-checkable ground truth); the scale path reuses
-    the ann LSH/IVF bucketing so only same-bucket pairs are scored,
-    exactly as dedup_minhash_lsh bounds the candidate set for text."""
+    form: an sf-bounded ORACLE TWIN kept as ground truth for tests and
+    the driver gate; the declared scale path is
+    ``dedup_embedding_banded`` (LSH-bucketed, identical output,
+    never forms the cross product)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", V.as_double("embedding").alias("e"))
     a, b = v.alias("a"), v.alias("b")
@@ -207,74 +286,146 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF coarse quantizer: the first N_CENTROIDS corpus vectors serve as
-# deterministic centroids (a real deployment trains k-means; the
-# assignment/probe plan is identical and that is what's under test).
-N_CENTROIDS = 16
-N_PROBES = 8
-
-
-def _centroids(e: DataFrame) -> DataFrame:
-    return e.where(F.col("vec_id") < N_QUERIES + N_CENTROIDS).where(
-        F.col("vec_id") >= N_QUERIES
-    ).select(
-        (F.col("vec_id") - N_QUERIES).alias("cid"),
-        V.as_double("embedding").alias("cv"),
+@register(
+    "dedup_embedding_banded",
+    tags=("llm", "dedup", "embedding", "lsh", "banded"),
+    bench=True,
+    # Oracle = the exact all-pairs SQL: the banded path must recover
+    # every cosine≥0.99 pair (recall-completeness is what's under test,
+    # exactly as dedup_simhash_banded is gated against its pairs twin).
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({V.SQL_DOT.format(a='a.e', b='b.e')}
+         / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
+         AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
+      / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+""",
+)
+def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale path: candidate pairs
+    form ONLY inside (table, band, 8-bit sign-bucket) groups of an
+    8-table × 16-plane hyperplane LSH (each 16-bit signature split in
+    two 8-bit bands, simhash-style), then exact cosine ≥ 0.99 verifies
+    — the all-pairs cross product never forms. A cosine-0.99 pair
+    (angle ≈ 8.1°, per-bit agreement 0.955) agrees on a full 8-bit
+    band with p ≈ 0.69, on ≥1 of 2 bands with p ≈ 0.90, and misses
+    all 8 tables with p ≈ 6.6e-9 — recall-complete at verification SF
+    (the exact all-pairs oracle asserts it). Shuffle discipline as in
+    dedup_minhash_lsh: the band self-join carries (band key, vec_id)
+    ONLY; vectors are re-joined by id after the candidate-pair
+    distinct, so the wide embedding column never rides the candidate
+    shuffle. 256-value bands keep buckets at ~n/256 rows; at 100 TB
+    widen bands/tables, the plan shape is unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double("embedding").alias("v"))
+    band_keys = _dedup_band_keys_udf()
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(band_keys(F.col("embedding"))).alias("bk"),
+    )
+    # Per-bucket gram-matrix scan (applyInPandas): each vector crosses
+    # to Python once per band — never once per PAIR — and candidate
+    # pairs leave the bucket already numpy-prefiltered at
+    # threshold − 1e-9 (margin ≫ the ~1e-15 numpy-vs-fold float
+    # divergence, so no true pair can be lost). The bit-exact
+    # left-fold cosine then decides the threshold and the rounded
+    # output on the tiny survivor set, keeping the oracle match exact.
+    cand = (
+        sig.groupBy("bk")
+        .applyInPandas(_bucket_neardup_pairs, "id_a long, id_b long")
+        .distinct()  # a pair may surface in several tables/bands
+    )
+    pairs = cand.join(
+        v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    scored = pairs.withColumn("cos", V.cosine(F.col("va"), F.col("vb")))
+    return scored.where(F.col("cos") >= 0.99).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
     )
 
 
-def _assign(df: DataFrame, vcol: str, cents: DataFrame, k: int) -> DataFrame:
-    """Nearest-k centroid assignment via broadcast cross join + window
-    rank on cosine — narrow over the corpus, centroids broadcast."""
-    cos = V.cosine(F.col(vcol), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+# IVF coarse quantizer: trained with the seeded deterministic k-means
+# in operators/kmeans.py (2 Lloyd iterations, md5-hash-sampled init) —
+# bit-identical on Spark and DuckDB, so training itself is inside the
+# oracle check below.
+N_CENTROIDS = 16
+KM_ITERS = 2
+N_PROBES = 8
+
+
+def _corpus(e: DataFrame) -> DataFrame:
+    return e.where(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    e = load_table(spark, sf_dir, "embeddings")
+    return KM.kmeans_fit(_corpus(e), "vec_id", "v", N_CENTROIDS, KM_ITERS)
+
+
+def _assign_topk(df: DataFrame, vcol: str, cents: dict[int, list[float]], k: int) -> DataFrame:
+    """Nearest-k centroid ids per row — literal-centroid distance
+    structs sorted lexicographically (dist, cid): the corpus never
+    shuffles and nothing is joined for assignment."""
+    structs = F.array(
+        *[
+            F.struct(
+                KM.l2sq(F.col(vcol), F.array(*[F.lit(float(c)) for c in cv])).alias(
+                    "dist"
+                ),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+    )
+    # explode-then-extract in separate steps: a generator plus struct
+    # field extraction in one expression trips the same Spark analyzer
+    # quirk noted in operators/kmeans.py (names degrade to col/colN)
     return (
-        df.crossJoin(F.broadcast(cents))
-        .select(df["*"], F.col("cid"), cos.alias("sim"))
-        .withColumn("crnk", F.row_number().over(w))
-        .where(F.col("crnk") <= k)
-        .drop("sim", "crnk")
+        df.withColumn("__b", F.explode(F.slice(F.sort_array(structs), 1, k)))
+        .withColumn("cid", F.col("__b.cid"))
+        .drop("__b")
     )
 
 
 @register(
     "ivf_centroid_assignment",
-    tags=("llm", "similarity", "ann", "ivf"),
+    tags=("llm", "similarity", "ann", "ivf", "kmeans"),
+    # The oracle replays the ENTIRE training run — hash-sampled init,
+    # 2 unrolled Lloyd iterations with exact fixed-point means, final
+    # assignment — not just the bucket profile (operators/kmeans.py).
     oracle=f"""
 WITH v AS (
   SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
-), cents AS (
-  SELECT vec_id - {N_QUERIES} AS cid, e AS cv FROM v
-  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
-), scored AS (
-  SELECT v.vec_id, cents.cid,
-         {V.SQL_DOT.format(a='v.e', b='cents.cv')}
-           / (sqrt({V.SQL_SUMSQ.format(a='v.e')}) * sqrt({V.SQL_SUMSQ.format(a='cents.cv')}))
-           AS sim
-  FROM v, cents
-  WHERE v.vec_id >= {N_QUERIES}
-), best AS (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rnk
-  FROM scored
-)
-SELECT cid, count(*) AS bucket_size
-FROM best WHERE rnk = 1
+  WHERE vec_id >= {N_QUERIES}
+),
+{KM.kmeans_sql_ctes('v', N_CENTROIDS, KM_ITERS, DIM, 'kfinal')}
+SELECT cid, count(*) AS bucket_size, min(vec_id) AS min_member
+FROM kfinal
 GROUP BY cid
 """,
 )
 def ivf_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: every corpus vector joins its nearest
-    centroid's inverted list (broadcast centroids — the corpus never
-    shuffles for assignment). Emits bucket sizes; the oracle replays
-    the argmax-cosine assignment."""
+    """IVF coarse quantization with TRAINED centroids: seeded
+    deterministic k-means (md5-sampled init, 2 Lloyd iterations,
+    fixed-point integer means — see operators/kmeans.py), then every
+    corpus vector goes to its nearest centroid's inverted list via
+    literal-centroid argmin (no join, no shuffle of the corpus). Emits
+    the bucket profile; the DuckDB oracle re-trains bit-identically."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(e)
-    corpus = e.where(F.col("vec_id") >= N_QUERIES).select(
-        "vec_id", V.as_double("embedding").alias("v")
+    cents = _trained_centroids(spark, sf_dir)
+    assigned = _assign_topk(_corpus(e), "v", cents, 1)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("bucket_size"),
+        F.min("vec_id").alias("min_member"),
     )
-    assigned = _assign(corpus, "v", cents, 1)
-    return assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("bucket_size"))
 
 
 @register(
@@ -285,21 +436,18 @@ def ivf_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: corpus vectors live in their nearest centroid's
-    list; each query probes its N_PROBES nearest centroids and scores
-    only those lists — the (cid) equi-join replaces the cross product
-    at scale. Exact cosine + top-k within the probed lists."""
+    """IVF search over TRAINED centroids (seeded k-means, see
+    operators/kmeans.py): corpus vectors live in their nearest
+    centroid's list; each query probes its N_PROBES nearest centroids
+    and scores only those lists — the (cid) equi-join replaces the
+    cross product at scale. Exact cosine + top-k within the probed
+    lists."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(e)
-    corpus = _assign(
-        e.where(F.col("vec_id") >= N_QUERIES).select(
-            "vec_id", V.as_double("embedding").alias("v")
-        ),
-        "v",
-        cents,
-        1,
-    ).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "cid")
-    probes = _assign(
+    cents = _trained_centroids(spark, sf_dir)
+    corpus = _assign_topk(_corpus(e), "v", cents, 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "cid"
+    )
+    probes = _assign_topk(
         e.where(F.col("vec_id") < N_QUERIES).select(
             "vec_id", V.as_double("embedding").alias("v")
         ),

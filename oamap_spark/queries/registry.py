@@ -35,6 +35,77 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# Driver-window rotation (SURVEY.md §7.1). The correctness driver
+# scores the FIRST 50 entries of ``queries()`` in iteration order, so
+# this list pins the window each round: queries named here come first
+# (in this order), everything else follows in registration order.
+#
+# Round-2 window: the two repaired TPC-H oracles (q9/q11 — HUGEINT
+# typing fix) plus the 51-query surface that registered after position
+# 50 in round 1 (LLM dedup/similarity/text/multimodal, pointers/union,
+# streaming, events, reshape, extended). Deferred to the round-3
+# window: the sf-bounded O(n²) oracle-twin queries
+# (dedup_jaccard_pairs, dedup_simhash_pairs, dedup_embedding_cosine)
+# and two rows-only checks (doc_fingerprint_native,
+# multimodal_decode_features) — all locally oracle/pytest-green.
+_PRIORITY: tuple[str, ...] = (
+    "q9_product_profit",
+    "q11_important_part_value",
+    "dedup_exact_canonical",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "dedup_simhash_banded",
+    "dedup_clusters_minid",
+    "dedup_keep_canonical_counts",
+    "dedup_embedding_banded",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ivf_centroid_assignment",
+    "embedding_label_stats",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "lang_id_ngram_heuristic",
+    "doc_fingerprint_rolling",
+    "doc_top_bigrams",
+    "doc_lang_source_profile",
+    "udtf_token_positions",
+    "multimodal_metadata_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize_metadata",
+    "pointer_deref_supplier_nation",
+    "pointer_self_prev_event",
+    "union_event_payload",
+    "stream_tumbling_daily_counts",
+    "stream_distinct_user_event_keys",
+    "stream_stateful_user_counts",
+    "stream_user_sessions",
+    "stream_static_enrich_counts",
+    "stream_dedup_within_watermark",
+    "sessionize_events",
+    "tumbling_window_rollup",
+    "funnel_view_to_purchase",
+    "event_type_transitions",
+    "split_merge_restructure",
+    "reduce_custom_tally_geomean",
+    "slice_offset_limit",
+    "map_funcs_suite",
+    "grouping_sets_flag_status",
+    "percentiles_order_price",
+    "pivot_qty_by_returnflag",
+    "unpivot_order_measures",
+    "histogram_order_price",
+    "sample_hash_bernoulli",
+    "train_test_split_counts",
+    "stratified_topk_per_lang",
+)
+
+
+def _ordered_names() -> list[str]:
+    pri = [n for n in _PRIORITY if n in _REGISTRY]
+    seen = set(pri)
+    return pri + [n for n in _REGISTRY if n not in seen]
+
 
 def register(
     name: str,
@@ -76,16 +147,20 @@ def name_of(fn) -> str:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    return {n: _REGISTRY[n] for n in _ordered_names()}
 
 
 def queries() -> dict[str, QueryFn]:
-    return {n: s.fn for n, s in _REGISTRY.items()}
+    return {n: _REGISTRY[n].fn for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: s.oracle for n, s in _REGISTRY.items() if s.oracle is not None}
+    return {
+        n: _REGISTRY[n].oracle
+        for n in _ordered_names()
+        if _REGISTRY[n].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, QueryFn]:
-    return {n: s.fn for n, s in _REGISTRY.items() if s.bench}
+    return {n: _REGISTRY[n].fn for n in _ordered_names() if _REGISTRY[n].bench}

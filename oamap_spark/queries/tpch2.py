@@ -164,9 +164,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     tags=("join", "agg", "like"),
     oracle="""
-SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
-       sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
                  - 0.5 * p.p_retailprice * l.l_quantity) * 100 + 0.5) AS BIGINT))
+            AS BIGINT)
          AS profit_cents
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey

@@ -90,7 +90,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH partval AS (
   SELECT l.l_partkey,
-         sum(CAST(floor(l.l_extendedprice * l.l_quantity * 100 + 0.5) AS BIGINT))
+         CAST(sum(CAST(floor(l.l_extendedprice * l.l_quantity * 100 + 0.5) AS BIGINT))
+              AS BIGINT)
            AS value_cents
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey

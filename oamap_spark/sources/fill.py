@@ -16,10 +16,13 @@ shred inside Tungsten — so this module is the thin, tested contract:
   test pattern).
 - write/read parquet round-trip helpers for the nested shapes.
 
-Union-typed conflicts are the one deliberate divergence: Spark has no
-sum type, so conflicting leaf types must be pre-encoded with
-operators/links.union_encode (documented limitation; oamap would
-synthesize a Union node).
+Union-typed conflicts: Spark has no sum type, so `fromdata` closes
+oamap's Union-inference gap (oamap/inference.py [H] synthesizes a
+Union node) by DETECTING conflicting leaf types during inference and
+auto-encoding those leaves as the tagged-union struct shape of
+operators/links.union_encode — struct(tag, v_<type>...), one non-null
+variant per row, dispatchable with union_case. Numeric conflicts
+(long vs double) keep oamap's widening instead (no union).
 """
 
 from __future__ import annotations
@@ -41,15 +44,66 @@ def infer_schema(spark: SparkSession, objs: Sequence[dict]) -> T.StructType:
     return fromdata(spark, objs).schema
 
 
+# Exact-type names for union variant slots. type() lookup (not
+# isinstance) so bool — a Python int subclass — stays its own variant.
+_PRIM_NAME = {bool: "bool", int: "long", float: "double", str: "string"}
+_WIDENABLE = {"long", "double"}  # numeric conflicts widen, not union
+
+
+def _collect_leaf_types(obj, path: tuple, acc: dict) -> None:
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            _collect_leaf_types(v, path + (k,), acc)
+    elif isinstance(obj, list):
+        for v in obj:
+            _collect_leaf_types(v, path + ("[]",), acc)
+    elif obj is not None:
+        name = _PRIM_NAME.get(type(obj))
+        if name is not None:
+            acc.setdefault(path, set()).add(name)
+
+
+def union_conflict_paths(objs: Sequence[dict]) -> dict[tuple, list[str]]:
+    """Leaf paths whose observed primitive types conflict beyond
+    numeric widening → sorted variant-type list per path (the Union
+    nodes oamap's inference would synthesize)."""
+    acc: dict[tuple, set] = {}
+    for o in objs:
+        _collect_leaf_types(o, (), acc)
+    return {
+        path: sorted(ts)
+        for path, ts in acc.items()
+        if len(ts) > 1 and not ts <= _WIDENABLE
+    }
+
+
+def _encode_unions(obj, path: tuple, upaths: dict[tuple, list[str]]):
+    if isinstance(obj, dict):
+        return {k: _encode_unions(v, path + (k,), upaths) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_encode_unions(v, path + ("[]",), upaths) for v in obj]
+    variants = upaths.get(path)
+    if obj is None or variants is None:
+        return obj
+    name = _PRIM_NAME[type(obj)]
+    return {"tag": variants.index(name), f"v_{name}": obj}
+
+
 def fromdata(
     spark: SparkSession,
     objs: Sequence[dict],
     schema: T.StructType | str | None = None,
 ) -> DataFrame:
     """Objects → DataFrame. With `schema=None` infers like oamap
-    (records, not maps — see infer_schema); explicit schemas pin types
-    exactly (oamap's declared-schema path)."""
+    (records, not maps — see infer_schema), including Union synthesis:
+    leaves with conflicting primitive types are auto-encoded as tagged
+    union structs (struct(tag, v_<type>…), the union_encode shape) so
+    no data is stringified or lost. Explicit schemas pin types exactly
+    (oamap's declared-schema path)."""
     if schema is None:
+        upaths = union_conflict_paths(objs)
+        if upaths:
+            objs = [_encode_unions(o, (), upaths) for o in objs]
         rdd = spark.sparkContext.parallelize([json.dumps(o) for o in objs])
         return spark.read.json(rdd)
     return spark.createDataFrame(objs, schema)

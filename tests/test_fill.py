@@ -113,3 +113,61 @@ def test_empty_list_distinct_from_null_list(spark):
     df = fill.fromdata(spark, objs, schema)
     got = {o["k"]: o["xs"] for o in fill.to_objects(df)}
     assert got[1] == [1, 2] and got[2] == [] and got[3] is None
+
+
+def test_union_inference_mixed_leaf_roundtrip(spark):
+    """Conflicting int/string leaf → auto-synthesized tagged union
+    (oamap's Union node analog, SURVEY §1.3): struct(tag, v_long,
+    v_string), one non-null variant per row, values preserved."""
+    objs = [
+        {"k": 1, "payload": 42},
+        {"k": 2, "payload": "forty-two"},
+        {"k": 3, "payload": None},
+        {"k": 4, "payload": 7},
+    ]
+    df = fill.fromdata(spark, objs)
+    f = {x.name: x for x in df.schema.fields}["payload"]
+    assert isinstance(f.dataType, T.StructType)
+    assert [c.name for c in f.dataType.fields] == ["tag", "v_long", "v_string"]
+    got = {o["k"]: o["payload"] for o in fill.to_objects(df)}
+    assert got[1] == {"tag": 0, "v_long": 42, "v_string": None}
+    assert got[2] == {"tag": 1, "v_long": None, "v_string": "forty-two"}
+    assert got[3] is None
+    assert got[4] == {"tag": 0, "v_long": 7, "v_string": None}
+
+
+def test_union_inference_numeric_conflict_still_widens(spark):
+    """long-vs-double is oamap's widening case, NOT a union."""
+    df = fill.fromdata(spark, [{"x": 1}, {"x": 2.5}])
+    f = {x.name: x for x in df.schema.fields}["x"]
+    assert isinstance(f.dataType, T.DoubleType)
+
+
+def test_union_inference_inside_lists(spark):
+    """Unions synthesize under list elements too."""
+    df = fill.fromdata(spark, [{"xs": [1, "a", None, 2]}])
+    el = {x.name: x for x in df.schema.fields}["xs"].dataType.elementType
+    assert isinstance(el, T.StructType)
+    rows = fill.to_objects(df)
+    assert rows[0]["xs"][0] == {"tag": 0, "v_long": 1, "v_string": None}
+    assert rows[0]["xs"][1] == {"tag": 1, "v_long": None, "v_string": "a"}
+    assert rows[0]["xs"][2] is None
+
+
+def test_union_case_dispatch_on_inferred(spark):
+    """union_case drives per-variant logic over the inferred shape."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.links import union_case
+
+    df = fill.fromdata(spark, [{"k": 1, "p": 10}, {"k": 2, "p": "xyz"}])
+    out = df.select(
+        "k",
+        union_case(
+            F.col("p"),
+            F.col("p.v_long") * 2,
+            F.length("p.v_string").cast("long"),
+        ).alias("r"),
+    )
+    got = {r["k"]: r["r"] for r in out.collect()}
+    assert got == {1: 20, 2: 3}

@@ -87,6 +87,46 @@ def test_fingerprint_native_matches_portable_groups(spark, queries):
     assert groups(port, "fp") == groups(nat, "fp64")
 
 
+def test_minhash_lsh_bucket_cap_degenerate_corpus(spark):
+    """500 identical docs: every band bucket holds all 500 ids, so the
+    uncapped join would build 500·499/2 ≈ 125k pairs on ONE reducer
+    key. With bucket_cap the candidate count must collapse to the
+    linear star (499 pairs) while still connecting the whole duplicate
+    group through the min id."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate sentence repeated for every document").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9, bucket_cap=50
+    ).collect()
+    assert len(pairs) == 499  # star: (0, i) for every other member
+    assert all(r["id_a"] == 0 for r in pairs)
+    assert {r["id_b"] for r in pairs} == set(range(1, 500))
+
+
+def test_minhash_lsh_bucket_cap_noop_below_cap(spark):
+    """A cap no bucket reaches must not change the exact pair list."""
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    from oamap_spark.operators.dedup import minhash_lsh_pairs
+
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, "doc_id", "text").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, "doc_id", "text", bucket_cap=10**6).collect()
+    }
+    assert base == capped
+
+
 def test_minhash_lsh_subset_of_exact_jaccard(spark, queries):
     """Every LSH-verified pair must appear in the exact all-pairs
     result (LSH can miss pairs, never invent them — the verify step

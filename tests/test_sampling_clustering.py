@@ -75,6 +75,18 @@ def test_connected_components_chain_transitivity(spark):
     assert labels == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Chain of 30 nodes (diameter 29): pointer doubling must converge
+    well under the old O(diameter) bound — 10 iterations ≪ 29 proves
+    the O(log d) behavior, and every node lands on cluster 0."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], ["id_a", "id_b"]
+    )
+    comp = C.connected_components_min_id(pairs, max_iter=10).collect()
+    labels = {r["node"]: r["cluster_id"] for r in comp}
+    assert labels == {i: 0 for i in range(30)}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
