@@ -150,7 +150,15 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one of 4 bands intact, so the band equi-join's candidate
     set provably contains every qualifying pair (the oracle is the
     all-pairs form — results are identical, only the plan differs).
-    Shuffles band keys + candidates, never the n² cross product."""
+    Shuffles band keys + candidates, never the n² cross product.
+
+    Pair dedup uses FIRST-MATCHING-BAND emission instead of distinct:
+    a pair is kept only in the lowest band index where its band values
+    agree — a narrow predicate on the already-joined signatures. On a
+    boilerplate-heavy corpus (sf0.1 has band buckets of 2k+ docs and
+    2.2M true pairs) this removes a ~10M-row distinct shuffle, the
+    measured bulk of the runtime; at 100 TB the same trick keeps the
+    only large shuffle the band join itself."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", X.token_ids("text").alias("ids")).select(
         "doc_id", X.simhash32(F.col("ids")).alias("h")
@@ -170,6 +178,20 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "h", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+    def band_of(col, i):
+        return F.shiftright(col, 8 * i).bitwiseAND(F.lit(255))
+
+    h_a, h_b = F.col("h_a"), F.col("h_b")
+    first_match = F.lit(True)
+    for j in range(3):  # band i kept only if bands 0..i-1 all differ
+        prior_differ = F.lit(True)
+        for k in range(j + 1):
+            prior_differ = prior_differ & (band_of(h_a, k) != band_of(h_b, k))
+        first_match = F.when(F.col("band_idx") == j + 1, prior_differ).otherwise(
+            first_match
+        )
+
     cand = (
         bands.alias("x")
         .join(
@@ -181,12 +203,13 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("id_a"),
             F.col("y.doc_id").alias("id_b"),
+            F.col("x.band_idx").alias("band_idx"),
             F.col("x.h").alias("h_a"),
             F.col("y.h").alias("h_b"),
         )
-        .distinct()
+        .where(first_match)
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    hamming = F.bit_count(h_a.bitwiseXOR(h_b))
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= 3)
