@@ -141,13 +141,23 @@ SQL_TOKEN_ID_ARRAY = (
     "list_transform(string_split({col}, ' '), "
     "t -> ('0x' || substring(md5(t),1,15))::BIGINT % 2147483647)"
 )
-SQL_COMBINE_SHINGLE_IDS = (
-    "list_distinct(CASE WHEN len({tids}) >= 3 "
-    "THEN [((({tids}[i] * 31 + {tids}[i+1]) % 2147483647) * 31 + {tids}[i+2]) % 2147483647 "
-    "for i in range(1, len({tids}) - 1)] "
-    "ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), {tids}), "
-    "(acc, x) -> (acc * 31 + x) % 2147483647)] END)"
-)
+
+
+def sql_combine_shingle_ids(tids_sql: str, n: int = 3) -> str:
+    """DuckDB twin of combine_shingle_ids for any n: the same unrolled
+    ((…·31 + tᵢ) mod P) polynomial per window position."""
+    expr = f"{tids_sql}[i]"
+    for j in range(1, n):
+        expr = f"(({expr}) * 31 + {tids_sql}[i+{j}]) % {HASH_P}"
+    return (
+        f"list_distinct(CASE WHEN len({tids_sql}) >= {n} "
+        f"THEN [{expr} for i in range(1, len({tids_sql}) - {n - 2})] "
+        f"ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), {tids_sql}), "
+        f"(acc, x) -> (acc * 31 + x) % {HASH_P})] END)"
+    )
+
+
+SQL_COMBINE_SHINGLE_IDS = sql_combine_shingle_ids("{tids}", 3)
 
 
 def stopword_ratio(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:

@@ -32,6 +32,7 @@ def _load_all() -> None:
         "oamap_spark.queries.extended_suite",
         "oamap_spark.queries.pipeline_sampling",
         "oamap_spark.queries.reshape",
+        "oamap_spark.queries.llm_curation",
     ):
         try:
             importlib.import_module(mod)

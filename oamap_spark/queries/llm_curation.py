@@ -1,0 +1,267 @@
+"""Training-data curation queries (LLM-pipeline surface, beyond the
+reference): document chunking, PII scrubbing, deterministic weighted
+corpus mixing, and train/benchmark contamination checks.
+
+These are the operations a 100 TB pretraining pipeline runs between
+raw crawl and tokenizer: every one is a narrow pass or a
+bounded-key join — no driver-side loops, no all-pairs products — and
+every one is oracle-gated (DuckDB replays the identical hash/regex/
+window arithmetic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.functions import text as X
+from oamap_spark.operators.sampling import hash_threshold
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Document chunking: overlapping token windows
+# --------------------------------------------------------------------------
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # chunk start distance (CHUNK-STRIDE = 8 tokens overlap)
+
+
+@register(
+    "doc_chunk_windows",
+    tags=("llm", "curation", "chunking"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+n AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) <= {CHUNK} THEN 1
+              ELSE CAST(ceil((len(tk) - {CHUNK}) / {STRIDE}.0) AS INT) + 1 END
+           AS n_chunks
+  FROM t
+),
+x AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(tk[(1 + chunk_idx * {STRIDE}) :
+                          least(len(tk), chunk_idx * {STRIDE} + {CHUNK})], ' ')
+         AS chunk_text,
+       CAST(least(len(tk) - chunk_idx * {STRIDE}, {CHUNK}) AS INT) AS n_tokens
+FROM x
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into overlapping {CHUNK}-token windows at
+    stride {STRIDE} (context-window packing / retrieval chunking). One
+    narrow pass: split → per-row window-start sequence → explode →
+    slice; no shuffle at all, embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", X.tokens("text").alias("tk"))
+    n_chunks = F.when(F.size("tk") <= CHUNK, F.lit(1)).otherwise(
+        F.ceil((F.size("tk") - CHUNK) / F.lit(float(STRIDE))).cast("int") + 1
+    )
+    chunks = tk.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    piece = F.slice(F.col("tk"), F.col("chunk_idx") * STRIDE + 1, F.lit(CHUNK))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: mask emails / URLs / long digit runs
+# --------------------------------------------------------------------------
+# Patterns restricted to the regex intersection of Java (Spark) and
+# RE2 (DuckDB): character classes, +, {m,}, alternation — no
+# backrefs, no lookarounds.
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+RE_URL = "https?://[^ ]+"
+RE_LONGNUM = "[0-9]{6,}"
+
+
+@register(
+    "doc_scrub_pii",
+    tags=("llm", "curation", "pii", "regex"),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{RE_EMAIL}', '<EMAIL>', 'g'),
+             '{RE_URL}', '<URL>', 'g'),
+           '{RE_LONGNUM}', '<NUM>', 'g') AS scrubbed,
+         length(regexp_replace(text, '{RE_EMAIL}', '#', 'g'))
+           - length(text) AS d_email,
+         length(regexp_replace(text, '{RE_LONGNUM}', '#', 'g'))
+           - length(text) AS d_num
+  FROM documents
+)
+SELECT doc_id, lang, length(scrubbed) AS scrubbed_len,
+       CAST(d_email != 0 AS INT) AS has_email,
+       CAST(d_num != 0 AS INT) AS has_longnum
+FROM s
+""",
+)
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails → <EMAIL>, URLs → <URL>, 6+-digit runs →
+    <NUM> — three chained regexp_replace passes, all JVM-side, narrow.
+    Emits per-doc scrubbed length + hit flags (the corpus here is
+    clean word soup, so flags are 0 — the oracle still proves both
+    engines apply the identical regexes; synthetic-PII behavior is
+    pinned in tests/test_curation.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), RE_EMAIL, "<EMAIL>"),
+            RE_URL,
+            "<URL>",
+        ),
+        RE_LONGNUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(scrub).alias("scrubbed_len"),
+        (F.length(F.regexp_replace(F.col("text"), RE_EMAIL, "#")) != F.length("text"))
+        .cast("int")
+        .alias("has_email"),
+        (F.length(F.regexp_replace(F.col("text"), RE_LONGNUM, "#")) != F.length("text"))
+        .cast("int")
+        .alias("has_longnum"),
+    )
+
+
+def scrub_pii(text_col) -> F.Column:
+    """Reusable scrub expression (the masking itself)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text_col, RE_EMAIL, "<EMAIL>"), RE_URL, "<URL>"
+        ),
+        RE_LONGNUM,
+        "<NUM>",
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted corpus mixture
+# --------------------------------------------------------------------------
+# Per-source sampling weights (a pretraining mixture: upweight the
+# "high-quality" sources, downweight the tail). Membership is the
+# md5-hash draw of operators/sampling.py — reproducible across runs,
+# engines, and partitionings.
+MIX_WEIGHTS = {f"src{i}": round(1.0 - 0.045 * i, 3) for i in range(20)}
+
+
+@register(
+    "corpus_mixture_weighted",
+    tags=("llm", "curation", "sampling", "mixture"),
+    oracle="WITH kept AS (\n  SELECT source, lang FROM documents\n  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <\n        CASE source\n"
+    + "\n".join(
+        f"          WHEN '{s}' THEN '{hash_threshold(w)}'"
+        for s, w in MIX_WEIGHTS.items()
+    )
+    + """
+          ELSE '0000' END
+)
+SELECT source, count(*) AS n_kept, count(DISTINCT lang) AS n_langs
+FROM kept GROUP BY source
+""",
+)
+def corpus_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: each source keeps a deterministic
+    md5-hash fraction of its documents (src0 100% … src19 14.5%).
+    A pure per-row predicate — no shuffle for the sampling itself,
+    stable under corpus growth (a doc's fate never changes), and the
+    exact mixture is reproducible on any engine. Emits per-source
+    kept-counts."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in (kv[0], hash_threshold(kv[1]))]
+    )
+    kept = d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        < F.coalesce(thr[F.col("source")], F.lit("0000"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Train/benchmark contamination: n-gram overlap
+# --------------------------------------------------------------------------
+BENCH_FRACTION = 0.05  # held-out "benchmark" slice of the corpus
+OVERLAP_N = 8  # 8-token grams, the usual contamination unit
+
+
+@register(
+    "train_benchmark_overlap",
+    tags=("llm", "curation", "contamination", "ngram"),
+    oracle=f"""
+WITH tid AS (
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           < '{hash_threshold(BENCH_FRACTION)}' AS is_bench
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_bench,
+         unnest({X.sql_combine_shingle_ids('tids', OVERLAP_N)}) AS gid
+  FROM tid
+),
+hits AS (
+  SELECT b.doc_id AS bench_doc, t.doc_id AS train_doc, b.gid
+  FROM grams b JOIN grams t ON b.gid = t.gid
+  WHERE b.is_bench AND NOT t.is_bench
+)
+SELECT d.doc_id AS bench_doc,
+       CAST(coalesce(count(DISTINCT h.train_doc), 0) AS BIGINT) AS n_train_docs,
+       CAST(coalesce(count(DISTINCT h.gid), 0) AS BIGINT) AS n_shared_grams
+FROM (SELECT doc_id FROM tid WHERE is_bench) d
+LEFT JOIN hits h ON d.doc_id = h.bench_doc
+GROUP BY d.doc_id
+""",
+)
+def train_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check: for every held-out benchmark document
+    (deterministic 5% md5 slice), how many 8-token grams it shares
+    with the training slice and with how many training docs. The gram
+    join carries (doc_id, gram_id) ints only — the usual shape at
+    100 TB: explode to the gram table once, equi-join on the gram id,
+    aggregate; the tiny benchmark side broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    tid = d.select(
+        "doc_id",
+        X.token_id_array("text").alias("tids"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < hash_threshold(BENCH_FRACTION)
+        ).alias("is_bench"),
+    )
+    grams = tid.select(
+        "doc_id",
+        "is_bench",
+        F.explode(X.combine_shingle_ids(F.col("tids"), OVERLAP_N)).alias("gid"),
+    )
+    bench = grams.where("is_bench").select(
+        F.col("doc_id").alias("bench_doc"), "gid"
+    )
+    train = grams.where(~F.col("is_bench")).select(
+        F.col("doc_id").alias("train_doc"), "gid"
+    )
+    hits = F.broadcast(bench).join(train, "gid")
+    agg = hits.groupBy("bench_doc").agg(
+        F.countDistinct("train_doc").alias("n_train_docs"),
+        F.countDistinct("gid").alias("n_shared_grams"),
+    )
+    all_bench = tid.where("is_bench").select(F.col("doc_id").alias("bench_doc"))
+    return (
+        all_bench.join(agg, "bench_doc", "left")
+        .select(
+            "bench_doc",
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        )
+    )

@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_hash_bernoulli",
     "train_test_split_counts",
     "stratified_topk_per_lang",
+    "doc_chunk_windows",
 )
 
 

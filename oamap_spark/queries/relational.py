@@ -182,6 +182,71 @@ def asof_join_latest_order_before_event(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@register(
+    "asof_join_tolerance_30d",
+    tags=("join", "asof", "tolerance"),
+    oracle="""
+SELECT e.event_id, e.user_id,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+            THEN o.o_orderkey END AS last_orderkey_30d
+FROM events e
+ASOF LEFT JOIN (
+    SELECT o_custkey, max(o_orderkey) AS o_orderkey, o_orderdate
+    FROM orders GROUP BY o_custkey, o_orderdate
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def asof_join_tolerance_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE window (pandas merge_asof
+    `tolerance=` semantics): latest order at-or-before each event, but
+    only if it is within 30 days — older matches become NULL. Same
+    single union + window pass as the plain as-of (no range explosion;
+    one sort-merge per key): the window carries a (time, key) struct
+    so the tolerance test reads the matched order's OWN timestamp."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None)
+        .cast("struct<ot:timestamp,okey:bigint>")
+        .alias("order_info"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.struct(
+                F.col("o_orderdate").alias("ot"),
+                F.col("o_orderkey").alias("okey"),
+            ).alias("order_info"),
+        )
+    )
+    unioned = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_o", F.last("order_info", ignorenulls=True).over(w)
+    )
+    within = F.col("last_o.ot") >= F.col("t") - F.expr("INTERVAL 30 DAY")
+    return (
+        carried.where(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.when(within, F.col("last_o.okey")).alias("last_orderkey_30d"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Group-by variants
 # ---------------------------------------------------------------------------

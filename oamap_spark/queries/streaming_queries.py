@@ -152,3 +152,31 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = P.dedup_within_watermark(doubled, ["event_id"], delay="1 hour")
     sink = P.drain_to_memory(deduped, output_mode="append", spark=spark)
     return sink.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream_stream_view_purchase_join",
+    tags=("streaming", "stream_stream_join", "interval"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         make_timestamp(epoch_ns(ts) // 1000) AS tsu
+  FROM events
+)
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       epoch_us(p.tsu) - epoch_us(v.tsu) AS gap_us
+FROM e v JOIN e p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.tsu >= v.tsu AND p.tsu <= v.tsu + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (views ⋈ purchases ≤1h later,
+    same user), append mode, watermarks on both sides bounding state.
+    The oracle is the identical batch interval join on µs-normalized
+    timestamps."""
+    ev = P.read_events_stream(spark, sf_dir)
+    return P.drain_to_memory(
+        P.view_purchase_interval_join(ev), output_mode="append", spark=spark
+    )

@@ -123,3 +123,44 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], delay: str = "1 h
     arriving within the delay window are suppressed; each key is
     emitted once, on first arrival (append mode)."""
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+
+
+def view_purchase_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    purchases within 1 hour AFTER a view by the same user. Both sides
+    carry watermarks and the join condition bounds event-time distance,
+    so each side's state is evictable — the canonical funnel join that
+    runs unchanged on an unbounded source. (A self-join: both streams
+    are filtered branches of the same events source.)"""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 day")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+        )
+    )
