@@ -33,6 +33,7 @@ def _load_all() -> None:
         "oamap_spark.queries.pipeline_sampling",
         "oamap_spark.queries.reshape",
         "oamap_spark.queries.llm_curation",
+        "oamap_spark.queries.analytics_extra",
     ):
         try:
             importlib.import_module(mod)

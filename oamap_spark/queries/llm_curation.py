@@ -265,3 +265,39 @@ def train_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting
+# --------------------------------------------------------------------------
+# Letter runs, single digits, single punctuation — a GPT-2-flavored
+# pre-tokenizer approximation restricted to the Java∩RE2 regex subset.
+RE_BPE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "doc_bpe_token_estimate",
+    tags=("llm", "curation", "tokens", "bpe"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{RE_BPE}')) AS INT) AS n_bpe,
+       round(n_chars / len(regexp_extract_all(text, '{RE_BPE}')), 4)
+         AS chars_per_token
+FROM documents
+""",
+)
+def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimation: whitespace tokens vs a BPE-ish
+    pre-tokenizer regex (letter runs | single digits | single
+    punctuation) + chars-per-token ratio — the per-document cost
+    accounting every training pipeline runs before packing. Narrow,
+    JVM-side regexp_extract_all."""
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(RE_BPE), 0))
+    return d.select(
+        "doc_id",
+        F.size(X.tokens("text")).alias("n_ws"),
+        n_bpe.cast("int").alias("n_bpe"),
+        F.round(F.col("n_chars") / n_bpe, 4).alias("chars_per_token"),
+    )

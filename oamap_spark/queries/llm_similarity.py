@@ -503,3 +503,62 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(nrm.between(0.99, 1.01), 1).otherwise(0)).alias("n_unit_norm"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+@register(
+    "embedding_label_centroids",
+    tags=("llm", "similarity", "centroid", "fixed_point"),
+    oracle=f"""
+WITH v AS (
+  SELECT label, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+),
+c AS (
+  SELECT label, pos,
+         floor(CAST(CAST(sum(CAST(floor(e[pos] * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS comp,
+         count(*) AS n
+  FROM v, generate_series(1, {DIM}) AS g(pos)
+  GROUP BY label, pos
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n, list(comp ORDER BY pos) AS centroid
+FROM c GROUP BY label
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in exact fixed-point arithmetic (the
+    operators/kmeans.py update step as a standalone operator):
+    components quantized to 1e-6 BIGINTs, summed exactly (order-free),
+    mean re-snapped to the grid — so the full float centroid ARRAY is
+    hash-comparable against the oracle. Shuffle is (label, pos) keyed
+    with map-side partials; the driver never sees the vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "label", F.posexplode(V.as_double("embedding")).alias("pos", "val")
+    )
+    comp = (
+        expl.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * KM.QUANT + 0.5).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.floor(F.col("s").cast("double") / F.col("n") + 0.5) / KM.QUANT).alias(
+                "comp"
+            ),
+            "n",
+        )
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"),
+        )
+        .select(
+            "label",
+            "n",
+            F.transform(F.col("pc"), lambda x: x["comp"]).alias("centroid"),
+        )
+    )

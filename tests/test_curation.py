@@ -105,3 +105,22 @@ def test_contamination_flags_planted_dup(spark):
         for r in C.train_benchmark_overlap(spark, SF_SMOKE).collect()
     }
     assert set(overlap) == set(bench_ids)  # every bench doc reported
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """Approx percentiles must land within 2% relative error of the
+    exact global-sort percentiles."""
+    import __spark_entry__ as em
+
+    approx = em.queries()["percentile_approx_price"](spark, SF_SMOKE).collect()[0][
+        "approx_pcts"
+    ]
+    exact = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .selectExpr(
+            "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95)) AS p"
+        )
+        .collect()[0]["p"]
+    )
+    for a, x in zip(approx, exact):
+        assert abs(a - x) / x < 0.02, (a, x)

@@ -86,3 +86,32 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark, queries):
     df = queries["cosine_topk_bruteforce"](spark, SF_SMOKE)
     p = audit.plan_string(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_chunking_is_narrow_no_exchange(spark, queries):
+    """doc_chunk_windows must be a pure narrow pass: split→explode→
+    slice with ZERO exchanges (the 100 TB contract: chunking cost is
+    linear scan, never a shuffle)."""
+    df = queries["doc_chunk_windows"](spark, SF_SMOKE)
+    assert audit.shuffle_count(df) == 0
+
+
+def test_date_spine_broadcasts_spine(spark, queries):
+    """The generated calendar spine is tiny and must broadcast — the
+    orders aggregate must not shuffle against it."""
+    df = queries["date_spine_gap_fill"](spark, SF_SMOKE)
+    assert audit.broadcast_join_count(df) >= 1
+
+
+def test_contamination_broadcasts_bench_side(spark, queries):
+    """The 5% benchmark slice broadcasts; the train gram table streams."""
+    df = queries["train_benchmark_overlap"](spark, SF_SMOKE)
+    assert audit.broadcast_join_count(df) >= 1
+
+
+def test_scrub_pii_prunes_scan(spark, queries):
+    """The scrub reads doc_id/lang/text only — source and n_chars must
+    be pruned out of the parquet ReadSchema."""
+    df = queries["doc_scrub_pii"](spark, SF_SMOKE)
+    cols = audit.scanned_columns(df)
+    assert "source" not in cols and "n_chars" not in cols
