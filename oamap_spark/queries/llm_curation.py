@@ -301,3 +301,49 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.cast("int").alias("n_bpe"),
         F.round(F.col("n_chars") / n_bpe, 4).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality score (perplexity proxy)
+# --------------------------------------------------------------------------
+@register(
+    "doc_unigram_logprob_quality",
+    tags=("llm", "curation", "quality", "lm"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(cnt.c / CAST(tot.n AS DOUBLE))), 6) AS avg_nll
+FROM tok t, tot
+JOIN cnt ON t.tok = cnt.tok
+GROUP BY t.doc_id
+""",
+)
+def doc_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: train corpus-level unigram
+    frequencies, score each document by its mean negative log
+    probability (the cheap perplexity proxy used for corpus quality
+    filtering). Scale shape: one token-explode shuffle builds the
+    count table — vocabulary-sized, so it BROADCASTS back onto the
+    token stream; scoring is then narrow. ln over bit-identical
+    doubles diverges ≤1 ulp between engines — invisible at round-6."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tok.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n").cast("double"))), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+    return scored
