@@ -182,3 +182,108 @@ def explode_outer_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.explode_outer(arr).alias("item")
     )
+
+
+@register(
+    "window_range_7d_sum",
+    tags=("window", "range_frame", "interval"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         make_timestamp(epoch_ns(ts) // 1000) AS tsu
+  FROM events
+)
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS sum_7d,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (vs the ROWS frames elsewhere): per-user
+    trailing-7-day sum/count of event values — the frame is defined by
+    the ORDER key's VALUE distance, so timestamp ties share one frame.
+    Spark side orders by epoch-µs with a µs range; the oracle uses the
+    equivalent INTERVAL frame. One shuffle on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+@register(
+    "median_by_status",
+    tags=("agg", "median", "percentile"),
+    oracle="""
+SELECT o_orderstatus,
+       round(median(o_totalprice), 2) AS med_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def median_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + p90 per order status (both engines
+    use the same linear interpolation between adjacent order
+    statistics). Exact percentiles sort within the group — fine for
+    bounded group counts; the sketch path for 100 TB is
+    percentile_approx_price."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+@register(
+    "map_hof_suite",
+    tags=("map", "hof", "transform_values", "map_filter"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n, CAST(n * 2 AS BIGINT) AS n_doubled
+FROM c WHERE n > 3
+""",
+)
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end-to-end: per-user event-type
+    counts packed into a MapType (map_from_entries), doubled with
+    transform_values, thresholded with map_filter, then exploded back
+    to rows via map_entries. The oracle is the relational image of the
+    same pipeline — the map ops must neither drop nor duplicate
+    entries."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    packed = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    doubled = packed.withColumn(
+        "m2", F.transform_values(F.col("m"), lambda k, v: v * 2)
+    )
+    filtered = doubled.withColumn(
+        "mf", F.map_filter(F.col("m"), lambda k, v: v > 3)
+    )
+    entries = filtered.select(
+        "user_id", F.explode(F.map_entries("mf")).alias("e"), "m2"
+    )
+    return entries.select(
+        "user_id",
+        F.col("e.key").alias("event_type"),
+        F.col("e.value").alias("n"),
+        F.element_at(F.col("m2"), F.col("e.key")).alias("n_doubled"),
+    )
