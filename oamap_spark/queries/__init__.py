@@ -34,6 +34,7 @@ def _load_all() -> None:
         "oamap_spark.queries.reshape",
         "oamap_spark.queries.llm_curation",
         "oamap_spark.queries.analytics_extra",
+        "oamap_spark.queries.warehousing",
     ):
         try:
             importlib.import_module(mod)
