@@ -30,12 +30,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in bench.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # best-of-2: the second run reuses warmed parquet footers /
+        # Python workers, so transient machine load and one-time JVM
+        # costs don't masquerade as query regressions
+        best, rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            rows = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
