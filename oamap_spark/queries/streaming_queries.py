@@ -180,3 +180,48 @@ def stream_stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFr
     return P.drain_to_memory(
         P.view_purchase_interval_join(ev), output_mode="append", spark=spark
     )
+
+
+@register(
+    "stream_stream_left_outer_join",
+    tags=("streaming", "stream_stream_join", "outer", "watermark"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         make_timestamp(epoch_ns(ts) // 1000) AS tsu
+  FROM events
+),
+mx AS (SELECT max(tsu) AS m FROM e),
+matched AS (
+  SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id
+  FROM e v JOIN e p
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND p.tsu >= v.tsu AND p.tsu <= v.tsu + INTERVAL 1 HOUR
+),
+finalized_unmatched AS (
+  SELECT v.event_id AS view_id, v.user_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM e v, mx
+  WHERE v.event_type = 'view'
+    AND v.tsu + INTERVAL 1 HOUR < mx.m - INTERVAL 1 DAY
+    AND NOT EXISTS (
+      SELECT 1 FROM e p
+      WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        AND p.tsu >= v.tsu AND p.tsu <= v.tsu + INTERVAL 1 HOUR
+    )
+)
+SELECT * FROM matched UNION ALL SELECT * FROM finalized_unmatched
+""",
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: null matches emit only
+    when the watermark FINALIZES them (no qualifying purchase can
+    still arrive). The oracle encodes the bounded-replay emission
+    contract explicitly — matched pairs unconditionally, unmatched
+    views only up to the final watermark line (max event time − 1 day
+    delay − 1 h join bound); younger views stay in state, exactly
+    what a restarted continuous run would resume with."""
+    ev = P.read_events_stream(spark, sf_dir)
+    return P.drain_to_memory(
+        P.view_purchase_interval_join_outer(ev), output_mode="append", spark=spark
+    )

@@ -164,3 +164,41 @@ def view_purchase_interval_join(events: DataFrame) -> DataFrame:
             (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("gap_us"),
         )
     )
+
+
+def view_purchase_interval_join_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER variant of the stream-stream interval join: views
+    with no purchase within the hour emit a null match — but only once
+    the watermark proves no match can still arrive. On a bounded
+    availableNow replay that finalization line is
+    ``view_ts + 1h < max(ts) − watermark_delay``; views younger than
+    it remain in state at termination and are NOT emitted (exactly
+    what a restart would resume with)."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 day")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select("view_id", "user_id", "purchase_id")
+    )
