@@ -115,3 +115,34 @@ def test_scrub_pii_prunes_scan(spark, queries):
     df = queries["doc_scrub_pii"](spark, SF_SMOKE)
     cols = audit.scanned_columns(df)
     assert "source" not in cols and "n_chars" not in cols
+
+
+def test_no_unexpected_cartesian_products(spark):
+    """Global plan guard: no declared batch query may contain a
+    CartesianProduct unless it is an intentionally quadratic form —
+    the sf-bounded all-pairs oracle twins, the theta join demo, or a
+    scalar-singleton cross join (those compile to broadcast nested
+    loop, but whitelist by name where they don't)."""
+    from oamap_spark.queries import registry
+
+    allowed_tags = {"sf_bounded_oracle_twin", "theta"}
+    allowed_names = {
+        "theta_join_nation_pairs",
+        "dedup_jaccard_pairs",
+        "dedup_simhash_pairs",
+        "dedup_embedding_cosine",
+    }
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        if "streaming" in spec.tags:  # building executes the stream
+            continue
+        if name in allowed_names or allowed_tags & set(spec.tags):
+            continue
+        try:
+            plan = audit.plan_string(spec.fn(spark, SF_SMOKE))
+        except Exception as ex:  # building must not fail either
+            offenders.append(f"{name}: build error {ex}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct in plan")
+    assert not offenders, offenders

@@ -113,3 +113,50 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     )
     assert got.count() == src.count()
     assert got.exceptAll(src).count() == 0
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental semantics across restarts: a second
+    availableNow run against the SAME checkpoint must process only the
+    files that landed since the first run — the file-source offset log
+    is the replay cursor."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "landing"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    land.mkdir()
+    src = "/root/testdata/sf0.001/events.parquet"
+    shutil.copy(src, land / "batch1.parquet")
+
+    schema = spark.read.parquet(str(land)).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(land))
+            .withColumnRenamed("ts", "ts_ns")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    n_src = spark.read.parquet(src).count()
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == n_src
+
+    # second file lands; resume from the same checkpoint
+    shutil.copy(src, land / "batch2.parquet")
+    run_once()
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 2 * n_src  # batch1 NOT reprocessed
+    # and a third run with nothing new is a no-op
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 2 * n_src
