@@ -50,23 +50,36 @@ _PRIM_NAME = {bool: "bool", int: "long", float: "double", str: "string"}
 _WIDENABLE = {"long", "double"}  # numeric conflicts widen, not union
 
 
+def _kind_of(obj) -> str | None:
+    """Type-kind at a position: primitive name, 'list', 'record', or
+    None for nulls (nullability, not a union variant)."""
+    if obj is None:
+        return None
+    if isinstance(obj, dict):
+        return "record"
+    if isinstance(obj, list):
+        return "list"
+    return _PRIM_NAME.get(type(obj))
+
+
 def _collect_leaf_types(obj, path: tuple, acc: dict) -> None:
+    kind = _kind_of(obj)
+    if kind is not None:
+        acc.setdefault(path, set()).add(kind)
     if isinstance(obj, dict):
         for k, v in obj.items():
             _collect_leaf_types(v, path + (k,), acc)
     elif isinstance(obj, list):
         for v in obj:
             _collect_leaf_types(v, path + ("[]",), acc)
-    elif obj is not None:
-        name = _PRIM_NAME.get(type(obj))
-        if name is not None:
-            acc.setdefault(path, set()).add(name)
 
 
 def union_conflict_paths(objs: Sequence[dict]) -> dict[tuple, list[str]]:
-    """Leaf paths whose observed primitive types conflict beyond
-    numeric widening → sorted variant-type list per path (the Union
-    nodes oamap's inference would synthesize)."""
+    """Paths whose observed type-kinds conflict beyond numeric
+    widening → sorted variant-kind list per path (the Union nodes
+    oamap's inference would synthesize). Conflicts may be primitive
+    (long vs string) or STRUCTURAL (scalar vs list vs record) — both
+    become the same tagged-union struct shape."""
     acc: dict[tuple, set] = {}
     for o in objs:
         _collect_leaf_types(o, (), acc)
@@ -78,15 +91,20 @@ def union_conflict_paths(objs: Sequence[dict]) -> dict[tuple, list[str]]:
 
 
 def _encode_unions(obj, path: tuple, upaths: dict[tuple, list[str]]):
+    # encode children FIRST (child paths are recorded without the
+    # union wrapper, so deeper conflicts resolve independently) …
     if isinstance(obj, dict):
-        return {k: _encode_unions(v, path + (k,), upaths) for k, v in obj.items()}
-    if isinstance(obj, list):
-        return [_encode_unions(v, path + ("[]",), upaths) for v in obj]
+        enc = {k: _encode_unions(v, path + (k,), upaths) for k, v in obj.items()}
+    elif isinstance(obj, list):
+        enc = [_encode_unions(v, path + ("[]",), upaths) for v in obj]
+    else:
+        enc = obj
+    # … then wrap this position if its path is union-typed
     variants = upaths.get(path)
     if obj is None or variants is None:
-        return obj
-    name = _PRIM_NAME[type(obj)]
-    return {"tag": variants.index(name), f"v_{name}": obj}
+        return enc
+    kind = _kind_of(obj)
+    return {"tag": variants.index(kind), f"v_{kind}": enc}
 
 
 def fromdata(
