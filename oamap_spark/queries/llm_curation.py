@@ -347,3 +347,78 @@ def doc_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (context-window packing)
+# --------------------------------------------------------------------------
+SEQ_LEN = 128  # target training-sequence length in tokens
+
+
+@register(
+    "pack_sequences_greedy",
+    tags=("llm", "curation", "packing"),
+    oracle=f"""
+WITH d AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+g AS (
+  SELECT lang, list(n_tok ORDER BY doc_id) AS toks, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tok
+  FROM d GROUP BY lang
+),
+packed AS (
+  SELECT lang, n_docs, total_tok,
+         list_reduce(
+           list_prepend({{'n': CAST(0 AS BIGINT), 'used': CAST({SEQ_LEN} AS BIGINT)}},
+                        list_transform(toks, t -> {{'n': CAST(t AS BIGINT), 'used': CAST(0 AS BIGINT)}})),
+           (acc, x) -> CASE WHEN acc.used + x.n <= {SEQ_LEN}
+                            THEN {{'n': acc.n, 'used': acc.used + x.n}}
+                            ELSE {{'n': acc.n + 1, 'used': x.n}} END
+         ) AS st
+  FROM g
+)
+SELECT lang, n_docs, total_tok,
+       st.n AS n_sequences,
+       st.n * {SEQ_LEN} - total_tok AS pad_tokens
+FROM packed
+""",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: greedily pack each language's documents
+    (doc_id order) into {SEQ_LEN}-token training sequences — next-fit:
+    a doc that doesn't fit opens a new sequence. The fold runs as a
+    native `aggregate` over the per-group token-count array with a
+    struct accumulator; both engines fold left-to-right, so sequence
+    counts and padding waste match exactly. Scale shape: one shuffle
+    to group, the fold is O(docs-per-group) inside the executor — at
+    100 TB the grouping key would be (shard, lang) to bound group
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang", "doc_id", F.size(X.tokens("text")).cast("long").alias("n_tok")
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_tok"))).alias("docs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tok"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"), F.lit(SEQ_LEN).cast("long").alias("used")
+    )
+
+    def step(acc, x):
+        fits = (acc["used"] + x["n_tok"]) <= SEQ_LEN
+        return F.struct(
+            F.when(fits, acc["n"]).otherwise(acc["n"] + 1).alias("n"),
+            F.when(fits, acc["used"] + x["n_tok"]).otherwise(x["n_tok"]).alias("used"),
+        )
+
+    packed = g.withColumn("st", F.aggregate(F.col("docs"), init, step))
+    return packed.select(
+        "lang",
+        "n_docs",
+        "total_tok",
+        F.col("st.n").alias("n_sequences"),
+        (F.col("st.n") * SEQ_LEN - F.col("total_tok")).alias("pad_tokens"),
+    )
