@@ -41,15 +41,16 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events parquet as a file stream. ts arrives as bigint ns (the
-    nanosAsLong scan path); normalize to a µs `ts` timestamp exactly
-    like the batch loader so stream and batch plans share semantics."""
+    """events parquet as a file stream, normalized to the same
+    (``ts_ns`` bigint, ``ts`` µs-timestamp) pair as the batch loader
+    (:func:`oamap_spark.sources.tables.normalize_events`) so stream and
+    batch plans share semantics whatever the parquet ts encoding is."""
+    from oamap_spark.sources.tables import normalize_events
+
     path = _stream_dir(sf_dir)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(path)
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    return normalize_events(raw)
 
 
 def drain_to_memory(
