@@ -53,6 +53,19 @@ from oamap_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 
+# Schema language (the six PLURTP node types, SURVEY §1.2).
+from oamap_spark.schema import (
+    List,
+    Pointer,
+    Primitive,
+    Record,
+    Tuple,
+    Union,
+    from_spark,
+    infer,
+    to_spark,
+)
+
 # Ingest (fromdata / inference / round-trip).
 from oamap_spark.sources.fill import (
     from_json_lines,
@@ -76,6 +89,9 @@ __all__ = [
     "co_partition", "salted_join",
     # dedup
     "exact_dedup_groups", "all_pairs_jaccard", "minhash_lsh_pairs",
+    # schema language (PLURTP)
+    "Primitive", "List", "Union", "Record", "Tuple", "Pointer",
+    "to_spark", "from_spark", "infer",
     # ingest
     "fromdata", "infer_schema", "from_json_lines", "to_objects",
     "roundtrip_parquet",

@@ -110,14 +110,21 @@ def _encode_unions(obj, path: tuple, upaths: dict[tuple, list[str]]):
 def fromdata(
     spark: SparkSession,
     objs: Sequence[dict],
-    schema: T.StructType | str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Objects → DataFrame. With `schema=None` infers like oamap
     (records, not maps — see infer_schema), including Union synthesis:
     leaves with conflicting primitive types are auto-encoded as tagged
     union structs (struct(tag, v_<type>…), the union_encode shape) so
     no data is stringified or lost. Explicit schemas pin types exactly
-    (oamap's declared-schema path)."""
+    (oamap's declared-schema path); a PLURTP ``schema.Node`` is
+    accepted directly and lowered via ``schema.to_spark``."""
+    from oamap_spark import schema as plurtp
+
+    if isinstance(schema, plurtp.Node):
+        schema = plurtp.to_spark(schema)
+        if not isinstance(schema, T.StructType):
+            raise TypeError("fromdata needs a Record (row) schema at the top level")
     if schema is None:
         upaths = union_conflict_paths(objs)
         if upaths:
