@@ -170,3 +170,39 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "retention_cohorts",
+    tags=("events", "cohort", "retention"),
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day,
+    counted on each later day-offset they return. Both the first-day
+    agg and the activity dedup shuffle on user_id, so AQE plans the
+    equi-join shuffle-free on the reused partitioning; the final
+    (cohort_day, offset) agg is the only additional exchange. No
+    windows, no skew (user_id is high-cardinality uniform)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )

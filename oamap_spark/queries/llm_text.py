@@ -245,3 +245,78 @@ def doc_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "doc_repetition_signals",
+    tags=("llm", "text", "quality", "repetition"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, n,
+    list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1]) AS bigr,
+    list_transform(range(1, n - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS trigr
+  FROM t
+)
+SELECT doc_id,
+  CAST(n AS INT) AS n_tokens,
+  CAST(list_max(list_transform(list_distinct(toks),
+       w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / n AS top_token_frac,
+  CASE WHEN len(bigr) > 0
+       THEN 1.0 - CAST(len(list_distinct(bigr)) AS DOUBLE) / len(bigr)
+       ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN len(trigr) > 0
+       THEN 1.0 - CAST(len(list_distinct(trigr)) AS DOUBLE) / len(trigr)
+       ELSE 0.0 END AS dup_trigram_frac
+FROM g
+""",
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rules:
+    fraction of tokens in the most common token, duplicate 2-/3-gram
+    fractions). Everything is a narrow per-row array expression — no
+    explode, no shuffle, whole-stage codegen end to end, so the plan is
+    a single parquet-scan→project pass at any corpus size. The
+    most-common-token count is O(distinct×n) per row, bounded by doc
+    (or chunk) length, in exchange for staying shuffle-free — the
+    explode+groupBy alternative would shuffle every (doc, token) pair."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n = F.size(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    big_a = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    big_b = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    bigr = F.zip_with(big_a, big_b, lambda a, b: F.concat_ws(" ", a, b))
+    tri_len = F.greatest(n - 2, F.lit(0))
+    trigr = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, tri_len),
+            F.slice(toks, 2, tri_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(toks, 3, tri_len),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / F.size(arr),
+        ).otherwise(F.lit(0.0))
+
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (top_cnt.cast("double") / n).alias("top_token_frac"),
+        dup_frac(bigr).alias("dup_bigram_frac"),
+        dup_frac(trigr).alias("dup_trigram_frac"),
+    )

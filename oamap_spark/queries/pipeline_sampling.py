@@ -11,7 +11,7 @@ membership depends on partition layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oamap_spark.functions import text as X
@@ -158,3 +158,55 @@ def dedup_keep_canonical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = C.connected_components_min_id(pairs)
     kept = C.dedup_keepers(d, "doc_id", comp)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+
+
+@register(
+    "corpus_token_budget_sample",
+    tags=("llm", "sampling", "budget"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)   AS n_docs_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+       CAST(max(cum) AS BIGINT)   AS budget_used
+FROM c
+WHERE cum <= 2000
+GROUP BY lang
+""",
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: per language, admit documents in
+    deterministic md5(doc_id) order until a fixed token budget (2000
+    here) is exhausted — how a training mix caps each source/language
+    slice at N tokens reproducibly. One window pass (the cumulative sum
+    shuffles once on the partition key) + a map-side final agg; the
+    hash order makes the admitted set independent of physical row order
+    and partitioning, so reruns and engine changes keep the same docs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.select("doc_id", "lang", toks.alias("n_tok"), h.alias("h"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .where(F.col("cum") <= 2000)
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.max("cum").cast("long").alias("budget_used"),
+    )
