@@ -160,8 +160,17 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured bulk of the runtime; at 100 TB the same trick keeps the
     only large shuffle the band join itself."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", X.token_ids("text").alias("ids")).select(
-        "doc_id", X.simhash32(F.col("ids")).alias("h")
+    # Persist the 12-byte/row signature table: the band self-join reads
+    # it from BOTH sides, and without the persist the scan + token-id +
+    # simhash subtree executes twice (measured ~1.3 s of the runtime at
+    # sf0.1). At 100 TB signatures are the thing you'd checkpoint
+    # anyway — they're 4 orders of magnitude narrower than the text.
+    from pyspark import StorageLevel
+
+    sh = (
+        d.select("doc_id", X.token_ids("text").alias("ids"))
+        .select("doc_id", X.simhash32(F.col("ids")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = sh.select(
         "doc_id",
