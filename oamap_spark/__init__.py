@@ -53,6 +53,9 @@ from oamap_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 
+# Row-function compiler (oamap/compiler.py's dual path, SURVEY §2.B).
+from oamap_spark.compiler import CompileError, as_column, compile_row_fn, row_fn_udf
+
 # Schema language (the six PLURTP node types, SURVEY §1.2).
 from oamap_spark.schema import (
     List,
@@ -87,6 +90,8 @@ __all__ = [
     "union_encode", "union_case",
     # scale levers
     "co_partition", "salted_join",
+    # row-function compiler
+    "compile_row_fn", "row_fn_udf", "as_column", "CompileError",
     # dedup
     "exact_dedup_groups", "all_pairs_jaccard", "minhash_lsh_pairs",
     # schema language (PLURTP)

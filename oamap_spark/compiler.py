@@ -1,0 +1,376 @@
+"""Row-function compiler — oamap's compiled-function surface, Spark-first.
+
+oamap's core trick is letting users write a plain Python function over
+proxies and compiling it (Numba when available, interpreted otherwise)
+with **identical semantics either way** (SURVEY §2.B / §3 entry 3 —
+``oamap/compiler.py`` [H]). The Spark image of that design point:
+
+- :func:`compile_row_fn` translates the *Python AST* of a row function
+  (``lambda r: r.x * 2 + r.y``) into a native Column expression —
+  whole-stage-codegen'd JVM execution, the fast path;
+- :func:`row_fn_udf` runs the very same function row-wise inside an
+  Arrow-batched pandas UDF — the slow-but-always-works path;
+- :func:`as_column` tries the compiler and transparently falls back,
+  exactly how oamap falls back from Numba to interpretation.
+
+The dual-path contract (same results, different speed) is pinned by
+``tests/test_compiler.py``. Supported surface: field access (``r.x``,
+``r["x"]``, nested ``r.a.b``), arithmetic (`+ - * / // % **`),
+comparisons (incl. chained), ``and/or/not``, conditional expressions,
+``in`` against literal collections, ``abs/min/max/round/len``, the
+``math`` module's common functions, string methods
+(``upper/lower/strip/startswith/endswith``), ``None`` checks
+(``r.x is None``), and closure constants. Anything else raises
+:class:`CompileError` — and the UDF path picks it up.
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+import math
+import textwrap
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["CompileError", "compile_row_fn", "row_fn_udf", "as_column"]
+
+
+class CompileError(Exception):
+    """The row function uses a construct the Column translator does not
+    support; callers fall back to :func:`row_fn_udf`."""
+
+
+# functions callable by bare name inside a row fn → Column builders
+def _fn_min(*xs: Column) -> Column:
+    return F.least(*xs)
+
+
+def _fn_max(*xs: Column) -> Column:
+    return F.greatest(*xs)
+
+
+_BUILTINS: dict[str, Callable[..., Column]] = {
+    "abs": lambda x: F.abs(x),
+    "min": _fn_min,
+    "max": _fn_max,
+    "round": lambda x, n=None: F.round(x, 0 if n is None else n),
+    "len": lambda x: F.length(x),
+    "int": lambda x: x.cast("long"),
+    "float": lambda x: x.cast("double"),
+    "str": lambda x: x.cast("string"),
+}
+
+_MATH: dict[str, Callable[..., Column]] = {
+    "sqrt": F.sqrt,
+    "log": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "exp": F.exp,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "floor": F.floor,
+    "ceil": F.ceil,
+    "atan2": F.atan2,
+    "pow": F.pow,
+    "fabs": F.abs,
+}
+
+_STR_METHODS: dict[str, Callable[..., Column]] = {
+    "upper": lambda s: F.upper(s),
+    "lower": lambda s: F.lower(s),
+    "strip": lambda s: F.trim(s),
+    "lstrip": lambda s: F.ltrim(s),
+    "rstrip": lambda s: F.rtrim(s),
+    "startswith": lambda s, p: F.startswith(s, p),
+    "endswith": lambda s, p: F.endswith(s, p),
+}
+
+
+def _source_tree(fn: Callable) -> ast.AST:
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError) as exc:  # built in a REPL without source
+        raise CompileError(f"no source available for {fn!r}") from exc
+    src = textwrap.dedent(src)
+    try:
+        mod = ast.parse(src)
+    except SyntaxError:
+        # a lambda embedded in a larger expression (e.g. a call argument)
+        # may not parse standalone; find it by re-parsing loosely
+        raise CompileError("could not parse function source")
+    # locate the first lambda or function def
+    for node in ast.walk(mod):
+        if isinstance(node, ast.Lambda):
+            return node
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            return node
+    raise CompileError("no function definition found in source")
+
+
+def _return_expr(tree: ast.AST) -> tuple[str, ast.expr]:
+    """(row-parameter name, the single returned expression)."""
+    if isinstance(tree, ast.Lambda):
+        if len(tree.args.args) != 1:
+            raise CompileError("row function must take exactly one argument")
+        return tree.args.args[0].arg, tree.body
+    if not isinstance(tree, ast.FunctionDef):
+        raise CompileError("async functions are not supported")
+    if len(tree.args.args) != 1:
+        raise CompileError("row function must take exactly one argument")
+    body = [n for n in tree.body if not isinstance(n, ast.Expr)]  # skip docstring
+    if len(body) != 1 or not isinstance(body[0], ast.Return) or body[0].value is None:
+        raise CompileError("row function body must be a single return <expr>")
+    return tree.args.args[0].arg, body[0].value
+
+
+class _Translator(ast.NodeVisitor):
+    def __init__(self, row_arg: str, closure: dict[str, Any]):
+        self.row = row_arg
+        self.closure = closure
+
+    # -- leaves -------------------------------------------------------
+
+    def visit_Constant(self, node: ast.Constant):
+        if node.value is None or isinstance(node.value, (bool, int, float, str)):
+            return node.value  # kept raw; lifted to Column lazily
+        raise CompileError(f"unsupported constant {node.value!r}")
+
+    def visit_Name(self, node: ast.Name):
+        if node.id == self.row:
+            raise CompileError("bare row argument used as a value")
+        if node.id in self.closure:
+            return self.closure[node.id]
+        raise CompileError(f"unknown name {node.id!r}")
+
+    def _field_path(self, node: ast.expr) -> str | None:
+        """r.a.b / r['a']['b'] → 'a.b'; None if not rooted at the row."""
+        parts: list[str] = []
+        cur = node
+        while True:
+            if isinstance(cur, ast.Attribute):
+                parts.append(cur.attr)
+                cur = cur.value
+            elif isinstance(cur, ast.Subscript) and isinstance(
+                cur.slice, ast.Constant
+            ) and isinstance(cur.slice.value, str):
+                parts.append(cur.slice.value)
+                cur = cur.value
+            elif isinstance(cur, ast.Name):
+                return ".".join(reversed(parts)) if cur.id == self.row else None
+            else:
+                return None
+
+    def visit_Attribute(self, node: ast.Attribute):
+        path = self._field_path(node)
+        if path is not None:
+            return F.col(path)
+        # math.<fn> handled at Call sites; math.pi / math.e as values
+        if isinstance(node.value, ast.Name) and node.value.id == "math":
+            if node.attr in ("pi", "e", "tau", "inf"):
+                return getattr(math, node.attr)
+        raise CompileError(f"unsupported attribute {ast.dump(node)}")
+
+    def visit_Subscript(self, node: ast.Subscript):
+        path = self._field_path(node)
+        if path is not None:
+            return F.col(path)
+        raise CompileError("only string-key subscripts of the row are supported")
+
+    # -- operators ----------------------------------------------------
+
+    def _col(self, v):
+        return v if isinstance(v, Column) else F.lit(v)
+
+    def visit_BinOp(self, node: ast.BinOp):
+        lv, rv = self.visit(node.left), self.visit(node.right)
+        if not isinstance(lv, Column) and not isinstance(rv, Column):
+            raise CompileError("constant-only arithmetic; precompute in Python")
+        left, right = self._col(lv), self._col(rv)
+        op = type(node.op)
+        if op is ast.Add:
+            return left + right
+        if op is ast.Sub:
+            return left - right
+        if op is ast.Mult:
+            return left * right
+        if op is ast.Div:
+            return left / right
+        if op is ast.FloorDiv:
+            return F.floor(left / right).cast("long")
+        if op is ast.Mod:
+            # Python's % is floored (−7 % 5 == 3); Spark's is truncated
+            # (−2). pmod matches Python for positive divisors (the
+            # negative-divisor corner stays unsupported-by-omission).
+            return F.pmod(left, right)
+        if op is ast.Pow:
+            return F.pow(left, right)
+        if op is ast.BitAnd:
+            return left.bitwiseAND(right)
+        if op is ast.BitOr:
+            return left.bitwiseOR(right)
+        if op is ast.BitXor:
+            return left.bitwiseXOR(right)
+        raise CompileError(f"unsupported operator {op.__name__}")
+
+    def visit_UnaryOp(self, node: ast.UnaryOp):
+        v = self.visit(node.operand)
+        if isinstance(node.op, ast.USub):
+            return -self._col(v) if isinstance(v, Column) else -v
+        if isinstance(node.op, ast.Not):
+            return ~self._col(v)
+        raise CompileError(f"unsupported unary {type(node.op).__name__}")
+
+    def visit_BoolOp(self, node: ast.BoolOp):
+        vals = [self._col(self.visit(v)) for v in node.values]
+        out = vals[0]
+        for v in vals[1:]:
+            out = (out & v) if isinstance(node.op, ast.And) else (out | v)
+        return out
+
+    def visit_Compare(self, node: ast.Compare):
+        left = self.visit(node.left)
+        out = None
+        for op, comp in zip(node.ops, node.comparators):
+            right = self.visit(comp)
+            piece = self._compare_one(left, type(op), right, comp)
+            out = piece if out is None else out & piece
+            left = right
+        return out
+
+    def _compare_one(self, left, op, right, right_node):
+        if op in (ast.In, ast.NotIn):
+            if not isinstance(right, (list, tuple, set, frozenset)):
+                raise CompileError("`in` requires a literal/closure collection")
+            col = self._col(left).isin(*list(right))
+            return ~col if op is ast.NotIn else col
+        if op in (ast.Is, ast.IsNot):
+            if right is not None:
+                raise CompileError("`is` only supported against None")
+            col = self._col(left).isNull()
+            return ~col if op is ast.IsNot else col
+        lc, rc = self._col(left), right if isinstance(right, Column) else F.lit(right)
+        if op is ast.Lt:
+            return lc < rc
+        if op is ast.LtE:
+            return lc <= rc
+        if op is ast.Gt:
+            return lc > rc
+        if op is ast.GtE:
+            return lc >= rc
+        if op is ast.Eq:
+            return lc == rc
+        if op is ast.NotEq:
+            return lc != rc
+        raise CompileError(f"unsupported comparison {op.__name__}")
+
+    def visit_IfExp(self, node: ast.IfExp):
+        cond = self._col(self.visit(node.test))
+        t, f = self.visit(node.body), self.visit(node.orelse)
+        return F.when(cond, self._col(t)).otherwise(self._col(f))
+
+    def visit_Call(self, node: ast.Call):
+        if node.keywords:
+            raise CompileError("keyword arguments not supported")
+        args = [self.visit(a) for a in node.args]
+        # math.<fn>(...)
+        if (
+            isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "math"
+        ):
+            fn = _MATH.get(node.func.attr)
+            if fn is None:
+                raise CompileError(f"unsupported math.{node.func.attr}")
+            return fn(*[self._col(a) for a in args])
+        # <string-expr>.method(...) — receiver may itself be a compiled
+        # expression (r.s.lower().startswith("a") chains)
+        if isinstance(node.func, ast.Attribute):
+            meth = _STR_METHODS.get(node.func.attr)
+            if meth is not None:
+                recv = self.visit(node.func.value)
+                if isinstance(recv, Column):
+                    return meth(recv, *[self._col(a) for a in args])
+            raise CompileError(f"unsupported method {node.func.attr!r}")
+        if isinstance(node.func, ast.Name):
+            fn = _BUILTINS.get(node.func.id)
+            if fn is not None:
+                return fn(*[self._col(a) for a in args])
+        raise CompileError(f"unsupported call {ast.dump(node.func)}")
+
+    def visit_Tuple(self, node: ast.Tuple):
+        return tuple(self.visit(e) for e in node.elts)
+
+    def visit_List(self, node: ast.List):
+        return [self.visit(e) for e in node.elts]
+
+    def generic_visit(self, node):
+        raise CompileError(f"unsupported syntax: {type(node).__name__}")
+
+
+def _closure_env(fn: Callable) -> dict[str, Any]:
+    env: dict[str, Any] = {}
+    if fn.__closure__ and fn.__code__.co_freevars:
+        for name, cell in zip(fn.__code__.co_freevars, fn.__closure__):
+            try:
+                env[name] = cell.cell_contents
+            except ValueError:
+                pass
+    # globals referenced by the function (constants only — modules and
+    # callables other than `math` stay unsupported)
+    for name in fn.__code__.co_names:
+        if name in fn.__globals__ and name not in env and name != "math":
+            v = fn.__globals__[name]
+            if isinstance(v, (bool, int, float, str, list, tuple, set, frozenset)):
+                env[name] = v
+    return env
+
+
+def compile_row_fn(fn: Callable[[Any], Any]) -> Column:
+    """Translate a plain Python row function into a native Column
+    expression (the Catalyst/codegen fast path). Raises
+    :class:`CompileError` when the function falls outside the supported
+    surface — use :func:`as_column` to fall back automatically."""
+    tree = _source_tree(fn)
+    row_arg, expr = _return_expr(tree)
+    out = _Translator(row_arg, _closure_env(fn)).visit(expr)
+    if not isinstance(out, Column):
+        raise CompileError("function does not reference any row field")
+    return out
+
+
+def row_fn_udf(fn: Callable[[Any], Any], return_type: str) -> Column:
+    """The same row function through an Arrow-batched pandas UDF — row
+    namedtuple semantics preserved; ~10-100× slower than the compiled
+    path but unrestricted (oamap's interpreted fallback)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf, struct
+
+    def make(cols):
+        def run(batch):
+            rows = batch.itertuples(index=False)
+            return pd.Series([fn(r) for r in rows])
+
+        # set hints programmatically: the module's `from __future__
+        # import annotations` would stringify inline ones, which
+        # pyspark's typehint parser rejects
+        run.__annotations__ = {"batch": pd.DataFrame, "return": pd.Series}
+        return pandas_udf(return_type)(run)(struct(*cols))
+
+    return make
+
+
+def as_column(fn: Callable[[Any], Any], df=None, return_type: str = "double"):
+    """oamap's dual path in one call: compiled Column when the function
+    is translatable, pandas-UDF fallback otherwise (``df`` supplies the
+    row columns the fallback struct packs; required only on fallback)."""
+    try:
+        return compile_row_fn(fn)
+    except CompileError:
+        if df is None:
+            raise
+        return row_fn_udf(fn, return_type)(df.columns)

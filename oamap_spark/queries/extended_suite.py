@@ -192,3 +192,43 @@ def slice_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(15)
     )
+
+
+@register(
+    "compiled_rowfn_revenue",
+    tags=("compiler", "dual-path", "udf-surface"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS gross_revenue
+FROM lineitem
+WHERE l_quantity > 25 AND l_discount BETWEEN 0.02 AND 0.08
+GROUP BY l_returnflag
+""",
+)
+def compiled_rowfn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compiled-function surface end-to-end (oamap/compiler.py's
+    design point): the predicate and the per-row measure are written as
+    plain Python lambdas and AST-compiled into native Column
+    expressions by ``oamap_spark.compiler`` — so the 'user function'
+    runs inside whole-stage codegen, not in Python. The identical
+    lambdas would also run through the Arrow-UDF fallback with the
+    same results (tests/test_compiler.py pins that equivalence)."""
+    from oamap_spark.compiler import compile_row_fn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keep = compile_row_fn(
+        lambda r: r.l_quantity > 25 and (0.02 <= r.l_discount <= 0.08)
+    )
+    gross = compile_row_fn(
+        lambda r: r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax)
+    )
+    return (
+        li.where(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(gross), 2).alias("gross_revenue"),
+        )
+    )
