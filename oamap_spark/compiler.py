@@ -34,6 +34,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["CompileError", "compile_row_fn", "row_fn_udf", "as_column"]
 
@@ -128,9 +129,11 @@ def _return_expr(tree: ast.AST) -> tuple[str, ast.expr]:
 
 
 class _Translator(ast.NodeVisitor):
-    def __init__(self, row_arg: str, closure: dict[str, Any]):
+    def __init__(self, row_arg: str, closure: dict[str, Any], schema=None):
         self.row = row_arg
         self.closure = closure
+        self.schema = schema  # optional StructType for type-aware lowering
+        self.locals: dict[str, Column] = {}  # comprehension variables
 
     # -- leaves -------------------------------------------------------
 
@@ -140,11 +143,28 @@ class _Translator(ast.NodeVisitor):
         raise CompileError(f"unsupported constant {node.value!r}")
 
     def visit_Name(self, node: ast.Name):
+        if node.id in self.locals:
+            return self.locals[node.id]
         if node.id == self.row:
             raise CompileError("bare row argument used as a value")
         if node.id in self.closure:
             return self.closure[node.id]
         raise CompileError(f"unknown name {node.id!r}")
+
+    def _field_type(self, node: ast.expr):
+        """Spark DataType of a row-field path, when a schema was given."""
+        if self.schema is None:
+            return None
+        path = self._field_path(node)
+        if path is None:
+            return None
+        dt = self.schema
+        for part in path.split("."):
+            try:
+                dt = dt[part].dataType
+            except (KeyError, TypeError):
+                return None
+        return dt
 
     def _field_path(self, node: ast.expr) -> str | None:
         """r.a.b / r['a']['b'] → 'a.b'; None if not rooted at the row."""
@@ -164,10 +184,35 @@ class _Translator(ast.NodeVisitor):
             else:
                 return None
 
+    def _local_field(self, node: ast.expr) -> Column | None:
+        """x.a.b where x is a comprehension variable → struct getField
+        chain on the bound lambda Column."""
+        parts: list[str] = []
+        cur = node
+        while True:
+            if isinstance(cur, ast.Attribute):
+                parts.append(cur.attr)
+                cur = cur.value
+            elif isinstance(cur, ast.Subscript) and isinstance(
+                cur.slice, ast.Constant
+            ) and isinstance(cur.slice.value, str):
+                parts.append(cur.slice.value)
+                cur = cur.value
+            elif isinstance(cur, ast.Name) and cur.id in self.locals:
+                col = self.locals[cur.id]
+                for p in reversed(parts):
+                    col = col.getField(p)
+                return col
+            else:
+                return None
+
     def visit_Attribute(self, node: ast.Attribute):
         path = self._field_path(node)
         if path is not None:
             return F.col(path)
+        local = self._local_field(node)
+        if local is not None:
+            return local
         # math.<fn> handled at Call sites; math.pi / math.e as values
         if isinstance(node.value, ast.Name) and node.value.id == "math":
             if node.attr in ("pi", "e", "tau", "inf"):
@@ -178,6 +223,9 @@ class _Translator(ast.NodeVisitor):
         path = self._field_path(node)
         if path is not None:
             return F.col(path)
+        local = self._local_field(node)
+        if local is not None:
+            return local
         raise CompileError("only string-key subscripts of the row are supported")
 
     # -- operators ----------------------------------------------------
@@ -272,9 +320,90 @@ class _Translator(ast.NodeVisitor):
         t, f = self.visit(node.body), self.visit(node.orelse)
         return F.when(cond, self._col(t)).otherwise(self._col(f))
 
+    def _lower_genexp(self, fname: str, gen: ast.GeneratorExp) -> Column:
+        """oamap's per-row sublist loop (``for mu in ev.muons`` inside a
+        user fcn [H]) → Spark higher-order array functions: any→exists,
+        all→forall, sum→aggregate, max/min→array_max/min over transform.
+        ``if`` clauses become an array filter stage."""
+        if len(gen.generators) != 1:
+            raise CompileError("only a single `for` clause is supported")
+        comp = gen.generators[0]
+        if comp.is_async or not isinstance(comp.target, ast.Name):
+            raise CompileError("unsupported comprehension target")
+        arr = self.visit(comp.iter)
+        if not isinstance(arr, Column):
+            raise CompileError("comprehension must iterate a row array field")
+        var = comp.target.id
+
+        def with_var(c: Column, body: ast.expr) -> Column:
+            saved, had = self.locals.get(var), var in self.locals
+            self.locals[var] = c
+            try:
+                return self._col(self.visit(body))
+            finally:
+                if had:
+                    self.locals[var] = saved
+                else:
+                    self.locals.pop(var, None)
+
+        # NB: bind via closure, not a defaulted second parameter —
+        # pyspark introspects lambda arity and would pass the element
+        # INDEX into a 2-arg callback
+        def filter_fn(cond: ast.expr):
+            return lambda c: with_var(c, cond)
+
+        for cond in comp.ifs:
+            arr = F.filter(arr, filter_fn(cond))
+        elt = gen.elt
+        if fname == "any":
+            return F.exists(arr, lambda c: with_var(c, elt))
+        if fname == "all":
+            return F.forall(arr, lambda c: with_var(c, elt))
+        mapped = F.transform(arr, lambda c: with_var(c, elt))
+        if fname == "sum":
+            # DOUBLE accumulator: element types aren't known statically;
+            # Python int sums compare equal to the resulting doubles
+            return F.aggregate(
+                mapped,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+        if fname == "max":
+            return F.array_max(mapped)
+        if fname == "min":
+            return F.array_min(mapped)
+        raise CompileError(f"unsupported generator consumer {fname!r}")
+
     def visit_Call(self, node: ast.Call):
         if node.keywords:
             raise CompileError("keyword arguments not supported")
+        # any/all/sum/max/min over a generator expression — the nested
+        # per-row loop surface; must intercept before eager arg visits
+        if (
+            isinstance(node.func, ast.Name)
+            and len(node.args) == 1
+            and isinstance(node.args[0], ast.GeneratorExp)
+            and node.func.id in ("any", "all", "sum", "max", "min")
+        ):
+            return self._lower_genexp(node.func.id, node.args[0])
+        # schema-aware single-arg builtins on ARRAY fields
+        if (
+            isinstance(node.func, ast.Name)
+            and len(node.args) == 1
+            and node.func.id in ("len", "sum", "max", "min")
+        ):
+            dt = self._field_type(node.args[0])
+            if isinstance(dt, T.ArrayType):
+                col = self.visit(node.args[0])
+                if node.func.id == "len":
+                    return F.size(col)
+                if node.func.id == "max":
+                    return F.array_max(col)
+                if node.func.id == "min":
+                    return F.array_min(col)
+                return F.aggregate(
+                    col, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                )
         args = [self.visit(a) for a in node.args]
         # math.<fn>(...)
         if (
@@ -329,14 +458,17 @@ def _closure_env(fn: Callable) -> dict[str, Any]:
     return env
 
 
-def compile_row_fn(fn: Callable[[Any], Any]) -> Column:
+def compile_row_fn(fn: Callable[[Any], Any], schema=None) -> Column:
     """Translate a plain Python row function into a native Column
-    expression (the Catalyst/codegen fast path). Raises
+    expression (the Catalyst/codegen fast path). ``schema`` (the
+    DataFrame's StructType) enables type-aware lowering — ``len``/
+    ``max``/``min``/``sum`` over array fields become ``size``/
+    ``array_max``/``array_min``/``aggregate``. Raises
     :class:`CompileError` when the function falls outside the supported
     surface — use :func:`as_column` to fall back automatically."""
     tree = _source_tree(fn)
     row_arg, expr = _return_expr(tree)
-    out = _Translator(row_arg, _closure_env(fn)).visit(expr)
+    out = _Translator(row_arg, _closure_env(fn), schema=schema).visit(expr)
     if not isinstance(out, Column):
         raise CompileError("function does not reference any row field")
     return out
@@ -369,7 +501,7 @@ def as_column(fn: Callable[[Any], Any], df=None, return_type: str = "double"):
     is translatable, pandas-UDF fallback otherwise (``df`` supplies the
     row columns the fallback struct packs; required only on fallback)."""
     try:
-        return compile_row_fn(fn)
+        return compile_row_fn(fn, schema=None if df is None else df.schema)
     except CompileError:
         if df is None:
             raise

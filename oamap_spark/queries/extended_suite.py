@@ -232,3 +232,42 @@ def compiled_rowfn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(gross), 2).alias("gross_revenue"),
         )
     )
+
+
+@register(
+    "compiled_nested_event_loop",
+    tags=("compiler", "nested", "dual-path"),
+    oracle="""
+SELECT l_orderkey,
+       CAST(count(*) AS INT)       AS n_items,
+       bool_or(l_quantity > 45)    AS has_big,
+       sum(l_quantity)             AS qty_sum
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def compiled_nested_event_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oamap's signature idiom — a Python loop over an event's sublist
+    (``for item in order.items``) — compiled to Spark: lineitems are
+    nested under their order (collect_list of structs), then the three
+    per-order measures are plain Python functions over that nested row,
+    AST-lowered to size / exists / aggregate higher-order expressions
+    (oamap/compiler.py's jitted loops [H]). The oracle computes the
+    same measures in flat SQL — results identical, plans differ. All
+    three measures are order-insensitive (count / any / exact integral
+    sums), so collect_list's nondeterministic element order is safe."""
+    from oamap_spark.compiler import compile_row_fn
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_extendedprice")).alias("items")
+    )
+    n_items = compile_row_fn(lambda r: len(r.items), schema=nested.schema)
+    has_big = compile_row_fn(lambda r: any(it.l_quantity > 45 for it in r.items))
+    qty_sum = compile_row_fn(lambda r: sum(it.l_quantity for it in r.items))
+    return nested.select(
+        "l_orderkey",
+        n_items.alias("n_items"),
+        has_big.alias("has_big"),
+        qty_sum.alias("qty_sum"),
+    )

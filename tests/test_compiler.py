@@ -171,3 +171,87 @@ def test_compiled_fn_in_filter_and_define(df):
     assert sorted(r["x"] for r in out.collect()) == [1, 40]
     out2 = define(df, "z", compile_row_fn(lambda r: r.x + len(r.s)))
     assert sorted(r["z"] for r in out2.collect()) == [-3, 5, 6, 47]
+
+
+# ---------------------------------------------------------------------------
+# nested per-row loops (oamap's `for mu in ev.muons` idiom)
+# ---------------------------------------------------------------------------
+
+NESTED = [
+    {"eid": 1, "pts": [1.0, 5.5, 3.0], "qs": [1, -1, 1]},
+    {"eid": 2, "pts": [], "qs": []},
+    {"eid": 3, "pts": [9.0], "qs": [-1]},
+]
+
+
+@pytest.fixture()
+def ndf(spark):
+    return fromdata(
+        spark,
+        [{**r} for r in NESTED],
+        schema="eid long, pts array<double>, qs array<long>",
+    )
+
+
+def _ncollect(ndf, col):
+    return [r["v"] for r in ndf.orderBy("eid").select(col.alias("v")).collect()]
+
+
+def test_genexp_any_all(ndf):
+    fn = lambda r: any(x > 4 for x in r.pts)  # noqa: E731
+    assert _ncollect(ndf, compile_row_fn(fn)) == [True, False, True]
+    fn2 = lambda r: all(x > 0 for x in r.pts)  # noqa: E731
+    assert _ncollect(ndf, compile_row_fn(fn2)) == [True, True, True]  # vacuous
+
+
+def test_genexp_sum_with_if(ndf):
+    fn = lambda r: sum(x * 2 for x in r.pts if x > 2)  # noqa: E731
+    got = _ncollect(ndf, compile_row_fn(fn))
+    class R:  # python ground truth
+        def __init__(self, d): self.__dict__.update(d)
+    want = [fn(R(r)) for r in NESTED]
+    assert got == want  # 17.0, 0, 18.0
+
+
+def test_genexp_max(ndf):
+    fn = lambda r: max(x for x in r.pts)  # noqa: E731
+    got = _ncollect(ndf, compile_row_fn(fn))
+    assert got[0] == 5.5 and got[2] == 9.0
+    assert got[1] is None  # empty sublist → null (Python raises; masked here)
+
+
+def test_schema_aware_array_builtins(ndf):
+    fn = lambda r: len(r.pts)  # noqa: E731
+    assert _ncollect(ndf, compile_row_fn(fn, schema=ndf.schema)) == [3, 0, 1]
+    fn2 = lambda r: sum(r.qs)  # noqa: E731
+    assert _ncollect(ndf, compile_row_fn(fn2, schema=ndf.schema)) == [1.0, 0.0, -1.0]
+    fn3 = lambda r: max(r.pts)  # noqa: E731
+    got = _ncollect(ndf, compile_row_fn(fn3, schema=ndf.schema))
+    assert got[0] == 5.5 and got[1] is None
+
+
+def test_len_still_string_length_without_array_schema(df):
+    _dual(df, lambda r: len(r.s))
+
+
+def test_genexp_combined_with_scalars(ndf):
+    fn = lambda r: r.eid * 100 + sum(1.0 for x in r.pts if x >= 3)  # noqa: E731
+    got = _ncollect(ndf, compile_row_fn(fn))
+    assert got == [102.0, 200.0, 301.0]
+
+
+def test_genexp_struct_field_access(spark):
+    df = fromdata(
+        spark,
+        [
+            {"eid": 1, "items": [{"q": 50.0, "p": 1.0}, {"q": 10.0, "p": 2.0}]},
+            {"eid": 2, "items": [{"q": 5.0, "p": 3.0}]},
+        ],
+        schema="eid long, items array<struct<q: double, p: double>>",
+    )
+    fn = lambda r: any(it.q > 45 for it in r.items)  # noqa: E731
+    got = [r["v"] for r in df.orderBy("eid").select(compile_row_fn(fn).alias("v")).collect()]
+    assert got == [True, False]
+    fn2 = lambda r: sum(it.q * it.p for it in r.items)  # noqa: E731
+    got2 = [r["v"] for r in df.orderBy("eid").select(compile_row_fn(fn2).alias("v")).collect()]
+    assert got2 == [70.0, 15.0]
