@@ -146,3 +146,25 @@ def test_no_unexpected_cartesian_products(spark):
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct in plan")
     assert not offenders, offenders
+
+
+def test_compiled_rowfn_stays_jvm_side(spark, queries):
+    """The AST-compiled row functions must produce a pure-JVM plan: no
+    Python evaluation node anywhere, and the compiled predicate pushed
+    into the parquet scan — the whole point of compiling instead of
+    wrapping a UDF."""
+    df = queries["compiled_rowfn_revenue"](spark, SF_SMOKE)
+    plan = audit.plan_string(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pushed = " ".join(audit.pushed_filters(df)).lower()
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_compiled_nested_loop_stays_jvm_side(spark, queries):
+    """Generator-expression loops lower to higher-order array functions
+    — still no Python in the plan, and exactly the one groupBy shuffle
+    that builds the per-order nest."""
+    df = queries["compiled_nested_event_loop"](spark, SF_SMOKE)
+    plan = audit.plan_string(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert audit.shuffle_count(df) == 1
