@@ -206,3 +206,36 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
     )
+
+
+@register(
+    "sliding_window_counts",
+    tags=("events", "window", "sliding"),
+    oracle="""
+SELECT ws AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events,
+     UNNEST([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY])
+       AS u(ws)
+GROUP BY 1, 2
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 2-day windows advancing 1 day, so
+    every event belongs to exactly two windows. F.window handles the
+    multi-assignment natively (one generator, no self-join); the same
+    expression runs unchanged under readStream with a watermark. The
+    oracle unnests each event into its two window starts — identical
+    grouping, different plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 days", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )

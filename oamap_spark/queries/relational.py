@@ -478,3 +478,39 @@ def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.union(auto).distinct().exceptAll(
         negative.intersect(building)
     ).distinct()
+
+
+@register(
+    "salted_join_priority_volume",
+    tags=("join", "skew", "salted"),
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew lever as a declared query: lineitem⋈orders
+    through ``salted_join`` — the probe side carries a seeded salt, the
+    build side replicates across the salt domain, so one pathological
+    orderkey would spread over `salt` reducers instead of melting one.
+    Results are provably identical to the plain join (the oracle IS the
+    plain join); only the shuffle layout differs. AQE's skew splitting
+    covers moderate skew on its own — this is the guaranteed-layout
+    form for the pathological case (SURVEY §7.4)."""
+    from oamap_spark.operators import partitioning as P
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = P.salted_join(orders, li, "o_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
