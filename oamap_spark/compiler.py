@@ -386,13 +386,16 @@ class _Translator(ast.NodeVisitor):
             and node.func.id in ("any", "all", "sum", "max", "min")
         ):
             return self._lower_genexp(node.func.id, node.args[0])
-        # schema-aware single-arg builtins on ARRAY fields
+        # schema-aware single-arg builtins on ARRAY fields (a list
+        # comprehension argument is an array by construction)
         if (
             isinstance(node.func, ast.Name)
             and len(node.args) == 1
             and node.func.id in ("len", "sum", "max", "min")
         ):
             dt = self._field_type(node.args[0])
+            if isinstance(node.args[0], ast.ListComp):
+                dt = T.ArrayType(T.DoubleType())  # marker: array-typed expr
             if isinstance(dt, T.ArrayType):
                 col = self.visit(node.args[0])
                 if node.func.id == "len":
@@ -429,6 +432,40 @@ class _Translator(ast.NodeVisitor):
             if fn is not None:
                 return fn(*[self._col(a) for a in args])
         raise CompileError(f"unsupported call {ast.dump(node.func)}")
+
+    def visit_ListComp(self, node: ast.ListComp) -> Column:
+        """``[expr for x in r.xs if cond]`` → filter + transform: the
+        sublist *map* (stays an array column, oamap's nested define)."""
+        if len(node.generators) != 1:
+            raise CompileError("only a single `for` clause is supported")
+        comp = node.generators[0]
+        if comp.is_async or not isinstance(comp.target, ast.Name):
+            raise CompileError("unsupported comprehension target")
+        arr = self.visit(comp.iter)
+        if not isinstance(arr, Column):
+            raise CompileError("comprehension must iterate a row array field")
+        var = comp.target.id
+
+        def with_var(c: Column, body: ast.expr) -> Column:
+            saved, had = self.locals.get(var), var in self.locals
+            self.locals[var] = c
+            try:
+                return self._col(self.visit(body))
+            finally:
+                if had:
+                    self.locals[var] = saved
+                else:
+                    self.locals.pop(var, None)
+
+        def bind(b: ast.expr):
+            return lambda c: with_var(c, b)
+
+        for cond in comp.ifs:
+            arr = F.filter(arr, bind(cond))
+        # identity map ([x for x in xs if ...]) needs no transform
+        if isinstance(node.elt, ast.Name) and node.elt.id == var:
+            return arr
+        return F.transform(arr, bind(node.elt))
 
     def visit_Tuple(self, node: ast.Tuple):
         return tuple(self.visit(e) for e in node.elts)

@@ -236,6 +236,7 @@ def compiled_rowfn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "compiled_nested_event_loop",
+    bench=True,
     tags=("compiler", "nested", "dual-path"),
     oracle="""
 SELECT l_orderkey,

@@ -249,6 +249,7 @@ def doc_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition_signals",
+    bench=True,
     tags=("llm", "text", "quality", "repetition"),
     oracle="""
 WITH t AS (

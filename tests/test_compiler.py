@@ -126,7 +126,7 @@ def test_nested_field_access(spark):
 
 def test_unsupported_constructs_raise():
     with pytest.raises(CompileError):
-        compile_row_fn(lambda r: [v for v in r.xs])  # comprehension
+        compile_row_fn(lambda r: {v for v in r.xs})  # set comprehension
     with pytest.raises(CompileError):
         compile_row_fn(lambda r: hash(r.x))  # unsupported call
     with pytest.raises(CompileError):
@@ -255,3 +255,15 @@ def test_genexp_struct_field_access(spark):
     fn2 = lambda r: sum(it.q * it.p for it in r.items)  # noqa: E731
     got2 = [r["v"] for r in df.orderBy("eid").select(compile_row_fn(fn2).alias("v")).collect()]
     assert got2 == [70.0, 15.0]
+
+
+def test_list_comprehension_maps_sublist(ndf):
+    fn = lambda r: [x * 2 for x in r.pts if x > 2]  # noqa: E731
+    got = _ncollect(ndf, compile_row_fn(fn))
+    assert got == [[11.0, 6.0], [], [18.0]]
+    # identity comprehension → the (filtered) array itself
+    fn2 = lambda r: [x for x in r.pts if x >= 3]  # noqa: E731
+    assert _ncollect(ndf, compile_row_fn(fn2)) == [[5.5, 3.0], [], [9.0]]
+    # len of a comprehension → size
+    fn3 = lambda r: len([x for x in r.pts if x > 2])  # noqa: E731
+    assert _ncollect(ndf, compile_row_fn(fn3)) == [2, 0, 1]
