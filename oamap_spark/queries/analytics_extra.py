@@ -287,3 +287,106 @@ def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.value").alias("n"),
         F.element_at(F.col("m2"), F.col("e.key")).alias("n_doubled"),
     )
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    """One unrolled PageRank CTE step: r{k} from r{k-1}. Per-iteration
+    round(12) keeps both engines on identical doubles so float sum
+    order can't drift across 5 iterations."""
+    return f"""
+r{k} AS (
+  SELECT an.node,
+         round(0.15 / an.cnt + 0.85 * COALESCE(sum(rp.rank * e.w / ow.wout), 0.0),
+               12) AS rank
+  FROM an
+  LEFT JOIN e  ON e.next = an.node
+  LEFT JOIN r{k - 1} rp ON rp.node = e.prev
+  LEFT JOIN ow ON ow.node = e.prev
+  GROUP BY an.node, an.cnt
+)"""
+
+
+@register(
+    "pagerank_event_types",
+    tags=("graph", "iterative", "pagerank"),
+    oracle=(
+        """
+WITH pairs AS (
+  SELECT event_type AS next,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+e AS (
+  SELECT prev, next, CAST(count(*) AS DOUBLE) AS w
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+ow AS (SELECT prev AS node, sum(w) AS wout FROM e GROUP BY 1),
+an AS (
+  SELECT event_type AS node,
+         CAST((SELECT count(DISTINCT event_type) FROM events) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1
+),
+r0 AS (SELECT node, round(1.0 / cnt, 12) AS rank FROM an),
+"""
+        + ",".join(_pagerank_iter_sql(k) for k in range(1, 6))
+        + """
+SELECT node AS event_type, round(rank, 6) AS pagerank FROM r5
+"""
+    ),
+)
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm with an EXACT SQL oracle: 5 power iterations
+    of PageRank (d=0.85, no dangling redistribution) over the
+    event-type transition graph. The heavy part — condensing 600k
+    events into the weighted edge list — is one window pass + one agg;
+    the iteration then runs over a dimension-sized node set, entirely
+    as lazy DataFrame joins (no collect; the node count reaches the
+    plan as a 1-row broadcast cross join). Per-iteration round(12) pins
+    both engines to identical doubles so summation order can't drift.
+    At 100 TB the edge condensation dominates and stays two shuffles;
+    the iteration cost is independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    e = pairs.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    ow = e.groupBy(F.col("prev").alias("node")).agg(F.sum("w").alias("wout"))
+    ncnt = ev.select("event_type").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    an = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(ncnt))
+    )
+    rank = an.select("node", F.round(F.lit(1.0) / F.col("cnt"), 12).alias("rank"))
+    for _ in range(5):
+        contrib = (
+            e.join(rank.withColumnRenamed("node", "prev"), "prev")
+            .join(ow.withColumnRenamed("node", "prev"), "prev")
+            .select(
+                F.col("next").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("wout")).alias("c"),
+            )
+        )
+        rank = (
+            an.join(contrib, "node", "left")
+            .groupBy("node", "cnt")
+            .agg(
+                F.round(
+                    F.lit(0.15) / F.col("cnt")
+                    + F.lit(0.85) * F.coalesce(F.sum("c"), F.lit(0.0)),
+                    12,
+                ).alias("rank")
+            )
+            .select("node", "rank")
+        )
+    # rank already covers every node (left join from `an` each round)
+    return rank.select(
+        F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
+    )
