@@ -255,3 +255,55 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "fuzzy_join_part_names",
+    tags=("llm", "dedup", "fuzzy", "edit-distance"),
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name AS nm FROM part)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM names a JOIN names b ON a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 1
+""",
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join at edit distance ≤ 1 via the SymSpell
+    deletion-neighborhood trick: each distinct name is keyed by itself
+    plus every single-character deletion, so any two strings within one
+    edit (sub/ins/del) share at least one key — an equi-join over short
+    keys replaces the quadratic levenshtein cross-product the oracle
+    runs. Candidates (which can reach distance 2) are verified with one
+    exact levenshtein per pair. The variant generation is a narrow
+    higher-order expression; at 100 TB the join shuffles only
+    (variant, name) pairs — ~L+1 short rows per distinct name — and the
+    candidate set, never all-pairs."""
+    d = load_table(spark, sf_dir, "part")
+    names = d.select(F.col("p_name").alias("nm")).distinct()
+    variants = names.select(
+        "nm",
+        F.explode(
+            F.array_union(
+                F.array(F.col("nm")),
+                F.expr(
+                    "transform(sequence(1, length(nm)),"
+                    " i -> concat(substr(nm, 1, i - 1), substr(nm, i + 1)))"
+                ),
+            )
+        ).alias("k"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(
+            variants.alias("b"),
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.nm") < F.col("b.nm")),
+        )
+        .select(F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b"))
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    ).where(F.col("dist") <= 1)
