@@ -233,6 +233,13 @@ class _Translator(ast.NodeVisitor):
     def _col(self, v):
         return v if isinstance(v, Column) else F.lit(v)
 
+    def _is_stringy(self, node: ast.expr, value) -> bool:
+        if isinstance(value, str):
+            return True
+        if isinstance(node, ast.Constant):
+            return isinstance(node.value, str)
+        return isinstance(self._field_type(node), T.StringType)
+
     def visit_BinOp(self, node: ast.BinOp):
         lv, rv = self.visit(node.left), self.visit(node.right)
         if not isinstance(lv, Column) and not isinstance(rv, Column):
@@ -240,6 +247,11 @@ class _Translator(ast.NodeVisitor):
         left, right = self._col(lv), self._col(rv)
         op = type(node.op)
         if op is ast.Add:
+            # Python string + is concatenation; Spark's numeric `+` on
+            # strings silently yields nulls — detect via constants or
+            # the (optional) schema and emit concat instead
+            if self._is_stringy(node.left, lv) or self._is_stringy(node.right, rv):
+                return F.concat(left, right)
             return left + right
         if op is ast.Sub:
             return left - right

@@ -390,3 +390,137 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(
         F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@register(
+    "interpolate_daily_values",
+    tags=("timeseries", "window", "interpolation"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    * 100.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS observed
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+  SELECT t.event_type, CAST(u.d AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN bounds b,
+       UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS u(d)
+),
+joined AS (
+  SELECT s.event_type, s.day, d.observed FROM spine s
+  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+),
+ctx AS (
+  SELECT event_type, day, observed,
+    last_value(CASE WHEN observed IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    last_value(observed IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN observed IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+    first_value(observed IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM joined
+)
+SELECT event_type, day, observed,
+  CAST(floor((CASE
+    WHEN observed IS NOT NULL THEN observed
+    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      pv + (nv - pv) * date_diff('day', pd, day)
+                     / date_diff('day', pd, nd)
+    WHEN pv IS NOT NULL THEN pv
+    ELSE nv END) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS interp
+FROM ctx
+""",
+)
+def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR interpolation: daily averages
+    per event type on a full calendar spine; missing days take
+    prev + (next−prev)·Δt/T between the nearest observed neighbours
+    (hold / backfill at the edges). Two IGNORE-NULLS window passes over
+    the same (type, day-ordered) partitioning — one shuffle total for
+    spine join + both windows; the spine is generated, never stored.
+    The observed mean uses an exact integer-cents sum and the
+    deterministic floor(x·10⁴+0.5) rounding, so both engines
+    interpolate from — and emit — bit-identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer-cents sum → the daily mean is EXACT and order-independent
+    # (a float avg can land on a rounding boundary differently per
+    # engine depending on summation order)
+    # deterministic 4-decimal rounding: both engines compute the SAME
+    # double (exact integer-cents sum → one division), then
+    # floor(x·10⁴+0.5) — engine round() implementations disagree on
+    # exact decimal boundaries (BigDecimal HALF_UP vs pure-double)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.floor(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                * F.lit(100.0)
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            ).cast("long")
+            / F.lit(10000.0)
+        ).alias("observed")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "observed",
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.last("observed", ignorenulls=True).over(back).alias("pv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+        F.first("observed", ignorenulls=True).over(fwd).alias("nv"),
+    )
+    interp = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd"),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        "observed",
+        (F.floor(interp * 10000.0 + F.lit(0.5)).cast("long") / F.lit(10000.0)).alias(
+            "interp"
+        ),
+    )

@@ -267,3 +267,16 @@ def test_list_comprehension_maps_sublist(ndf):
     # len of a comprehension → size
     fn3 = lambda r: len([x for x in r.pts if x > 2])  # noqa: E731
     assert _ncollect(ndf, compile_row_fn(fn3)) == [2, 0, 1]
+
+
+def test_string_concat_plus(df):
+    # Python + on strings is concat — must not become numeric addition
+    fn = lambda r: r.s + "!"  # noqa: E731
+    got = [r["v"] for r in df.select(compile_row_fn(fn).alias("v")).collect()]
+    assert got == [r["s"] + "!" for r in ROWS]
+    fn2 = lambda r: r.s + r.s  # noqa: E731  (needs schema to detect)
+    got2 = [
+        r["v"]
+        for r in df.select(compile_row_fn(fn2, schema=df.schema).alias("v")).collect()
+    ]
+    assert got2 == [r["s"] + r["s"] for r in ROWS]
