@@ -524,3 +524,67 @@ def interpolate_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interp"
         ),
     )
+
+
+@register(
+    "table_stats_profile",
+    tags=("profiling", "stats", "metadata"),
+    oracle="""
+SELECT 'l_quantity' AS col, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_null,
+       CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+       CAST(min(l_quantity) AS DOUBLE) AS mn,
+       CAST(max(l_quantity) AS DOUBLE) AS mx
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+       CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       CAST(count(DISTINCT l_discount) AS BIGINT),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+""",
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (row count, nulls, NDV, min/max
+    per column) — the stats a catalog or a data-quality gate collects.
+    ONE scan: a single multi-distinct aggregate row, exploded into
+    per-column rows driver-free (the oracle's three-scan UNION ALL is
+    the naive form; results identical). All measures are exact, so no
+    float-rounding concerns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+                    F.col(f"ndv_{c}").alias("ndv"),
+                    F.col(f"mn_{c}").alias("mn"),
+                    F.col(f"mx_{c}").alias("mx"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("s")
+    return one.select("n_rows", per_col).select(
+        F.col("s.col").alias("col"),
+        "n_rows",
+        F.col("s.n_null").alias("n_null"),
+        F.col("s.ndv").alias("ndv"),
+        F.col("s.mn").alias("mn"),
+        F.col("s.mx").alias("mx"),
+    )

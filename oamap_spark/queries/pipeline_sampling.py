@@ -210,3 +210,45 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("tokens_kept"),
         F.max("cum").cast("long").alias("budget_used"),
     )
+
+
+@register(
+    "weighted_sample_docs",
+    tags=("llm", "sampling", "weighted", "reservoir"),
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+            / 4503599627370497.0) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 100
+""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc gets key ln(u)/w from a
+    hash-derived uniform u (13 md5 hex digits → 52 bits), the top-100
+    keys win — longer docs proportionally likelier. Fully reproducible
+    across engines, partitionings and reruns because u comes from
+    md5(doc_id), not an RNG; the 'sort' is a TakeOrdered top-k (no
+    global sort at scale). Both engines compute identical IEEE doubles
+    from the identical integers, so the selected set matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    u = (v + F.lit(1)) / F.lit(4503599627370497.0)  # 2^52 + 1
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(100)
+        .drop("k")
+    )
