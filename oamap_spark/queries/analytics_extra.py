@@ -588,3 +588,39 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.mn").alias("mn"),
         F.col("s.mx").alias("mx"),
     )
+
+
+@register(
+    "zscore_normalize_by_group",
+    tags=("features", "window", "normalization"),
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         avg(value) OVER (PARTITION BY event_type) AS mu,
+         stddev_samp(value) OVER (PARTITION BY event_type) AS sd,
+         event_id, value
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(floor((value - mu) / sd * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS z
+FROM s
+""",
+)
+def zscore_normalize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the feature-engineering
+    staple: every event's value standardized against its type's mean
+    and sample stddev, computed as WINDOW aggregates so the row set is
+    preserved (no join back after a groupBy). One shuffle on the group
+    key serves both moments. The engines' float sums agree to ~1e-14
+    relative here; the floor(x·10⁴+0.5) idiom absorbs that (and any
+    exact-boundary round() divergence) deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return ev.select(
+        "event_id",
+        "event_type",
+        (F.floor(z * 10000.0 + F.lit(0.5)).cast("long") / F.lit(10000.0)).alias("z"),
+    )
