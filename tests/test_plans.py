@@ -168,3 +168,41 @@ def test_compiled_nested_loop_stays_jvm_side(spark, queries):
     plan = audit.plan_string(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert audit.shuffle_count(df) == 1
+
+
+def test_no_python_eval_outside_udf_surface(spark):
+    """Global scale guard: no batch query may evaluate Python row code
+    (BatchEvalPython / ArrowEvalPython / mapInPandas nodes) unless it
+    is a declared UDF-surface demo or an Arrow-vectorized signature
+    path — everything else must stay inside whole-stage codegen. This
+    is the repo's 'UDFs are the slow path' rule, enforced."""
+    from oamap_spark.queries import registry
+
+    # legit Python: the three deliberate UDF-surface demos + the
+    # Arrow-batched LSH/IVF signature paths (numpy matmuls, documented)
+    allowed_names = {
+        "reduce_custom_tally_geomean",  # GROUPED_AGG pandas_udf demo
+        "udtf_token_positions",  # UDTF demo
+        "multimodal_decode_features",  # mapInPandas decode stub
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ivf_centroid_assignment",
+        "dedup_embedding_banded",
+        "dedup_embedding_cosine",
+        "multimodal_frame_sample",
+        "multimodal_resize_metadata",
+    }
+    markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        if "streaming" in spec.tags or name in allowed_names:
+            continue
+        try:
+            plan = audit.plan_string(spec.fn(spark, SF_SMOKE))
+        except Exception as ex:
+            offenders.append(f"{name}: build error {ex}")
+            continue
+        hit = [m for m in markers if m in plan]
+        if hit:
+            offenders.append(f"{name}: {hit}")
+    assert not offenders, offenders
