@@ -92,3 +92,31 @@ def test_overwrite_requires_mode(spark, db):
         db.put("base", _base(spark))  # mode="error" default
     db.put("base", _base(spark), mode="overwrite")
     assert db.get("base").df.count() == 3
+
+
+def test_sidecar_preserves_union_and_pointer_nodes(spark, db):
+    from oamap_spark.schema import Pointer, Tuple, Union, to_spark
+    from oamap_spark.sources.fill import fromdata
+
+    node = Record(
+        {
+            "u": Union([Primitive("int64"), Primitive("string")]),
+            "p": Pointer(Record({"name": Primitive("string")}), nullable=True),
+            "t": Tuple([Primitive("int64"), Primitive("float64")]),
+        }
+    )
+    df = fromdata(
+        spark,
+        [
+            {"u": {"tag": 0, "v_0": 7, "v_1": None}, "p": 3, "t": {"_0": 1, "_1": 2.5}},
+            {"u": {"tag": 1, "v_0": None, "v_1": "x"}, "p": None, "t": {"_0": 2, "_1": 0.5}},
+        ],
+        schema=node,
+    )
+    ds = db.put("linked", df)
+    back = ds.schema_node()
+    # Union and Tuple survive structurally; Pointer survives via the
+    # StructField metadata carried into the sidecar at put() time
+    assert back.field_dict()["u"] == node.field_dict()["u"]
+    assert back.field_dict()["t"] == node.field_dict()["t"]
+    assert back.field_dict()["p"] == node.field_dict()["p"]

@@ -206,3 +206,12 @@ def test_no_python_eval_outside_udf_surface(spark):
         if hit:
             offenders.append(f"{name}: {hit}")
     assert not offenders, offenders
+
+
+def test_rank_filter_gets_window_group_limit(spark, queries):
+    """rank()<=k filters must trigger the WindowGroupLimit rewrite —
+    each partition keeps only its top-k rows BEFORE the full window
+    sort, the difference between shuffling k rows per group and
+    shuffling the whole table at 100 TB."""
+    df = queries["window_rank_orders_per_customer"](spark, SF_SMOKE)
+    assert "WindowGroupLimit" in audit.plan_string(df)
