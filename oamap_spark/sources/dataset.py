@@ -164,3 +164,47 @@ class Database:
         """The recorded lineage entry for ``name`` (oamap's re-derivable
         dataset metadata)."""
         return dict(self.get(name).meta)
+
+    # -- streaming ----------------------------------------------------
+
+    def put_stream(
+        self,
+        name: str,
+        stream: DataFrame,
+        *,
+        parents: Sequence[str] = (),
+        recipe: str | None = None,
+    ) -> Dataset:
+        """Drain a streaming DataFrame into the dataset's parquet
+        directory with exactly-once semantics: the file-sink commit log
+        plus the checkpoint (kept inside the database root) make the
+        write idempotent — re-running after the source is exhausted
+        appends nothing, and a crash mid-batch replays without
+        duplicates. ``trigger(availableNow)`` bounds the drain; on a
+        live source the identical call runs continuously. The sidecar
+        is (re)written after each drain, so provenance and the PLURTP
+        schema stay current."""
+        path = self._dir(name)
+        cp = os.path.join(self.root, "_checkpoints", name)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        meta = {
+            "name": name,
+            "created_at": time.time(),
+            "parents": list(parents),
+            "recipe": recipe,
+            "partition_by": [],
+            "streaming": True,
+            "schema_ddl": stream.schema.simpleString(),
+            "plurtp": plurtp._to_spec(plurtp.from_spark(stream.schema)),
+        }
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(meta, f, indent=1)
+        return self.get(name)

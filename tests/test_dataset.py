@@ -120,3 +120,29 @@ def test_sidecar_preserves_union_and_pointer_nodes(spark, db):
     assert back.field_dict()["u"] == node.field_dict()["u"]
     assert back.field_dict()["t"] == node.field_dict()["t"]
     assert back.field_dict()["p"] == node.field_dict()["p"]
+
+
+def test_put_stream_exactly_once(spark, db):
+    from pyspark.sql import functions as F
+    from oamap_spark.streaming.pipelines import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    stream = read_events_stream(spark, sf).where(F.col("value") > 50).select(
+        "event_id", "user_id", "value"
+    )
+    ds = db.put_stream("hot_events", stream, recipe="events with value > 50")
+    from oamap_spark.sources.tables import load_table
+
+    expect = (
+        load_table(spark, sf, "events").where(F.col("value") > 50).count()
+    )
+    assert ds.df.count() == expect
+    assert ds.meta["streaming"] is True and ds.recipe == "events with value > 50"
+
+    # idempotent: the source is exhausted, a second drain through the
+    # same checkpoint must append NOTHING (exactly-once, not at-least)
+    stream2 = read_events_stream(spark, sf).where(F.col("value") > 50).select(
+        "event_id", "user_id", "value"
+    )
+    ds2 = db.put_stream("hot_events", stream2, recipe="events with value > 50")
+    assert ds2.df.count() == expect
