@@ -243,7 +243,21 @@ class _Translator(ast.NodeVisitor):
     def visit_BinOp(self, node: ast.BinOp):
         lv, rv = self.visit(node.left), self.visit(node.right)
         if not isinstance(lv, Column) and not isinstance(rv, Column):
-            raise CompileError("constant-only arithmetic; precompute in Python")
+            # constant subtree → fold in Python (same arithmetic)
+            import operator as _op
+
+            folds = {
+                ast.Add: _op.add, ast.Sub: _op.sub, ast.Mult: _op.mul,
+                ast.Div: _op.truediv, ast.FloorDiv: _op.floordiv,
+                ast.Mod: _op.mod, ast.Pow: _op.pow,
+            }
+            fold = folds.get(type(node.op))
+            if fold is None:
+                raise CompileError(f"unsupported operator {type(node.op).__name__}")
+            try:
+                return fold(lv, rv)
+            except Exception as exc:
+                raise CompileError(f"constant fold failed: {exc}") from exc
         left, right = self._col(lv), self._col(rv)
         op = type(node.op)
         if op is ast.Add:
@@ -507,19 +521,45 @@ def _closure_env(fn: Callable) -> dict[str, Any]:
     return env
 
 
-def compile_row_fn(fn: Callable[[Any], Any], schema=None) -> Column:
+def compile_row_fn(fn: Callable[[Any], Any] | str, schema=None) -> Column:
     """Translate a plain Python row function into a native Column
     expression (the Catalyst/codegen fast path). ``schema`` (the
     DataFrame's StructType) enables type-aware lowering — ``len``/
     ``max``/``min``/``sum`` over array fields become ``size``/
     ``array_max``/``array_min``/``aggregate``. Raises
     :class:`CompileError` when the function falls outside the supported
-    surface — use :func:`as_column` to fall back automatically."""
-    tree = _source_tree(fn)
+    surface — use :func:`as_column` to fall back automatically.
+
+    ``fn`` may also be SOURCE TEXT (``"lambda r: r.x * 2"``) — needed
+    when the callable was built without retrievable source (eval/REPL);
+    closures obviously don't apply there."""
+    if isinstance(fn, str):
+        try:
+            mod = ast.parse(textwrap.dedent(fn))
+        except SyntaxError as exc:
+            raise CompileError(f"could not parse source: {exc}") from exc
+        tree = next(
+            (
+                n
+                for n in ast.walk(mod)
+                if isinstance(n, (ast.Lambda, ast.FunctionDef))
+            ),
+            None,
+        )
+        if tree is None:
+            raise CompileError("no function definition found in source")
+        env: dict[str, Any] = {}
+    else:
+        tree = _source_tree(fn)
+        env = _closure_env(fn)
     row_arg, expr = _return_expr(tree)
-    out = _Translator(row_arg, _closure_env(fn), schema=schema).visit(expr)
+    out = _Translator(row_arg, env, schema=schema).visit(expr)
     if not isinstance(out, Column):
-        raise CompileError("function does not reference any row field")
+        # a row-independent function is legal Python — lift scalar
+        # results to a literal Column (oamap compiles constant fcns too)
+        if out is None or isinstance(out, (bool, int, float, str)):
+            return F.lit(out)
+        raise CompileError("function does not produce a column or scalar")
     return out
 
 

@@ -239,3 +239,33 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "latest_event_per_user",
+    tags=("events", "window", "qualify", "dedup-latest"),
+    oracle="""
+SELECT user_id, event_id, event_type, ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style latest-record dedup: exactly one row per user —
+    the newest event, ties broken by event_id so the winner is
+    deterministic. rn=1 triggers the WindowGroupLimit rewrite (each
+    partition pre-prunes to its per-key max before the shuffle), the
+    shape every CDC/SCD ingest uses to compact updates at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

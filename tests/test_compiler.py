@@ -280,3 +280,58 @@ def test_string_concat_plus(df):
         for r in df.select(compile_row_fn(fn2, schema=df.schema).alias("v")).collect()
     ]
     assert got2 == [r["s"] + r["s"] for r in ROWS]
+
+
+# ---------------------------------------------------------------------------
+# property test: random expression trees agree with Python exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _expr_strategy(depth: int):
+    leaf = st.sampled_from(["r.x", "r.y", "2", "3.5", "-1"])
+    if depth <= 0:
+        return leaf
+    sub = _expr_strategy(depth - 1)
+    binop = st.builds(
+        lambda a, op, b: f"({a} {op} {b})",
+        sub, st.sampled_from(["+", "-", "*"]), sub,
+    )
+    cmp_ = st.builds(
+        lambda a, op, b: f"({a} {op} {b})",
+        sub, st.sampled_from(["<", "<=", ">", ">=", "=="]), sub,
+    )
+    tern = st.builds(
+        lambda c, a, b: f"({a} if {c} else {b})",
+        cmp_, sub, sub,
+    )
+    call = st.builds(
+        lambda f, a, b: f"{f}({a}, {b})",
+        st.sampled_from(["min", "max"]), sub, sub,
+    )
+    return st.one_of(leaf, binop, tern, call)
+
+
+@settings(max_examples=40, deadline=None)
+@given(expr=_expr_strategy(3))
+def test_random_exprs_match_python(spark, expr):
+    """Any expression the generator produces must compile and agree
+    with CPython row-by-row — the oamap compiled≡interpreted oracle as
+    a property, not an example list."""
+    fn = eval(f"lambda r: {expr}")  # noqa: S307 — test-local source
+    col = compile_row_fn(f"lambda r: {expr}")  # compile from source text
+    df = fromdata(
+        spark,
+        [{"x": 1, "y": 2.5}, {"x": -7, "y": 0.5}, {"x": 40, "y": -1.25}],
+        schema="x long, y double",
+    )
+    got = [r["v"] for r in df.select(col.alias("v")).collect()]
+
+    class R:
+        def __init__(self, d):
+            self.__dict__.update(d)
+
+    want = [fn(R(d)) for d in
+            ({"x": 1, "y": 2.5}, {"x": -7, "y": 0.5}, {"x": 40, "y": -1.25})]
+    assert got == want, f"{expr}: {got} != {want}"
