@@ -56,6 +56,18 @@ from oamap_spark.operators.dedup import (
 # Row-function compiler (oamap/compiler.py's dual path, SURVEY §2.B).
 from oamap_spark.compiler import CompileError, as_column, compile_row_fn, row_fn_udf
 
+# Physical-plan audit (the scale assertions as a public API).
+from oamap_spark.plans.audit import (
+    broadcast_join_count,
+    codegen_stage_count,
+    pushed_filters,
+    scanned_columns,
+    shuffle_count,
+)
+
+# Dataset/Database layer (named datasets + provenance).
+from oamap_spark.sources.dataset import Database, Dataset
+
 # Schema language (the six PLURTP node types, SURVEY §1.2).
 from oamap_spark.schema import (
     List,
@@ -92,6 +104,11 @@ __all__ = [
     "co_partition", "salted_join",
     # row-function compiler
     "compile_row_fn", "row_fn_udf", "as_column", "CompileError",
+    # plan audit
+    "pushed_filters", "scanned_columns", "shuffle_count",
+    "broadcast_join_count", "codegen_stage_count",
+    # dataset layer
+    "Database", "Dataset",
     # dedup
     "exact_dedup_groups", "all_pairs_jaccard", "minhash_lsh_pairs",
     # schema language (PLURTP)

@@ -225,3 +225,38 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return P.drain_to_memory(
         P.view_purchase_interval_join_outer(ev), output_mode="append", spark=spark
     )
+
+
+@register(
+    "stream_sliding_window_counts",
+    tags=("streaming", "window", "sliding", "watermark"),
+    oracle="""
+SELECT ws AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events,
+     UNNEST([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY])
+       AS u(ws)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `sliding_window_counts` expression (2-day hopping
+    windows, 1-day slide) run as a STREAM with a watermark — the
+    batch/stream parity the engine promises: identical F.window call,
+    identical oracle, only the source and the state lifecycle differ.
+    Every event enters two windows; the watermark finalizes and evicts
+    windows older than max-event-time − 1 day."""
+    from pyspark.sql import functions as F
+
+    ev = P.read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return P.drain_to_memory(agg, output_mode="complete", spark=spark)
