@@ -1,0 +1,68 @@
+"""Z-order layout: the parquet footers must prove the clustering —
+per-file min/max spans tighten on BOTH columns vs a hash layout, and a
+selective range predicate would skip most files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oamap_spark.operators.layout import (
+    file_column_ranges,
+    pruning_fraction,
+    z_value,
+    zorder_write,
+)
+from oamap_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+N_FILES = 8
+
+
+def _avg_span(spans):
+    return sum(float(hi) - float(lo) for lo, hi in spans) / len(spans)
+
+
+def test_zorder_tightens_file_ranges_both_columns(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "zordered")
+    hpath = str(tmp_path / "hashed")
+    zorder_write(orders, zpath, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+    orders.repartition(N_FILES).write.mode("overwrite").parquet(hpath)
+
+    for col in ("o_custkey", "o_totalprice"):
+        zs = file_column_ranges(zpath, col)
+        hs = file_column_ranges(hpath, col)
+        assert len(zs) == N_FILES and len(hs) == N_FILES
+        # hash layout: every file spans ~the full domain; z-order: a
+        # fraction of it, on BOTH columns at once
+        assert _avg_span(zs) < 0.8 * _avg_span(hs), (
+            col, _avg_span(zs), _avg_span(hs))
+
+
+def test_zorder_enables_file_skipping(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "z2")
+    zorder_write(orders, zpath, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+    spans = file_column_ranges(zpath, "o_custkey")
+    lo = orders.agg(F.min("o_custkey")).collect()[0][0]
+    # a narrow slice at the bottom of the custkey domain must be
+    # skippable in most files
+    assert pruning_fraction(spans, lo, lo + 50) >= 0.5
+
+
+def test_z_value_is_deterministic_and_bounded(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    z1 = z_value(orders, ["o_custkey", "o_totalprice"], bits=4)
+    mx = z1.agg(F.max("__z")).collect()[0][0]
+    assert 0 <= mx < (1 << 8)  # 2 cols × 4 bits
+    z2 = z_value(orders.repartition(7), ["o_custkey", "o_totalprice"], bits=4)
+    assert (
+        z1.groupBy("__z").count().orderBy("__z").collect()
+        == z2.groupBy("__z").count().orderBy("__z").collect()
+    )
