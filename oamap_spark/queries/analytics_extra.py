@@ -624,3 +624,66 @@ def zscore_normalize_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(z * 10000.0 + F.lit(0.5)).cast("long") / F.lit(10000.0)).alias("z"),
     )
+
+
+@register(
+    "triangle_counts_event_graph",
+    tags=("graph", "triangles", "self-join"),
+    oracle="""
+WITH pairs AS (
+  SELECT event_type AS next,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+e AS (
+  SELECT DISTINCT least(prev, next) AS a, greatest(prev, next) AS b
+  FROM pairs WHERE prev IS NOT NULL AND prev <> next
+),
+tri AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e ab
+  JOIN e bc ON bc.a = ab.b
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY node
+""",
+)
+def triangle_counts_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the undirected event-type transition
+    graph — the canonical multi-way distributed self-join. Edges are
+    canonicalized (a<b), triangles enumerated once each via the ordered
+    a<b<c join pattern (no duplicate orientations to dedup), then each
+    triangle credits its three corners. The 100 TB story matches
+    PageRank's: the heavy step is condensing events into the
+    dimension-sized edge list (one window pass + one distinct); the
+    join cascade runs on edge-scale data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("next"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull() & (F.col("prev") != F.col("next")))
+    e = pairs.select(
+        F.least("prev", "next").alias("a"), F.greatest("prev", "next").alias("b")
+    ).distinct()
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("bc.a") == F.col("ab.b"))
+        .join(ac, (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")))
+        .select(
+            F.col("ab.a").alias("x"), F.col("ab.b").alias("y"), F.col("bc.b").alias("z")
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
