@@ -116,3 +116,45 @@ def pruning_fraction(spans: list[tuple], lo, hi) -> float:
         return 0.0
     skipped = sum(1 for mn, mx in spans if mx < lo or mn > hi)
     return skipped / len(spans)
+
+
+def table_bytes(path: str) -> int:
+    """Total parquet bytes under ``path`` (driver-side listing — O(files))."""
+    import glob
+    import os
+
+    return sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+def compact(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    target_file_mb: int = 128,
+    sort_by: Sequence[str] = (),
+) -> int:
+    """The small-files fix: rewrite ``src`` into ``dst`` as
+    ceil(bytes / target) files (optionally clustered by ``sort_by`` so
+    min/max pruning survives the rewrite). Streaming sinks and
+    per-task writers leave thousands of KB-scale files at 100 TB —
+    footer reads and task scheduling then dominate scans; periodic
+    compaction to ~128 MB files is the standard remedy. Returns the
+    output file count."""
+    import math
+
+    df = spark.read.parquet(src)
+    n = max(1, math.ceil(table_bytes(src) / (target_file_mb * 1024 * 1024)))
+    out = df
+    if sort_by:
+        out = out.repartitionByRange(n, *[F.col(c) for c in sort_by])
+        out = out.sortWithinPartitions(*sort_by)
+    else:
+        out = out.coalesce(n)
+    out.write.mode("overwrite").parquet(dst)
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(dst, "*.parquet")))

@@ -66,3 +66,24 @@ def test_z_value_is_deterministic_and_bounded(spark):
         z1.groupBy("__z").count().orderBy("__z").collect()
         == z2.groupBy("__z").count().orderBy("__z").collect()
     )
+
+
+def test_compact_merges_small_files_losslessly(spark, tmp_path):
+    from oamap_spark.operators.layout import compact, file_column_ranges
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(src)  # the streaming-sink pathology
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n_out = compact(spark, src, dst, target_file_mb=128, sort_by=["user_id"])
+    assert n_out < 8  # 1000 rows: far below one target file
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == a.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # sort_by keeps the rewrite prunable on user_id
+    spans = file_column_ranges(dst, "user_id")
+    assert all(lo <= hi for lo, hi in spans)
