@@ -44,6 +44,7 @@ from oamap_spark.operators.links import (
 )
 
 # Scale levers.
+from oamap_spark.operators.layout import compact, z_value, zorder_write
 from oamap_spark.operators.partitioning import co_partition, salted_join
 
 # LLM-pipeline operators.
@@ -101,7 +102,7 @@ __all__ = [
     "resolve_pointer", "self_pointer_prev", "with_position",
     "union_encode", "union_case",
     # scale levers
-    "co_partition", "salted_join",
+    "co_partition", "salted_join", "z_value", "zorder_write", "compact",
     # row-function compiler
     "compile_row_fn", "row_fn_udf", "as_column", "CompileError",
     # plan audit
