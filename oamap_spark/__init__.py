@@ -86,6 +86,7 @@ from oamap_spark.schema import (
 from oamap_spark.sources.fill import (
     from_json_lines,
     fromdata,
+    fromiterdata,
     infer_schema,
     roundtrip_parquet,
     to_objects,
@@ -116,7 +117,7 @@ __all__ = [
     "Primitive", "List", "Union", "Record", "Tuple", "Pointer",
     "to_spark", "from_spark", "infer",
     # ingest
-    "fromdata", "infer_schema", "from_json_lines", "to_objects",
+    "fromdata", "fromiterdata", "infer_schema", "from_json_lines", "to_objects",
     "roundtrip_parquet",
 ]
 __version__ = "0.1.0"

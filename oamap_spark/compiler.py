@@ -317,9 +317,14 @@ class _Translator(ast.NodeVisitor):
 
     def _compare_one(self, left, op, right, right_node):
         if op in (ast.In, ast.NotIn):
-            if not isinstance(right, (list, tuple, set, frozenset)):
-                raise CompileError("`in` requires a literal/closure collection")
-            col = self._col(left).isin(*list(right))
+            if isinstance(right, Column):
+                # Python `"sub" in s` is a SUBSTRING test when the
+                # container is a string column
+                col = F.contains(right, self._col(left))
+            elif isinstance(right, (list, tuple, set, frozenset)):
+                col = self._col(left).isin(*list(right))
+            else:
+                raise CompileError("`in` requires a collection or string column")
             return ~col if op is ast.NotIn else col
         if op in (ast.Is, ast.IsNot):
             if right is not None:

@@ -145,6 +145,46 @@ def from_json_lines(
     return fromdata(spark, [json.loads(ln) for ln in lines], schema)
 
 
+def fromiterdata(
+    spark: SparkSession,
+    objs: Iterable[dict],
+    schema=None,
+    *,
+    chunk_rows: int = 10_000,
+) -> DataFrame:
+    """oamap's ``fromiterdata`` (oamap/fill.py [H]): ingest from an
+    ITERATOR without materializing the whole stream — objects are
+    drained in ``chunk_rows`` batches, each batch becomes a DataFrame,
+    and the result is their union. With ``schema=None`` the FIRST
+    chunk's inferred schema (union-encoding included) pins the layout,
+    exactly how oamap commits to a schema from the data seen so far —
+    later chunks must conform (a conflicting later chunk raises, same
+    as oamap's fill error).
+
+    For unbounded streams use the Structured Streaming sources; this
+    is the bounded-iterator convenience with driver-side chunking."""
+    import itertools
+
+    it = iter(objs)
+    out: DataFrame | None = None
+    while True:
+        batch = list(itertools.islice(it, chunk_rows))
+        if not batch:
+            break
+        df = fromdata(spark, batch, schema)
+        if out is None:
+            out = df
+            if schema is None:
+                schema = df.schema  # first chunk pins the layout
+        else:
+            out = out.unionByName(df)
+    if out is None:
+        if schema is None:
+            raise ValueError("empty iterator and no schema to pin")
+        return spark.createDataFrame([], schema)
+    return out
+
+
 def to_objects(df: DataFrame) -> list[dict]:
     """Exit ramp: DataFrame → plain Python object trees (lists/dicts/
     scalars), the deep shape oamap proxies render. Test-sized data

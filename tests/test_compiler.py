@@ -335,3 +335,8 @@ def test_random_exprs_match_python(spark, expr):
     want = [fn(R(d)) for d in
             ({"x": 1, "y": 2.5}, {"x": -7, "y": 0.5}, {"x": 40, "y": -1.25})]
     assert got == want, f"{expr}: {got} != {want}"
+
+
+def test_substring_in_operator(df):
+    _dual(df, lambda r: "a" in r.s)
+    _dual(df, lambda r: "zz" not in r.s)

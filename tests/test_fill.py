@@ -171,3 +171,26 @@ def test_union_case_dispatch_on_inferred(spark):
     )
     got = {r["k"]: r["r"] for r in out.collect()}
     assert got == {1: 20, 2: 3}
+
+
+def test_fromiterdata_chunks_and_pins_schema(spark):
+    from oamap_spark.sources.fill import fromiterdata, to_objects
+
+    def gen():
+        for i in range(25):
+            yield {"i": i, "s": f"v{i}"}
+
+    df = fromiterdata(spark, gen(), chunk_rows=10)
+    rows = sorted(to_objects(df), key=lambda r: r["i"])
+    assert len(rows) == 25 and rows[0] == {"i": 0, "s": "v0"}
+
+
+def test_fromiterdata_empty_needs_schema(spark):
+    import pytest
+
+    from oamap_spark.sources.fill import fromiterdata
+
+    with pytest.raises(ValueError):
+        fromiterdata(spark, iter(()))
+    df = fromiterdata(spark, iter(()), schema="i long")
+    assert df.count() == 0
