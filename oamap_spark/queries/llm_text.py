@@ -3,7 +3,7 @@ surface; beyond the reference — SURVEY §2.D last row / §7.6)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oamap_spark.functions import text as X
@@ -320,4 +320,38 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top_cnt.cast("double") / n).alias("top_token_frac"),
         dup_frac(bigr).alias("dup_bigram_frac"),
         dup_frac(trigr).alias("dup_trigram_frac"),
+    )
+
+
+@register(
+    "dominant_source_per_lang",
+    tags=("llm", "text", "mode", "window"),
+    oracle="""
+SELECT lang, source AS dominant_source, CAST(n AS BIGINT) AS n_docs
+FROM (
+  SELECT lang, source, count(*) AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, source) AS rn
+  FROM documents GROUP BY lang, source
+)
+WHERE rn = 1
+""",
+)
+def dominant_source_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most common source per language, ties
+    broken lexicographically (a bare mode() aggregate is
+    tie-nondeterministic across engines — this shape is reproducible
+    anywhere). Count-then-top-1: the window input is already
+    group-sized, so the rank pass is dimension-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("dominant_source"),
+            F.col("n").cast("long").alias("n_docs"),
+        )
     )
