@@ -80,6 +80,12 @@ _MATH: dict[str, Callable[..., Column]] = {
     "fabs": F.abs,
 }
 
+def _py_split(s: Column, sep: Column) -> Column:
+    # Python str.split takes a LITERAL separator; F.split takes a regex
+    # — quote the separator so regex metacharacters stay literal
+    return F.split(s, F.concat(F.lit("\\Q"), sep, F.lit("\\E")))
+
+
 _STR_METHODS: dict[str, Callable[..., Column]] = {
     "upper": lambda s: F.upper(s),
     "lower": lambda s: F.lower(s),
@@ -88,6 +94,11 @@ _STR_METHODS: dict[str, Callable[..., Column]] = {
     "rstrip": lambda s: F.rtrim(s),
     "startswith": lambda s, p: F.startswith(s, p),
     "endswith": lambda s, p: F.endswith(s, p),
+    "replace": lambda s, a, b: F.replace(s, a, b),
+    "split": _py_split,
+    "count": lambda s, sub: (
+        (F.length(s) - F.length(F.replace(s, sub))) / F.length(sub)
+    ).cast("long"),
 }
 
 
@@ -425,7 +436,11 @@ class _Translator(ast.NodeVisitor):
             and node.func.id in ("len", "sum", "max", "min")
         ):
             dt = self._field_type(node.args[0])
-            if isinstance(node.args[0], ast.ListComp):
+            if isinstance(node.args[0], ast.ListComp) or (
+                isinstance(node.args[0], ast.Call)
+                and isinstance(node.args[0].func, ast.Attribute)
+                and node.args[0].func.attr == "split"
+            ):
                 dt = T.ArrayType(T.DoubleType())  # marker: array-typed expr
             if isinstance(dt, T.ArrayType):
                 col = self.visit(node.args[0])

@@ -422,3 +422,64 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.n").alias("n_sequences"),
         (F.col("st.n") * SEQ_LEN - F.col("total_tok")).alias("pad_tokens"),
     )
+
+
+@register(
+    "curation_pipeline_end_to_end",
+    tags=("llm", "curation", "pipeline", "composition"),
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+),
+filt AS (
+  SELECT * FROM q WHERE n_tok BETWEEN 20 AND 400 AND ttr > 0.3
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM filt
+  GROUP BY md5(array_to_string(string_split(text, ' '), ' '))
+),
+sampled AS (
+  SELECT f.lang, f.n_tok
+  FROM filt f JOIN keepers k ON f.doc_id = k.doc_id
+  WHERE substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 4) < '8000'
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM sampled GROUP BY lang
+""",
+)
+def curation_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declared query: quality
+    gate (token count 20–400, type-token ratio > 0.3) → exact dedup
+    (whitespace-normalized digest, min-id canonical survives) →
+    deterministic 50% hash sample → per-language token accounting.
+    Every stage is the same primitive its standalone query uses, so
+    this pins the COMPOSITION semantics — filters stay narrow, the
+    dedup is the only text-keyed shuffle, sampling is a pure predicate,
+    and Catalyst pipelines the whole thing into three stages."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    filt = q.where(F.col("n_tok").between(20, 400) & (F.col("ttr") > 0.3))
+    digest = F.md5(F.concat_ws(" ", F.split(F.col("text"), " ")))
+    keepers = filt.groupBy(digest.alias("dg")).agg(F.min("doc_id").alias("doc_id"))
+    sampled = (
+        filt.join(keepers.select("doc_id"), "doc_id")
+        .where(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000")
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )

@@ -340,3 +340,22 @@ def test_random_exprs_match_python(spark, expr):
 def test_substring_in_operator(df):
     _dual(df, lambda r: "a" in r.s)
     _dual(df, lambda r: "zz" not in r.s)
+
+
+def test_split_replace_count_methods(df):
+    _dual(df, lambda r: r.s.replace("a", "_"))
+    _dual(df, lambda r: r.s.count("a"))
+    # pure-Python token counting, compiled: len(s.split(" "))
+    fn = lambda r: len(r.s.strip().split(" "))  # noqa: E731
+    _dual(df, fn)
+
+
+def test_split_feeds_genexp(spark):
+    df = fromdata(
+        spark,
+        [{"t": "aa bb aa"}, {"t": "zz"}],
+        schema="t string",
+    )
+    fn = lambda r: sum(1.0 for w in r.t.split(" ") if w == "aa")  # noqa: E731
+    got = [r["v"] for r in df.select(compile_row_fn(fn).alias("v")).collect()]
+    assert got == [2.0, 0.0]
