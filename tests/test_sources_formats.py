@@ -67,3 +67,18 @@ def test_partitioned_parquet_write_prunes(spark, tmp_path):
     assert "PartitionFilters" in p
     exact = ev.where(F.col("event_type") == "purchase").count()
     assert one.count() == exact
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: files written under an older schema coexist
+    with newer ones — mergeSchema unifies, old rows read NULL for new
+    columns (oamap's widening inference, at the storage layer)."""
+    from oamap_spark.sources.fill import fromdata
+
+    p = str(tmp_path / "evolving")
+    fromdata(spark, [{"a": 1, "b": "x"}]).write.parquet(p)
+    fromdata(spark, [{"a": 2, "b": "y", "c": 1.5}]).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"a", "b", "c"}
+    rows = {r["a"]: r["c"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 1.5
