@@ -687,3 +687,49 @@ def triangle_counts_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+@register(
+    "orders_monthly_growth",
+    tags=("timeseries", "growth", "lag"),
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT pri, mon, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY pri ORDER BY mon) AS prev
+  FROM m
+)
+SELECT pri, mon, rev_cents,
+       CAST(floor((rev_cents - prev) * 10000.0 / prev + 0.5) AS BIGINT)
+         AS growth_bp
+FROM l
+""",
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per priority, in basis points.
+    Integer-cents monthly sums make the growth ratio a division of
+    exact integers (same double in both engines); floor(x·10⁴+0.5)
+    rounds it deterministically. First month per group → NULL growth.
+    One shuffle for the monthly agg; the lag window reuses it."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp").alias("mon"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.partitionBy("pri").orderBy("mon")
+    l = m.withColumn("prev", F.lag("rev_cents").over(w))
+    growth = F.floor(
+        (F.col("rev_cents") - F.col("prev")) * F.lit(10000.0) / F.col("prev")
+        + F.lit(0.5)
+    ).cast("long")
+    return l.select("pri", "mon", "rev_cents", growth.alias("growth_bp"))
