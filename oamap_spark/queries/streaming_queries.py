@@ -260,3 +260,40 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return P.drain_to_memory(agg, output_mode="complete", spark=spark)
+
+
+@register(
+    "stream_latest_event_per_user",
+    tags=("streaming", "state", "latest"),
+    oracle="""
+SELECT user_id, ts, event_id, event_type
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def stream_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-state per key — the complement of first-seen
+    dedup: a complete-mode max over struct(ts, event_id, …) keeps each
+    user's newest event as rows arrive (struct ordering is
+    lexicographic, so the event_id tie-break is deterministic and the
+    state is ONE struct per key). The oracle is the batch QUALIFY
+    rn=1 image — stream and batch must converge to identical rows."""
+    from pyspark.sql import functions as F
+
+    ev = P.read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+        )
+    )
+    return P.drain_to_memory(agg, output_mode="complete", spark=spark)
