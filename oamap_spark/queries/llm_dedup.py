@@ -307,3 +307,41 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     ).where(F.col("dist") <= 1)
+
+
+@register(
+    "dedup_savings_by_source",
+    tags=("llm", "dedup", "report"),
+    oracle="""
+WITH g AS (
+  SELECT source,
+         md5(array_to_string(string_split(text, ' '), ' ')) AS dg,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n - 1) AS BIGINT) AS n_redundant,
+       CAST(floor(sum(n - 1) * 10000.0 / sum(n) + 0.5) AS BIGINT)
+         AS redundancy_bp
+FROM g GROUP BY source
+""",
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report: per source, how many documents are exact
+    redundant copies (everything beyond each digest group's canonical)
+    and the redundancy rate in basis points — the number a curation
+    run quotes before committing to a dedup pass. Same digest groupBy
+    as the dedup itself (text never shuffles), one extra tiny agg."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.concat_ws(" ", F.split(F.col("text"), " ")))
+    g = d.groupBy("source", digest.alias("dg")).agg(F.count(F.lit(1)).alias("n"))
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_redundant"),
+        F.floor(
+            F.sum(F.col("n") - 1) * F.lit(10000.0) / F.sum("n") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("redundancy_bp"),
+    )
