@@ -269,3 +269,30 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "events_week_hour_profile",
+    tags=("events", "datetime", "profile"),
+    oracle="""
+SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+       CAST(date_part('hour', ts) AS INT) AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_week_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap. Engine dow conventions
+    differ (Spark dayofweek: Sunday=1; DuckDB dow: Sunday=0) — the
+    query pins Sunday=0 on both sides explicitly, the kind of calendar
+    off-by-one that silently corrupts weekly seasonality features."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
