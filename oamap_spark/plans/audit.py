@@ -51,7 +51,6 @@ def scanned_columns(df: DataFrame) -> set[str]:
                 depth -= 1
             elif ch == "," and depth == 0:
                 expecting = True
-        return cols
     return cols
 
 

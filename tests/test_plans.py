@@ -117,6 +117,26 @@ def test_scrub_pii_prunes_scan(spark, queries):
     assert "source" not in cols and "n_chars" not in cols
 
 
+def test_scanned_columns_unions_all_scans_in_join(spark, queries):
+    """scanned_columns must union ReadSchema across EVERY file scan in
+    the plan, not just the first: a join plan has one scan per table,
+    and a pruning assertion that silently parsed only one side would
+    pass even while the other side read all its columns. q3 scans
+    customer, orders and lineitem — columns of all three must appear,
+    and pruned columns of each side must not."""
+    df = queries["q3_shipping_priority"](spark, SF_SMOKE)
+    schemas = audit.read_schemas(df)
+    assert len(schemas) >= 3, schemas  # one scan per joined table
+    cols = audit.scanned_columns(df)
+    # one column from each side proves the union reaches every scan
+    assert "c_mktsegment" in cols, cols  # customer scan
+    assert "o_orderdate" in cols, cols  # orders scan
+    assert "l_extendedprice" in cols, cols  # lineitem scan
+    # pruning still holds per-side: untouched wide columns stay out
+    assert "c_name" not in cols, cols
+    assert "l_tax" not in cols, cols
+
+
 def test_no_unexpected_cartesian_products(spark):
     """Global plan guard: no declared batch query may contain a
     CartesianProduct unless it is an intentionally quadratic form —
