@@ -101,12 +101,79 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(8 bands × 2 rows) over 3-token shingles,
-    verified with exact shingle Jaccard ≥ 0.9 — the 100 TB dedup path:
-    signatures are narrow, the only shuffles are the short band keys
-    and the bounded candidate set. The oracle replays the identical
-    shingle + hash family."""
+    verified with exact shingle Jaccard ≥ 0.9: signatures are narrow,
+    the only shuffles are the short band keys and the bounded candidate
+    set. The oracle replays the identical shingle + hash family. This
+    uncapped form lists every pairwise edge — on corpora with giant
+    boilerplate clusters prefer ``dedup_minhash_lsh_capped``, which
+    bounds per-bucket work with the star fallback (the 100 TB entry
+    point)."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9)
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    tags=("llm", "dedup", "minhash", "lsh", "skew_guard"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
+), base AS (
+  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM t
+), sig AS (
+  SELECT doc_id, ids AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
+), bands AS (
+  SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
+  FROM (
+    SELECT doc_id,
+           unnest([{{'band_idx': i,
+                     'band_key': CAST(sg[2*i + 1] AS VARCHAR) || '_' || CAST(sg[2*i + 2] AS VARCHAR)}}
+                   for i in range(0, 8)]) AS u
+    FROM sig
+  )
+), annot AS (
+  SELECT doc_id, band_idx, band_key,
+         count(*) OVER (PARTITION BY band_idx, band_key) AS cnt,
+         min(doc_id) OVER (PARTITION BY band_idx, band_key) AS bmin
+  FROM bands
+), small AS (
+  SELECT doc_id, band_idx, band_key FROM annot WHERE cnt <= 2
+), cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM small x JOIN small y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+    UNION ALL
+    SELECT bmin AS id_a, doc_id AS id_b FROM annot
+    WHERE cnt > 2 AND doc_id <> bmin
+  )
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.9
+""",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with the bucket_cap skew guard ON —
+    **the 100 TB entry point**. A band bucket larger than the cap (a
+    boilerplate cluster sharing every band) would quadratic-blow one
+    reducer with s² pairs on a single unsplittable key; capped buckets
+    emit a linear star (min-id → member) instead, which keeps every
+    duplicate group connected for downstream clustering while bounding
+    per-key work. The cap is a tuning knob (set ~10³ in production —
+    buckets above it are certainly boilerplate); here it is 2 so the
+    sf0.01 oracle, which replays the identical window-count + star
+    logic in SQL, exercises the fallback on real buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9, bucket_cap=2
+    )
 
 
 @register(

@@ -127,6 +127,27 @@ def test_minhash_lsh_bucket_cap_noop_below_cap(spark):
     assert base == capped
 
 
+def test_minhash_lsh_capped_cluster_equivalence(spark, queries):
+    """The shipped scale path (dedup_minhash_lsh_capped) may drop
+    pairwise edges inside over-cap buckets, but the star keeps every
+    duplicate group connected at candidate level: connected components
+    over capped pairs must equal components over uncapped pairs.
+    (Post-verification this holds when the bucket's min-id doc
+    verifies against the members — true for genuine boilerplate
+    clusters, where bucket members are mutual near-dups; asserted
+    empirically here at sf0.01.)"""
+    from oamap_spark.operators.clustering import connected_components_min_id
+
+    def comps(name):
+        pairs = queries[name](spark, SF_SMOKE)
+        return {
+            (r["node"], r["cluster_id"])
+            for r in connected_components_min_id(pairs).collect()
+        }
+
+    assert comps("dedup_minhash_lsh_capped") == comps("dedup_minhash_lsh")
+
+
 def test_minhash_lsh_subset_of_exact_jaccard(spark, queries):
     """Every LSH-verified pair must appear in the exact all-pairs
     result (LSH can miss pairs, never invent them — the verify step
