@@ -96,8 +96,8 @@ _PRIORITY: tuple[str, ...] = (
     "merge_upsert_scd1",
     "scd2_intervals_from_events",
     "doc_tfidf_top_terms",
+    "dedup_minhash_lsh_capped",
     "ann_lsh_topk",
-    "ann_ivf_topk",
 )
 
 
