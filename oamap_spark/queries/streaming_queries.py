@@ -4,9 +4,14 @@ Each callable builds an incremental plan over the events file stream,
 drains it with trigger(availableNow) into a memory sink, and returns
 the sink as a batch DataFrame — so the driver's DuckDB oracle gates
 streaming semantics too (window assignment, stateful dedup, session
-merge), not just row counts. On an unbounded source the identical
-plans run continuously; the watermark clauses that bound state are in
-place even though a bounded replay never needs to evict."""
+merge), not just row counts. Windowed/session aggregations run in
+APPEND mode — each window emits exactly once when the watermark
+finalizes it and its state is evicted, so the identical plans run
+continuously on an unbounded source; their oracles clip to the same
+finalization line (max event time − watermark delay). The two
+complete-mode queries that remain (stream-static enrich, latest-per-
+user) retain state by design and document their bounded-keyspace
+assumption (25 group keys; one struct per distinct user)."""
 
 from __future__ import annotations
 
@@ -21,23 +26,31 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 @register(
     "stream_tumbling_daily_counts",
-    tags=("streaming", "window", "watermark"),
+    tags=("streaming", "window", "watermark", "append"),
     oracle="""
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       event_type,
-       count(*) AS n,
-       round(sum(value), 2) AS sum_value
-FROM events
-GROUP BY 1, 2
+SELECT * FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type,
+         count(*) AS n,
+         round(sum(value), 2) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+)
+WHERE day + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
 """,
 )
 def stream_tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming 1-day tumbling windows per event_type with a 1-day
-    watermark, drained via availableNow. The oracle is the batch
-    date_trunc image — window assignment must agree exactly."""
+    """Streaming 1-day tumbling windows per event_type, APPEND mode —
+    the unbounded-source-safe form: a window emits exactly once, when
+    the watermark finalizes it (window_end ≤ max event time − 1-day
+    delay), and its state is evicted; nothing is retained forever. The
+    oracle is the batch date_trunc image clipped to the same
+    finalization line — the two still-open trailing windows of a
+    bounded replay stay in state, exactly what a restart resumes
+    with."""
     ev = P.read_events_stream(spark, sf_dir)
     sink = P.drain_to_memory(
-        P.tumbling_counts(ev), output_mode="complete", spark=spark
+        P.tumbling_counts(ev), output_mode="append", spark=spark
     )
     return sink.select("day", "event_type", "n", "sum_value")
 
@@ -77,32 +90,46 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_user_sessions",
-    tags=("streaming", "session_window", "watermark"),
+    tags=("streaming", "session_window", "watermark", "append"),
     oracle=f"""
 WITH seq AS (
-  SELECT user_id, epoch_us(ts) AS t,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), per AS (
+  SELECT user_id, sid, count(*) AS n_events, max(ts) AS last_ts
+  FROM sess
+  GROUP BY user_id, sid
 )
 SELECT user_id,
-       CAST(1 + sum(is_new) AS BIGINT) AS n_sessions,
-       count(*) AS n_events
-FROM seq
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM per
+WHERE last_ts + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
 GROUP BY user_id
 """,
 )
 def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming session_window (30-min gap) per user, rolled up
-    batch-side after the drain (one stateful agg per streaming query).
-    Oracle: lag-islands with `>= gap` — session_window starts a new
-    session when the inter-event gap reaches the gap exactly, i.e.
-    an event at session_end is outside the [start, end) session."""
+    """Streaming session_window (30-min gap) per user in APPEND mode —
+    a session emits exactly once, when the watermark passes its end
+    (last event + gap ≤ max event time − 1-day delay) and its state is
+    evicted; safe on an unbounded source. Rolled up batch-side after
+    the drain (one stateful agg per streaming query). Oracle:
+    lag-islands with `>= gap` (session_window starts a new session
+    when the inter-event gap reaches the gap exactly), clipped to
+    sessions the final watermark finalized — trailing sessions stay in
+    state, exactly what a restart resumes with."""
     ev = P.read_events_stream(spark, sf_dir)
     sessions = P.drain_to_memory(
-        P.user_sessions(ev, gap="30 minutes"), output_mode="complete", spark=spark
+        P.user_sessions(ev, gap="30 minutes"), output_mode="append", spark=spark
     )
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -123,7 +150,11 @@ def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched per micro-batch
     with the (broadcast) customer dimension, then counted per
     (segment, event_type). The static side re-plans each micro-batch —
-    dim refreshes flow in without restarting the stream."""
+    dim refreshes flow in without restarting the stream. Complete
+    output mode is safe here because the keyspace is BOUNDED by
+    construction (|segments| × |event_types| ≈ 25 rows of state, not
+    per-event state); for unbounded keys use the append-mode windowed
+    queries instead."""
     from oamap_spark.sources.tables import load_table
 
     ev = P.read_events_stream(spark, sf_dir)
@@ -231,21 +262,26 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     "stream_sliding_window_counts",
     tags=("streaming", "window", "sliding", "watermark"),
     oracle="""
-SELECT ws AS window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n
-FROM events,
-     UNNEST([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY])
-       AS u(ws)
-GROUP BY 1, 2
+SELECT * FROM (
+  SELECT ws AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events,
+       UNNEST([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY])
+         AS u(ws)
+  GROUP BY 1, 2
+)
+WHERE window_start + INTERVAL 2 DAY <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
 """,
 )
 def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch `sliding_window_counts` expression (2-day hopping
-    windows, 1-day slide) run as a STREAM with a watermark — the
+    windows, 1-day slide) run as a STREAM in APPEND mode — the
     batch/stream parity the engine promises: identical F.window call,
-    identical oracle, only the source and the state lifecycle differ.
-    Every event enters two windows; the watermark finalizes and evicts
-    windows older than max-event-time − 1 day."""
+    identical oracle (clipped to the finalization line), only the
+    source and the state lifecycle differ. Every event enters two
+    windows; a window emits exactly once when the watermark passes its
+    end (window_end ≤ max event time − 1 day) and is evicted — safe on
+    an unbounded source."""
     from pyspark.sql import functions as F
 
     ev = P.read_events_stream(spark, sf_dir)
@@ -259,7 +295,7 @@ def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return P.drain_to_memory(agg, output_mode="complete", spark=spark)
+    return P.drain_to_memory(agg, output_mode="append", spark=spark)
 
 
 @register(
@@ -282,7 +318,11 @@ def stream_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's newest event as rows arrive (struct ordering is
     lexicographic, so the event_id tie-break is deterministic and the
     state is ONE struct per key). The oracle is the batch QUALIFY
-    rn=1 image — stream and batch must converge to identical rows."""
+    rn=1 image — stream and batch must converge to identical rows.
+    Latest-state-per-key is inherently complete/update-mode (the
+    answer for a key changes forever); state is one struct per
+    DISTINCT user, so this assumes a bounded key universe — the
+    standard materialized-view pattern, sized by users, not events."""
     from pyspark.sql import functions as F
 
     ev = P.read_events_stream(spark, sf_dir)

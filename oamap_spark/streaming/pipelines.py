@@ -10,9 +10,12 @@ the DuckDB oracle still apply. At scale the identical plan runs
 against a live file/Kafka source with the same semantics — that is
 the point of Structured Streaming's unified model.
 
-Aggregations use complete output mode for oracle comparison (append
-mode would hold back the final watermark-open windows of a bounded
-replay); the watermark-driven append path is exercised in tests.
+Windowed/session aggregations drain in append mode: a window emits
+exactly once when the watermark finalizes it (window_end ≤ max event
+time − delay) and its state is evicted, so the plans are safe on a
+true unbounded source; the oracles clip to the same finalization
+line. Complete mode is reserved for genuinely-retained state with a
+bounded keyspace (stream-static enrich counts, latest-per-user).
 """
 
 from __future__ import annotations

@@ -63,8 +63,10 @@ def test_apply_in_pandas_with_state_counts(spark):
 
 
 def test_session_window_matches_batch_islands(spark):
-    """session_window sessions must match the batch lag-islands count
-    per user (>= gap ⇒ new session)."""
+    """session_window sessions must match the batch lag-islands image
+    per user (>= gap ⇒ new session), clipped to the append-mode
+    finalization line: only sessions whose end (last event + gap) the
+    final watermark passed (max event time − 1 day) have emitted."""
     q = entrymod.queries()
     stream_rows = {
         r["user_id"]: (r["n_sessions"], r["n_events"])
@@ -73,17 +75,30 @@ def test_session_window_matches_batch_islands(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     from pyspark.sql import Window
 
+    gap_us = 30 * 60 * 1_000_000
+    wm_us = (
+        ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0] - 86_400 * 1_000_000
+    )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
-    seq = ev.select("user_id", F.unix_micros("ts").alias("t"), "event_id").withColumn(
-        "is_new",
-        F.when(F.col("t") - F.lag("t").over(w) >= 30 * 60 * 1_000_000, 1).otherwise(0),
+    seq = (
+        ev.select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+        .withColumn(
+            "is_new",
+            F.when(F.col("t") - F.lag("t").over(w) >= gap_us, 1).otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_new").over(w))
+    )
+    finalized = (
+        seq.groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("t").alias("last_t"))
+        .where(F.col("last_t") + gap_us <= wm_us)
     )
     batch_rows = {
         r["user_id"]: (r["n_sessions"], r["n_events"])
-        for r in seq.groupBy("user_id")
+        for r in finalized.groupBy("user_id")
         .agg(
-            (F.lit(1) + F.sum("is_new")).alias("n_sessions"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
         )
         .collect()
     }
