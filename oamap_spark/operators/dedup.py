@@ -58,12 +58,41 @@ def jaccard_set(a: Column, b: Column) -> Column:
     return inter.cast("double") / (F.size(a) + F.size(b) - inter)
 
 
+#: Row ceiling for the all-pairs ground-truth paths. 20k rows ≈ 2·10⁸
+#: candidate pairs — already painful, and anything bigger means the
+#: caller almost certainly wanted the LSH/banded scale path instead.
+ALL_PAIRS_MAX_ROWS = 20_000
+
+
+def guard_all_pairs(df: DataFrame, what: str, *, max_rows: int = ALL_PAIRS_MAX_ROWS, force: bool = False) -> DataFrame:
+    """Refuse to build an O(n²) self-join over more than ``max_rows``
+    rows unless ``force=True``. The all-pairs forms exist as sf-bounded
+    ground truth for oracles and recall gates; this guard makes it
+    impossible to point one at a production-sized table by accident
+    (the count is an eager action — deliberate: a cheap narrow count
+    beats an accidental 10¹⁶-pair cross join). The scale paths
+    (minhash_lsh_pairs, simhash banding, embedding LSH banding) have
+    no such ceiling."""
+    if not force:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"{what}: refusing all-pairs O(n²) over {n_rows} rows "
+                f"(> {max_rows}); use the LSH/banded scale path, or pass "
+                f"force=True if this is a deliberate ground-truth run"
+            )
+    return df
+
+
 def all_pairs_jaccard(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3,
+    *, force: bool = False,
 ) -> DataFrame:
     """Exact all-pairs shingle-set Jaccard ≥ threshold. O(n²) — oracle /
     small-partition verification path only; the scale path is
-    minhash_lsh_pairs."""
+    minhash_lsh_pairs. Guarded: raises above ALL_PAIRS_MAX_ROWS rows
+    unless force=True."""
+    guard_all_pairs(df, "all_pairs_jaccard", force=force)
     t = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("s"))
     a, b = t.alias("a"), t.alias("b")
     pair = a.join(b, F.col("a.id") < F.col("b.id"))

@@ -306,8 +306,10 @@ WHERE bit_count(xor(a.h, b.h)) <= 3
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 3 over the 32-bit
     signatures (all-pairs form for the oracle; banded probing is the
-    scale path)."""
-    d = load_table(spark, sf_dir, "documents")
+    scale path). Size-guarded: raises above ALL_PAIRS_MAX_ROWS."""
+    d = D.guard_all_pairs(
+        load_table(spark, sf_dir, "documents"), "dedup_simhash_pairs"
+    )
     sh = d.select("doc_id", X.token_ids("text").alias("ids")).select(
         "doc_id", X.simhash32(F.col("ids")).alias("h")
     )

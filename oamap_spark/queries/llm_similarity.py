@@ -271,8 +271,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     form: an sf-bounded ORACLE TWIN kept as ground truth for tests and
     the driver gate; the declared scale path is
     ``dedup_embedding_banded`` (LSH-bucketed, identical output,
-    never forms the cross product)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    never forms the cross product). Size-guarded: raises above
+    ALL_PAIRS_MAX_ROWS rows."""
+    from oamap_spark.operators.dedup import guard_all_pairs
+
+    e = guard_all_pairs(
+        load_table(spark, sf_dir, "embeddings"), "dedup_embedding_cosine"
+    )
     v = e.select("vec_id", V.as_double("embedding").alias("e"))
     a, b = v.alias("a"), v.alias("b")
     cos = V.cosine(F.col("a.e"), F.col("b.e"))

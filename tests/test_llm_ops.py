@@ -127,6 +127,29 @@ def test_minhash_lsh_bucket_cap_noop_below_cap(spark):
     assert base == capped
 
 
+def test_all_pairs_guard_refuses_large_input(spark):
+    """The O(n²) ground-truth paths must be impossible to point at a
+    production-sized table by accident: above ALL_PAIRS_MAX_ROWS the
+    guard raises, force=True is the explicit override, and under the
+    ceiling behavior is unchanged (the sf0.01 oracles still run)."""
+    from oamap_spark.operators.dedup import (
+        ALL_PAIRS_MAX_ROWS,
+        all_pairs_jaccard,
+        guard_all_pairs,
+    )
+
+    big = spark.range(ALL_PAIRS_MAX_ROWS + 1).select(
+        F.col("id").alias("doc_id"), F.lit("words here").alias("text")
+    )
+    with pytest.raises(ValueError, match="refusing all-pairs"):
+        all_pairs_jaccard(big, "doc_id", "text", 0.9)
+    # force=True builds the (lazy) plan without raising
+    all_pairs_jaccard(big, "doc_id", "text", 0.9, force=True)
+    # under the ceiling the guard is a pass-through
+    small = spark.range(10).select(F.col("id").alias("doc_id"))
+    assert guard_all_pairs(small, "t").count() == 10
+
+
 def test_minhash_lsh_capped_cluster_equivalence(spark, queries):
     """The shipped scale path (dedup_minhash_lsh_capped) may drop
     pairwise edges inside over-cap buckets, but the star keeps every
