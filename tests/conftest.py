@@ -9,6 +9,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("OAMAP_SPARK_TEST_SF", "/root/testdata/sf0.001")
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: bench-scale (sf0.1) validation; skip with -m 'not slow'"
+    )
 
 
 @pytest.fixture(scope="session")

@@ -127,6 +127,25 @@ def test_minhash_lsh_bucket_cap_noop_below_cap(spark):
     assert base == capped
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("ann_query", ["ann_lsh_topk", "ann_ivf_topk"])
+def test_ann_recall_at_bench_scale(spark, queries, ann_query):
+    """recall@5 ≥ 0.9 at sf0.1 (the bench scale): the LSH bucket
+    widths / IVF probe counts are tuned knobs, and recall measured
+    only at the tiny test SF could silently degrade as the corpus
+    grows 100× — bucket occupancy rises with corpus size while the
+    true top-5 gets harder. This pins the quality claim at the same
+    scale the perf numbers are reported at."""
+    from tests.conftest import SF_BENCH
+
+    exact = queries["cosine_topk_bruteforce"](spark, SF_BENCH).collect()
+    approx = queries[ann_query](spark, SF_BENCH).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"{ann_query} recall@5 {recall:.3f} < 0.9 at sf0.1"
+
+
 def test_all_pairs_guard_refuses_large_input(spark):
     """The O(n²) ground-truth paths must be impossible to point at a
     production-sized table by accident: above ALL_PAIRS_MAX_ROWS the
