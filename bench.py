@@ -42,6 +42,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        # the LSH/banded queries persist narrow signature tables whose
+        # lifetime the CALLER owns (documented in the operators); a
+        # sweep that never clears them would accumulate cached copies
+        spark.catalog.clearCache()
 
     # Skew micro-bench: 500 identical docs — the boilerplate-cluster
     # degenerate case. Every band bucket holds all 500 ids, so the

@@ -22,6 +22,23 @@ comparisons (incl. chained), ``and/or/not``, conditional expressions,
 (``upper/lower/strip/startswith/endswith``), ``None`` checks
 (``r.x is None``), and closure constants. Anything else raises
 :class:`CompileError` — and the UDF path picks it up.
+
+Documented semantic divergences between the two paths (inherent to
+lowering Python onto SQL semantics; each is pinned by a test):
+
+- ``%`` and ``//`` follow Python sign semantics in both paths (the
+  compiler emits the sign-correcting form), but ``%`` on floats can
+  differ in the last ulp.
+- ``round`` lowers to Spark's HALF_UP rounding; Python 3 uses
+  banker's rounding, so exact .5 boundaries diverge
+  (``round(2.5)`` → 2 interpreted, 3 compiled). Real-world float
+  data virtually never sits on an exact decimal .5; if yours does,
+  use the UDF path explicitly.
+- ``len`` without a ``schema`` lowers to ``F.length`` (strings).
+  On an ARRAY field the schema is what tells the compiler to emit
+  ``F.size`` instead — schema-less ``len`` over an array fails at
+  DataFrame analysis time, not compile time, so pass ``schema=``
+  (or go through ``as_column(fn, df)``, which always does).
 """
 
 from __future__ import annotations
@@ -573,7 +590,17 @@ def compile_row_fn(fn: Callable[[Any], Any] | str, schema=None) -> Column:
         tree = _source_tree(fn)
         env = _closure_env(fn)
     row_arg, expr = _return_expr(tree)
-    out = _Translator(row_arg, env, schema=schema).visit(expr)
+    try:
+        out = _Translator(row_arg, env, schema=schema).visit(expr)
+    except CompileError:
+        raise
+    except (TypeError, ValueError, AttributeError) as exc:
+        # builder lambdas have fixed arities (`s.split()` with no arg,
+        # `s.strip('x')` hit a _STR_METHODS lambda wrong) — any such
+        # failure means "outside the compilable surface", and the
+        # dual-path contract requires CompileError so as_column's UDF
+        # fallback triggers instead of leaking a raw TypeError
+        raise CompileError(f"translation failed: {exc}") from exc
     if not isinstance(out, Column):
         # a row-independent function is legal Python — lift scalar
         # results to a literal Column (oamap compiles constant fcns too)

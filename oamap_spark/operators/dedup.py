@@ -147,7 +147,11 @@ def minhash_lsh_pairs(
     # instead of re-tokenizing the corpus per plan branch (4 branches
     # → measured ~8× at sf0.1). At 100 TB the equivalent move is
     # materializing this signature table to storage once per corpus
-    # snapshot. The two-step selects are deliberate projection
+    # snapshot. The CALLER owns the cache lifetime: the returned
+    # DataFrame is lazy, so unpersisting here would defeat the reuse —
+    # long-lived sessions (bench sweeps, notebooks) should
+    # spark.catalog.clearCache() between invocations (bench.py does).
+    # The two-step selects are deliberate projection
     # boundaries: inlining `tids` into the shingle lambda or `ids`
     # into the k minhash expressions re-evaluates the hash subtree per
     # reference (measured 12–14× slower).

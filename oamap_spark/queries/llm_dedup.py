@@ -232,6 +232,9 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simhash subtree executes twice (measured ~1.3 s of the runtime at
     # sf0.1). At 100 TB signatures are the thing you'd checkpoint
     # anyway — they're 4 orders of magnitude narrower than the text.
+    # Cache lifetime is caller-owned (the result is lazy, so an
+    # unpersist here would defeat the reuse); long-lived sessions
+    # should clearCache() between sweeps — bench.py does.
     from pyspark import StorageLevel
 
     sh = (

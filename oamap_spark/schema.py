@@ -31,6 +31,12 @@ oamap node            Spark re-expression
 Pointer and named-Record nodes occur as record fields (where Spark has a
 metadata slot to carry them); elsewhere they degrade — documented, and
 pinned by tests — to ``Primitive("int64")`` / anonymous ``Record``.
+Two further documented degradations (both pinned by tests): unsigned
+ints widen on the round trip (uint8/16/32 → the next-wider signed
+Spark type → read back as int16/32/64; only uint64 survives, via
+decimal(20,0)), and a Union possibility's nullable flag is dropped
+(variant slots are physically written nullable — only one slot is
+populated per row — and read back nullable=False).
 
 ``infer(objs)`` reproduces oamap ``fromdata``'s schema inference
 (SURVEY.md §3 entry 2): dicts → Record, lists → List, tuples → Tuple,

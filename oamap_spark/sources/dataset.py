@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from oamap_spark import schema as plurtp
 
 _META = "_oamap_meta.json"
-_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+# No leading underscore: the `_`-prefixed namespace is reserved for
+# internal sidecars (`_oamap_meta.json`, the `_checkpoints` root that
+# put_stream writes) — otherwise list() would report `_checkpoints` as
+# a dataset and put('_checkpoints', ...) could write data into the
+# streaming-checkpoint root.
+_NAME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)

@@ -140,6 +140,21 @@ def test_unsupported_constructs_raise():
         compile_row_fn(two_statements)
 
 
+def test_wrong_arity_methods_raise_compile_error_not_typeerror(df):
+    """Builder lambdas have fixed arities — `s.split()` with no arg and
+    `s.strip('x')` hit them wrong. The dual-path contract requires
+    CompileError (never a raw TypeError) so as_column's UDF fallback
+    triggers; the fallback must then produce the Python semantics."""
+    with pytest.raises(CompileError):
+        compile_row_fn(lambda r: len(r.s.split()))  # split() needs a sep arg
+    with pytest.raises(CompileError):
+        compile_row_fn(lambda r: r.s.strip("x"))  # strip(chars) unsupported
+
+    col = as_column(lambda r: r.s.strip("a"), df, return_type="string")
+    got = sorted(r["v"] for r in df.select(col.alias("v")).collect())
+    assert got == sorted(r["s"].strip("a") for r in ROWS)
+
+
 def test_as_column_falls_back_to_udf(df):
     # string reversal isn't in the supported surface → pandas-UDF path
     fn = lambda r: r.s[::-1]  # noqa: E731

@@ -84,6 +84,12 @@ def test_bad_name_rejected(spark, db):
         db.put("../evil", _base(spark))
     with pytest.raises(KeyError):
         db.get("missing")
+    # the _ namespace is reserved for internal sidecars/checkpoints:
+    # put('_checkpoints', ...) would write into the streaming
+    # checkpoint root, and list() must never report it as a dataset
+    with pytest.raises(ValueError):
+        db.put("_checkpoints", _base(spark))
+    assert not any(n.startswith("_") for n in db.list())
 
 
 def test_overwrite_requires_mode(spark, db):
