@@ -93,6 +93,107 @@ def self_pointer_prev(
     return joined.select(*keep)
 
 
+def iterate_pointer(
+    df: DataFrame,
+    id_col: str,
+    ptr_col: str,
+    n: int,
+    *,
+    out_col: str = "ancestor_id",
+) -> DataFrame:
+    """Follow a self-referential Pointer ``n`` steps (SURVEY §1.3 /
+    §7.5: recursive named schemas — linked lists, trees — materialize
+    as a surrogate-key table; traversal is an ITERATIVE JOIN, never
+    driver-side recursion).
+
+    Pointer doubling: round k joins the current jump table to itself,
+    so after ⌈log₂ n⌉ rounds each row knows its 2ᵏ-step ancestor —
+    O(log n) shuffles instead of n chained joins. A walk that steps
+    off the root (null pointer) yields null, oamap's masked-pointer
+    convention. Returns ``df`` with ``out_col`` = the id reached after
+    exactly ``n`` dereferences."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    cur = df.select(F.col(id_col).alias("__id"), F.col(id_col).alias("__anc"))
+    # jump = 2^k-step table, built by doubling; binary decomposition of
+    # n composes the needed jumps (exactly like fast exponentiation)
+    jump = df.select(F.col(id_col).alias("__jid"), F.col(ptr_col).alias("__janc"))
+    bit = n
+    while bit > 0:
+        if bit & 1:
+            cur = (
+                cur.join(jump, cur["__anc"] == jump["__jid"], "left")
+                .select("__id", F.col("__janc").alias("__anc"))
+            )
+        bit >>= 1
+        if bit > 0:
+            jump = (
+                jump.alias("a")
+                .join(
+                    jump.select(
+                        F.col("__jid").alias("__bid"), F.col("__janc").alias("__banc")
+                    ),
+                    F.col("a.__janc") == F.col("__bid"),
+                    "left",
+                )
+                .select(F.col("a.__jid").alias("__jid"), F.col("__banc").alias("__janc"))
+            )
+    out = df.join(
+        cur.select(F.col("__id"), F.col("__anc").alias(out_col)),
+        df[id_col] == cur["__id"],
+        "left",
+    )
+    return out.drop("__id")
+
+
+def pointer_depth_root(
+    df: DataFrame,
+    id_col: str,
+    ptr_col: str,
+    *,
+    max_iter: int = 40,
+) -> DataFrame:
+    """Resolve every node of a pointer forest to its ROOT (null-parent
+    node) and its DEPTH (dereference count to reach it) — the full
+    recursive-schema traversal, as O(log diameter) doubling rounds.
+
+    Each round replaces a node's known ancestor with that ancestor's
+    own known ancestor and accumulates the step counts, so reach
+    doubles per round. Exact fixpoint: stops when no row changes;
+    raises at ``max_iter`` (2⁴⁰ depth) rather than silently
+    mislabeling. The localCheckpoint per round truncates the plan
+    lineage the same way the connected-components loop does
+    (operators/clustering.py) — without it the doubled-join tree grows
+    exponentially."""
+    state = df.select(
+        F.col(id_col).alias("node"),
+        F.coalesce(F.col(ptr_col), F.col(id_col)).alias("anc"),
+        F.when(F.col(ptr_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nxt = (
+            state.alias("s")
+            .join(
+                state.select(
+                    F.col("node").alias("t_node"),
+                    F.col("anc").alias("t_anc"),
+                    F.col("depth").alias("t_depth"),
+                ),
+                F.col("s.anc") == F.col("t_node"),
+            )
+            .select(
+                F.col("s.node").alias("node"),
+                F.col("t_anc").alias("anc"),
+                (F.col("s.depth") + F.col("t_depth")).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.exceptAll(state).isEmpty():
+            return nxt.select("node", F.col("anc").alias("root_id"), "depth")
+        state = nxt
+    raise RuntimeError(f"pointer_depth_root did not converge in {max_iter} rounds")
+
+
 def _conj(conds: Sequence[Column]) -> Column:
     out = conds[0]
     for c in conds[1:]:

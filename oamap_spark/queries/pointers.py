@@ -129,3 +129,76 @@ def union_event_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("score"), 2).alias("payload_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive / self-referential schemas (SURVEY §1.3, §7.5): a Pointer
+# whose target is a named ANCESTOR node — linked lists and trees. The
+# worked example: a deterministic forest over `documents` (parent =
+# doc_id // 10; ids < 10 are roots), i.e. the surrogate-key
+# materialization of
+#     node := Record({doc: ..., parent: Pointer(node, nullable)})
+# Traversal is an iterative join — pointer doubling gives O(log depth)
+# shuffle rounds, the plan you'd run at 100 TB, never driver-side
+# recursion. The DuckDB oracle is the genuinely recursive form
+# (WITH RECURSIVE), so two independent traversal strategies must agree.
+# ---------------------------------------------------------------------------
+
+def _doc_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a pointer forest: (doc_id, parent_id). Roots
+    (doc_id < 10) carry a null parent — oamap's masked pointer."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") >= 10, F.floor(F.col("doc_id") / 10).cast("long"))
+        .alias("parent_id"),
+    )
+
+
+@register(
+    "pointer_tree_root_depth",
+    tags=("pointer", "recursive", "tree", "iterative"),
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth FROM documents
+  UNION ALL
+  SELECT doc_id, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+)
+SELECT doc_id, cur AS root_id, depth
+FROM walk
+WHERE cur < 10
+""",
+)
+def pointer_tree_root_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full recursive traversal of the document forest: every node
+    resolved to its root and depth via pointer doubling (O(log depth)
+    rounds, operators/links.pointer_depth_root). The oracle walks the
+    same forest with a recursive CTE — iterative-join and recursive
+    formulations must agree row-for-row."""
+    forest = _doc_forest(spark, sf_dir)
+    out = L.pointer_depth_root(forest, "doc_id", "parent_id")
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "root_id",
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+@register(
+    "pointer_tree_grandparent",
+    tags=("pointer", "recursive", "tree", "iterate_n"),
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id >= 100 THEN doc_id // 100 END AS ancestor_id
+FROM documents
+""",
+)
+def pointer_tree_grandparent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-step traversal: each document's 2-step ancestor via
+    iterate_pointer (binary-decomposed jump joins). Walking off a root
+    yields null — the masked-pointer convention. The oracle is the
+    closed form of parent∘parent on this forest."""
+    forest = _doc_forest(spark, sf_dir)
+    return L.iterate_pointer(forest, "doc_id", "parent_id", 2).select(
+        "doc_id", "ancestor_id"
+    )

@@ -24,7 +24,11 @@ oamap node            Spark re-expression
 ``Pointer(target)``   bigint surrogate key (positions array → join key;
                       deref via ``operators/links.resolve_pointer``); the
                       target schema rides in ``oamap.pointer`` metadata
-                      when the pointer is a record field
+                      when the pointer is a record field. ``target`` may
+                      be a STRING naming an enclosing Record — the
+                      recursive named-schema form (linked lists, trees);
+                      traversal = iterative join
+                      (``links.iterate_pointer``/``pointer_depth_root``)
 ====================  =====================================================
 
 ``from_spark(to_spark(node))`` is the identity for every tree in which
@@ -154,7 +158,15 @@ class Union(Node):
 
 @dataclass(frozen=True, repr=False)
 class Pointer(Node):
-    target: Node = field(default_factory=Primitive)
+    """``target`` may be a Node (pointer into a separately-described
+    structure) or a STRING naming an enclosing Record — the recursive
+    named-schema case (oamap: Pointer to a named ancestor; linked
+    lists, trees). The by-name form keeps the schema tree acyclic and
+    JSON-serializable; it materializes as the same bigint surrogate
+    key, and traversal is an iterative join
+    (operators/links.iterate_pointer / pointer_depth_root)."""
+
+    target: Node | str = field(default_factory=Primitive)
     nullable: bool = False
 
     def __repr__(self) -> str:
@@ -214,7 +226,11 @@ def _meta(node: Node) -> dict:
     if isinstance(node, Record) and node.name:
         m["oamap.recordname"] = node.name
     if isinstance(node, Pointer):
-        m["oamap.pointer"] = json.dumps(_to_spec(node.target))
+        m["oamap.pointer"] = json.dumps(
+            {"named": node.target}
+            if isinstance(node.target, str)
+            else _to_spec(node.target)
+        )
     return m
 
 
@@ -235,6 +251,8 @@ def _to_spec(node: Node) -> dict:
     if isinstance(node, Union):
         return {"u": [_to_spec(v) for v in node.possibilities], "n": node.nullable}
     if isinstance(node, Pointer):
+        if isinstance(node.target, str):  # by-name ref to a named ancestor
+            return {"ptrn": node.target, "n": node.nullable}
         return {"ptr": _to_spec(node.target), "n": node.nullable}
     raise TypeError(f"not a schema node: {node!r}")
 
@@ -255,6 +273,8 @@ def _from_spec(spec: dict) -> Node:
         return Tuple(tuple(_from_spec(v) for v in spec["t"]), nullable=n)
     if "u" in spec:
         return Union(tuple(_from_spec(v) for v in spec["u"]), nullable=n)
+    if "ptrn" in spec:
+        return Pointer(spec["ptrn"], nullable=n)
     if "ptr" in spec:
         return Pointer(_from_spec(spec["ptr"]), nullable=n)
     raise ValueError(f"bad schema spec: {spec!r}")
@@ -330,7 +350,9 @@ def from_spark(dt: T.DataType, *, nullable: bool = False, metadata: dict | None 
     """
     metadata = metadata or {}
     if "oamap.pointer" in metadata and isinstance(dt, T.LongType):
-        return Pointer(_from_spec(json.loads(metadata["oamap.pointer"])), nullable=nullable)
+        spec = json.loads(metadata["oamap.pointer"])
+        target = spec["named"] if "named" in spec else _from_spec(spec)
+        return Pointer(target, nullable=nullable)
     if isinstance(dt, T.StructType):
         if _is_union_struct(dt):
             return Union(
@@ -397,6 +419,8 @@ def _resolve_unknown(node: Node) -> Node:
             tuple(_resolve_unknown(v) for v in node.possibilities), nullable=node.nullable
         )
     if isinstance(node, Pointer):
+        if isinstance(node.target, str):
+            return node
         return Pointer(_resolve_unknown(node.target), nullable=node.nullable)
     return node
 
