@@ -11,12 +11,23 @@ PARALLEL source:
     spark.dataSource.register(NpyDataSource)
     df = spark.read.format("npy").load("/path/to/dir")
 
+Two column layouts coexist in one directory:
+
+- ``<col>.npy`` — a flat 1-D array → scalar column.
+- ``<col>_offsets.npy`` + ``<col>_content.npy`` — a JAGGED column
+  (offsets has n_rows+1 entries; row i's list is
+  ``content[offsets[i]:offsets[i+1]]``) → ``array<T>`` column. This is
+  oamap's List encoding and byte-for-byte the ROOT jagged-branch
+  layout (TBranch of ``vector<float>`` decomposes into exactly these
+  two arrays), so this source IS the ROOT mapping demonstrated without
+  ROOT files in the environment (SURVEY §2.C `oamap/backend/root.py`
+  [H] — counts/offsets + content arrays per branch).
+
 Each partition reads a row-range slice of every column file with
-``np.load(mmap_mode="r")`` — so N partitions scan the directory
-concurrently without any task ever materializing a full column, which
-is exactly how this backend would behave against a shared filesystem
-at scale. Arrow-friendly batches come back through the iterator-of-
-tuples contract.
+``np.load(mmap_mode="r")`` — jagged content is sliced through the
+offsets, so no task ever materializes a full column. That is how this
+backend behaves against a shared filesystem at scale. Arrow-friendly
+batches come back through the iterator-of-tuples contract.
 """
 
 from __future__ import annotations
@@ -25,6 +36,7 @@ import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -37,18 +49,49 @@ _DTYPE_MAP = {
     "f": DoubleType(),
 }
 
+_OFF = "_offsets"
+_CON = "_content"
 
-def _columns(path: str) -> list[str]:
-    cols = sorted(f[: -len(".npy")] for f in os.listdir(path) if f.endswith(".npy"))
-    if not cols:
+
+def _columns(path: str) -> tuple[list[str], list[str]]:
+    """(flat, jagged) column base names in ``path``."""
+    names = {f[: -len(".npy")] for f in os.listdir(path) if f.endswith(".npy")}
+    jagged = sorted(
+        n[: -len(_OFF)]
+        for n in names
+        if n.endswith(_OFF) and n[: -len(_OFF)] + _CON in names
+    )
+    paired = {j + _OFF for j in jagged} | {j + _CON for j in jagged}
+    flat = sorted(names - paired)
+    orphans = [
+        n for n in names
+        if (n.endswith(_OFF) or n.endswith(_CON)) and n not in paired
+    ]
+    if orphans:
+        raise ValueError(f"unpaired jagged files in {path!r}: {orphans}")
+    if not flat and not jagged:
         raise ValueError(f"no .npy files in {path!r}")
-    return cols
+    return flat, jagged
 
 
 def _peek(path: str, col: str):
     import numpy as np
 
     return np.load(os.path.join(path, f"{col}.npy"), mmap_mode="r")
+
+
+def _elem_type(path: str, fname: str, arr) -> "LongType | DoubleType":
+    kind = arr.dtype.kind
+    if kind not in _DTYPE_MAP:
+        raise ValueError(
+            f"unsupported dtype {arr.dtype} in {fname} (int/uint/float supported)"
+        )
+    if arr.ndim != 1:
+        raise ValueError(
+            f"{fname} is {arr.ndim}-D; the DataSource reads 1-D "
+            "columns (use sources.npy.from_numpy for nested ramps)"
+        )
+    return _DTYPE_MAP[kind]
 
 
 class _RangePartition(InputPartition):
@@ -58,8 +101,9 @@ class _RangePartition(InputPartition):
 
 
 class NpyDataSource(DataSource):
-    """Directory of ``<column>.npy`` files → one table, read in
-    parallel row-range partitions."""
+    """Directory of ``<column>.npy`` (flat) and
+    ``<column>_offsets.npy + <column>_content.npy`` (jagged) files →
+    one table, read in parallel row-range partitions."""
 
     @classmethod
     def name(cls) -> str:
@@ -67,21 +111,22 @@ class NpyDataSource(DataSource):
 
     def schema(self) -> StructType:
         path = self.options["path"]
+        flat, jagged = _columns(path)
         fields = []
-        for col in _columns(path):
-            arr = _peek(path, col)
-            kind = arr.dtype.kind
-            if kind not in _DTYPE_MAP:
-                raise ValueError(
-                    f"unsupported dtype {arr.dtype} in {col}.npy "
-                    "(int/uint/float supported)"
+        for col in sorted(flat + jagged):
+            if col in jagged:
+                off = _peek(path, col + _OFF)
+                if off.dtype.kind not in "iu" or off.ndim != 1:
+                    raise ValueError(
+                        f"{col}{_OFF}.npy must be a 1-D integer offsets array"
+                    )
+                et = _elem_type(path, f"{col}{_CON}.npy", _peek(path, col + _CON))
+                fields.append(
+                    StructField(col, ArrayType(et, containsNull=False), nullable=False)
                 )
-            if arr.ndim != 1:
-                raise ValueError(
-                    f"{col}.npy is {arr.ndim}-D; the DataSource reads 1-D "
-                    "columns (use sources.npy.from_numpy for nested ramps)"
-                )
-            fields.append(StructField(col, _DTYPE_MAP[kind], nullable=False))
+            else:
+                et = _elem_type(path, f"{col}.npy", _peek(path, col))
+                fields.append(StructField(col, et, nullable=False))
         return StructType(fields)
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -92,9 +137,26 @@ class _NpyReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.path = path
         self.cols = [f.name for f in schema.fields]
-        n = len(_peek(path, self.cols[0]))
+        self.jagged = {
+            f.name for f in schema.fields if isinstance(f.dataType, ArrayType)
+        }
+
+        def n_rows_of(c: str) -> int:
+            if c in self.jagged:
+                off = _peek(path, c + _OFF)
+                n = len(off) - 1
+                con = len(_peek(path, c + _CON))
+                if n < 0 or off[0] != 0 or off[-1] != con:
+                    raise ValueError(
+                        f"{c}: offsets must run 0..len(content) "
+                        f"(got [{off[0] if len(off) else '∅'}..{off[-1] if len(off) else '∅'}], content={con})"
+                    )
+                return n
+            return len(_peek(path, c))
+
+        n = n_rows_of(self.cols[0])
         for c in self.cols[1:]:
-            m = len(_peek(path, c))
+            m = n_rows_of(c)
             if m != n:
                 raise ValueError(
                     f"column length mismatch: {self.cols[0]}={n} vs {c}={m}"
@@ -113,8 +175,21 @@ class _NpyReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        arrays = [
-            _peek(self.path, c)[partition.start : partition.end] for c in self.cols
-        ]
-        for row in zip(*(a.tolist() for a in arrays)):
-            yield row
+        lo, hi = partition.start, partition.end
+        arrays = []
+        for c in self.cols:
+            if c in self.jagged:
+                off = _peek(self.path, c + _OFF)[lo : hi + 1]
+                # slice content once for the whole partition, then cut
+                # rows out of it — the mmap reads only [off[0], off[-1])
+                con = _peek(self.path, c + _CON)[off[0] : off[-1]]
+                base = off[0]
+                arrays.append(
+                    [
+                        con[off[i] - base : off[i + 1] - base].tolist()
+                        for i in range(len(off) - 1)
+                    ]
+                )
+            else:
+                arrays.append(_peek(self.path, c)[lo:hi].tolist())
+        yield from zip(*arrays)

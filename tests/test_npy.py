@@ -66,3 +66,60 @@ def test_npy_python_datasource_parallel_read(spark, tmp_path):
     assert rows[0]["id"] == 0 and abs(rows[99]["val"] - 1.0) < 1e-12
     # pushdown-free but prunable: column projection still works
     assert df.select("id").where("id < 10").count() == 10
+
+
+def test_npy_datasource_jagged_round_trip(spark, tmp_path):
+    """The ROOT jagged-branch mapping (SURVEY §2.C): a directory with
+    <col>_offsets.npy + <col>_content.npy reads back as an array<T>
+    column alongside flat columns — offsets/content is exactly how a
+    TBranch of vector<float> decomposes, and oamap's List encoding.
+    Round trip: write known jagged data, read through the registered
+    DataSource, compare per-row lists and an exploded aggregate."""
+    import numpy as np
+
+    from oamap_spark.sources.npy_datasource import NpyDataSource
+
+    d = tmp_path / "jagged"
+    d.mkdir()
+    # 5 events: pts lists of lengths 2,0,3,1,4 — empties included
+    lists = [[1.0, 2.0], [], [3.0, 4.0, 5.0], [6.0], [7.0, 8.0, 9.0, 10.0]]
+    content = np.array([x for l in lists for x in l], dtype=np.float64)
+    offsets = np.cumsum([0] + [len(l) for l in lists]).astype(np.int64)
+    np.save(d / "event_id.npy", np.arange(5, dtype=np.int64))
+    np.save(d / "pts_offsets.npy", offsets)
+    np.save(d / "pts_content.npy", content)
+
+    spark.dataSource.register(NpyDataSource)
+    df = spark.read.format("npy").load(str(d))
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields) == {
+        "event_id": "bigint",
+        "pts": "array<double>",
+    }
+    rows = sorted(df.collect(), key=lambda r: r["event_id"])
+    assert [r["pts"] for r in rows] == lists
+    # the jagged column behaves as a normal array column downstream
+    total = df.selectExpr("sum(aggregate(pts, 0.0D, (a, x) -> a + x)) AS s").collect()
+    assert abs(total[0]["s"] - sum(sum(l) for l in lists)) < 1e-12
+
+
+def test_npy_datasource_jagged_validation(spark, tmp_path):
+    """Orphaned offsets files and offset/content disagreements must
+    fail loudly at schema/reader build, not mis-slice silently."""
+    import numpy as np
+    import pytest as _pt
+
+    from oamap_spark.sources.npy_datasource import NpyDataSource
+
+    d = tmp_path / "bad1"
+    d.mkdir()
+    np.save(d / "pts_offsets.npy", np.array([0, 2], dtype=np.int64))
+    spark.dataSource.register(NpyDataSource)
+    with _pt.raises(Exception, match="unpaired"):
+        spark.read.format("npy").load(str(d)).schema
+
+    d2 = tmp_path / "bad2"
+    d2.mkdir()
+    np.save(d2 / "pts_offsets.npy", np.array([0, 2, 5], dtype=np.int64))
+    np.save(d2 / "pts_content.npy", np.array([1.0, 2.0, 3.0]))  # len 3 != 5
+    with _pt.raises(Exception, match="offsets must run"):
+        spark.read.format("npy").load(str(d2)).collect()
