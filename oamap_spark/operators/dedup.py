@@ -226,3 +226,51 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def ngram_window_overlap(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring signal: for each document, how many
+    of its distinct n-token windows also occur in at least one OTHER
+    document (Lee et al. 2022's exact-substring dedup, arXiv:
+    2107.06499, restricted to fixed-length windows so it stays a pure
+    equi-join — no suffix array needed).
+
+    Scale shape: one narrow token pass per doc builds int64 window ids
+    (modular polynomial over token ids — no per-window hashing); only
+    (doc_id, window_id) pairs ever shuffle. The duplicated-window set
+    is found with one groupBy on the 8-byte window id; texts never
+    leave their partitions. Complements MinHash (whole-doc near-dup)
+    with within-doc contamination: a 1% boilerplate footer shared by
+    millions of docs is invisible at Jaccard 0.9 but lights up here.
+
+    Output: one row per document that has at least one window —
+    (id, n_windows, n_dup_windows, dup_ratio)."""
+    ids = df.select(
+        F.col(id_col).alias("id"), token_id_array(text_col).alias("tids")
+    ).select("id", combine_shingle_ids(F.col("tids"), n).alias("wids"))
+    exploded = ids.select("id", F.explode("wids").alias("wid"))
+    shared = (
+        exploded.groupBy("wid")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("wid")
+    )
+    dup_counts = (
+        exploded.join(shared, "wid")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        ids.select("id", F.size("wids").alias("n_windows"))
+        .join(dup_counts, "id", "left")
+        .select(
+            "id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4
+            ).alias("dup_ratio"),
+        )
+    )

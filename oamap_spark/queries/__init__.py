@@ -35,6 +35,7 @@ def _load_all() -> None:
         "oamap_spark.queries.llm_curation",
         "oamap_spark.queries.analytics_extra",
         "oamap_spark.queries.warehousing",
+        "oamap_spark.queries.sketches_suite",
     ):
         try:
             importlib.import_module(mod)

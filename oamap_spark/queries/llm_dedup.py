@@ -417,3 +417,37 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("redundancy_bp"),
     )
+
+
+@register(
+    "dedup_ngram_window_overlap",
+    tags=("llm", "dedup", "exact_substring", "ngram"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
+), w AS (
+  SELECT doc_id, {X.sql_combine_shingle_ids('tids', 8)} AS wids FROM t
+), e AS (
+  SELECT doc_id, unnest(wids) AS wid FROM w
+), shared AS (
+  SELECT wid FROM e GROUP BY wid HAVING count(DISTINCT doc_id) > 1
+), dup AS (
+  SELECT e.doc_id, count(*) AS n_dup_windows
+  FROM e JOIN shared USING (wid)
+  GROUP BY e.doc_id
+)
+SELECT w.doc_id AS id,
+       len(w.wids) AS n_windows,
+       COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
+       round(COALESCE(dup.n_dup_windows, 0) / len(w.wids), 4) AS dup_ratio
+FROM w LEFT JOIN dup USING (doc_id)
+""",
+)
+def dedup_ngram_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring signal per document: the fraction of
+    its distinct 8-token windows that occur in other documents (the
+    fixed-window form of exact-substring dedup, Lee et al. 2022).
+    Only int64 window ids shuffle — see
+    :func:`oamap_spark.operators.dedup.ngram_window_overlap`."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_window_overlap(d, "doc_id", "text", n=8)

@@ -1,0 +1,88 @@
+"""Sketch-rollup declared queries (capability absent from the
+reference — oamap has no distinct-count surface at all [H]; this is
+the §2.D approximate-aggregation row taken to its 100 TB form).
+
+Both queries follow the two-level pattern from
+:mod:`oamap_spark.operators.sketches`: build fine-grained HLL
+sketches once, then answer a coarser distinct-count question by
+merging sketches — never re-shuffling raw values. With ``lgk=14``
+every cardinality at oracle/bench SF sits in the sketch's exact
+sparse regime, so the estimates hash-match DuckDB's exact COUNT
+(DISTINCT) and the full plan (sketch → union → estimate) is
+oracle-gated, not rows-only. ``tests/test_sketches.py`` pins the
+dense-regime error bound separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.operators import sketches as SK
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+
+@register(
+    "hll_region_distinct_customers",
+    tags=("sketch", "hll", "approx_distinct", "rollup"),
+    oracle="""
+SELECT r.r_name AS region,
+       count(DISTINCT c.c_custkey) AS approx_customers
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+""",
+)
+def hll_region_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per region from per-nation HLL sketches.
+
+    The sketch table (nation → sketch) is the stored artifact; the
+    region answer is a union of ≤ 5 fixed-size sketches per group. At
+    100 TB the same two-level plan never shuffles a customer key:
+    tasks sketch locally, registers merge. Nation/region dims are
+    broadcast (small-side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = SK.group_sketches(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey),
+        ["n_regionkey", "n_nationkey"],
+        "c_custkey",
+    )
+    rolled = SK.rollup_estimate(per_nation, ["n_regionkey"], out="approx_customers")
+    return (
+        rolled.join(F.broadcast(region), rolled.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region"), "approx_customers")
+    )
+
+
+@register(
+    "hll_weekly_users_from_daily_sketches",
+    tags=("sketch", "hll", "approx_distinct", "reaggregation"),
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       count(DISTINCT user_id) AS approx_users
+FROM events
+GROUP BY 1
+""",
+)
+def hll_weekly_users_from_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users re-aggregated from *daily* user sketches.
+
+    The production shape: a pipeline stores one HLL sketch per (day)
+    — here built inline — and any coarser window (week, month,
+    trailing-28-day) is answered by unioning a handful of daily rows.
+    The raw events are scanned once ever; re-rollups are O(days), not
+    O(events). Exact at this SF (sparse regime); ±1.6% at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = SK.group_sketches(
+        ev.withColumn("day", F.date_trunc("day", "ts")), ["day"], "user_id"
+    )
+    weekly = SK.rollup_estimate(
+        daily.withColumn("week", F.date_trunc("week", "day")),
+        ["week"],
+        out="approx_users",
+    )
+    return weekly

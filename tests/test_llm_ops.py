@@ -206,3 +206,23 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, queries):
     if exact:
         recall = len(lsh) / len(exact)
         assert recall >= 0.3, f"LSH recall {recall:.2f} vs exact jaccard pairs"
+
+
+def test_ngram_window_overlap_detects_shared_substring(spark):
+    from oamap_spark.operators.dedup import ngram_window_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"one two three four five six seven eight {shared}"),
+        (2, f"{shared} nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (3, "totally different words with no overlap at all whatsoever here today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in ngram_window_overlap(df, "doc_id", "text", n=8).collect()}
+    # docs 1 and 2 share exactly the one window made of the 8 shared tokens
+    assert out[1]["n_dup_windows"] == 1
+    assert out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["dup_ratio"] == 0.0
+    # every doc reports all its windows: len(tokens) - 7
+    assert out[1]["n_windows"] == 16 - 7
