@@ -235,3 +235,69 @@ def test_rank_filter_gets_window_group_limit(spark, queries):
     shuffling the whole table at 100 TB."""
     df = queries["window_rank_orders_per_customer"](spark, SF_SMOKE)
     assert "WindowGroupLimit" in audit.plan_string(df)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime bloom-filter join pruning — the AQE-era answer for a
+    selective dim⋈fact join too big to broadcast: the filtered
+    creation side builds a bloom filter that is pushed into the fact
+    scan, dropping non-matching rows BEFORE the shuffle. At 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~1/5 that survives. Thresholds are lowered so the
+    optimizer fires at test SF; production defaults (10 MB creation /
+    10 GB application side) fire on real volumes."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in phys or "bloom_filter" in phys, phys[:2000]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: a partitioned fact joined to a dim
+    filtered on a NON-join column must scan only the partitions the
+    dim's surviving keys name — the broadcast result is re-used as a
+    partition filter (SubqueryAdaptiveBroadcast → dynamicpruning
+    expression in the fact scan). Static pushdown can't do this (the
+    partition keys aren't known until the dim filter runs); at 100 TB
+    it's the difference between scanning 2 of 1000 daily partitions
+    and all of them."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    fact_dir = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(fact_dir)
+    part = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("en", "high"), ("de", "high"), ("fr", "low"), ("es", "low"), ("zh", "low")],
+        ["lang", "tier"],
+    )
+    from pyspark.sql import functions as F
+
+    j = part.join(dim, "lang").filter(F.col("tier") == "high").groupBy("lang").count()
+    phys = j._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in phys, phys[:2000]

@@ -175,3 +175,46 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # and a third run with nothing new is a no-op
     run_once()
     assert spark.read.parquet(str(sink)).count() == 2 * n_src
+
+
+def test_transform_with_state_gate_or_runs(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): when the
+    protobuf runtime dep is present the drained availableNow output
+    must equal the batch groupBy image; in this container (no
+    protobuf, no pip) the operator must fail fast with the documented
+    ImportError rather than crash the streaming worker mid-query."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oamap_spark.streaming import pipelines as P
+    from oamap_spark.streaming.stateful import (
+        transform_with_state_available,
+        user_profile_stateful,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = P.read_events_stream(spark, SF_SMOKE)
+    if not transform_with_state_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            user_profile_stateful(ev)
+        pytest.skip("protobuf unavailable: runtime path env-gated")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = P.drain_to_memory(
+        user_profile_stateful(ev), output_mode="update", spark=spark
+    )
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("n_types").alias("n_types"))
+    )
+    exact = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("event_type").alias("nt"))
+    )
+    bad = final.join(exact, "user_id").filter(
+        (F.col("n_events") != F.col("n")) | (F.col("n_types") != F.col("nt"))
+    )
+    assert bad.count() == 0
