@@ -68,3 +68,43 @@ def rollup_estimate(
     the sketch table's key columns (empty = global)."""
     est = F.hll_sketch_estimate(F.hll_union_agg(sk)).alias(out)
     return sketches.groupBy(*keys).agg(est) if keys else sketches.agg(est)
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct counts: bitmap aggregates
+# ---------------------------------------------------------------------------
+# For integer keys, Spark's bitmap aggregates give what HLL cannot —
+# EXACT distinct counts from mergeable state. Keys are bucketed into
+# 32k-bit bitmaps (bucket = key >> 15); per group each bucket's bitmap
+# ORs map-side, rollups OR the stored bitmaps again. State is
+# O(key-range/8 bytes) instead of O(cardinality · key-width), merging
+# is bitwise-OR (associative/commutative), and the count is exact at
+# every level — the right tool when keys are dense ints (user ids,
+# order keys) and HLL's ±1% is not acceptable.
+
+
+def bitmap_group_sketches(
+    df: DataFrame, keys: list[str], value_col: str, out: str = "bm"
+) -> DataFrame:
+    """Per-(keys, bucket) bitmap of ``value_col``'s distinct values.
+    The bucket column is part of the stored table's key: a rollup ORs
+    bitmaps within each bucket then sums bucket counts."""
+    return (
+        df.withColumn("bucket", F.bitmap_bucket_number(F.col(value_col)))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col(value_col))).alias(out)
+        )
+    )
+
+
+def bitmap_rollup_count(
+    sketches: DataFrame, keys: list[str], bm: str = "bm", out: str = "n_distinct"
+) -> DataFrame:
+    """Exact distinct count at a coarser grouping: OR the bitmaps per
+    (keys, bucket), count bits, sum over buckets."""
+    per_bucket = sketches.groupBy(*keys, "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg(bm)).alias("_n")
+    )
+    agg = F.sum("_n").alias(out)
+    return per_bucket.groupBy(*keys).agg(agg) if keys else per_bucket.agg(agg)

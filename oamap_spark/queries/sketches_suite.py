@@ -86,3 +86,34 @@ def hll_weekly_users_from_daily_sketches(spark: SparkSession, sf_dir: str) -> Da
         out="approx_users",
     )
     return weekly
+
+
+@register(
+    "bitmap_distinct_custs_by_priority",
+    tags=("sketch", "bitmap", "exact_distinct", "reaggregation"),
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_custs
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def bitmap_distinct_custs_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct ordering customers per priority, re-aggregated
+    from monthly bitmap sketches — the integer-key companion to the
+    HLL queries: same two-level stored-sketch shape, but bitwise-OR
+    merge gives exact counts at every rollup level (no ±1%). State per
+    (group, 32k-key bucket) is a 4 KB bitmap whatever the row count;
+    only bitmaps shuffle, never customer keys."""
+    from oamap_spark.operators.sketches import (
+        bitmap_group_sketches,
+        bitmap_rollup_count,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = bitmap_group_sketches(
+        orders.withColumn("month", F.date_trunc("month", "o_orderdate")),
+        ["o_orderpriority", "month"],
+        "o_custkey",
+    )
+    return bitmap_rollup_count(monthly, ["o_orderpriority"], out="n_custs")

@@ -71,3 +71,27 @@ def test_partitioning_invariance(spark):
     e1 = SK.rollup_estimate(SK.group_sketches(df.repartition(1), [], "v"), [], out="e")
     e2 = SK.rollup_estimate(SK.group_sketches(df.repartition(16), [], "v"), [], out="e")
     assert e1.collect()[0]["e"] == e2.collect()[0]["e"] == 997
+
+
+def test_bitmap_exact_distinct_and_rollup(spark):
+    """Bitmap sketches are exact at every level, including values that
+    straddle bucket boundaries (bucket = 32k-bit spans)."""
+    from oamap_spark.operators.sketches import (
+        bitmap_group_sketches,
+        bitmap_rollup_count,
+    )
+
+    # ids straddle several 32768-wide buckets on purpose
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") * 7 % 90_001).alias("v")
+    )
+    sk = bitmap_group_sketches(df, ["g"], "v")
+    got = {r["g"]: r["n"] for r in bitmap_rollup_count(sk, ["g"], out="n").collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == exact
+    # global rollup from the same stored sketches
+    tot = bitmap_rollup_count(sk, [], out="n").collect()[0]["n"]
+    assert tot == df.select("v").distinct().count()
