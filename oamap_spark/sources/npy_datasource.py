@@ -34,7 +34,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -132,6 +137,13 @@ class NpyDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _NpyReader(self.options["path"], schema)
 
+    def simpleStreamReader(self, schema: StructType) -> "_NpyStreamReader":
+        return _NpyStreamReader(
+            self.options["path"],
+            schema,
+            int(self.options.get("batch_rows", "1000")),
+        )
+
 
 class _NpyReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
@@ -193,3 +205,72 @@ class _NpyReader(DataSourceReader):
             else:
                 arrays.append(_peek(self.path, c)[lo:hi].tolist())
         yield from zip(*arrays)
+
+
+def _read_rows(path: str, cols: list[str], jagged: set[str], lo: int, hi: int):
+    """Row tuples [lo, hi) across all columns (shared by the batch
+    partitions and the stream reader); jagged columns slice content
+    through offsets so only [off[lo], off[hi]) is ever touched."""
+    arrays = []
+    for c in cols:
+        if c in jagged:
+            off = _peek(path, c + _OFF)[lo : hi + 1]
+            con = _peek(path, c + _CON)[off[0] : off[-1]]
+            base = off[0]
+            arrays.append(
+                [
+                    con[off[i] - base : off[i + 1] - base].tolist()
+                    for i in range(len(off) - 1)
+                ]
+            )
+        else:
+            arrays.append(_peek(path, c)[lo:hi].tolist())
+    return zip(*arrays)
+
+
+class _NpyStreamReader(SimpleDataSourceStreamReader):
+    """The same npy directory as a STREAMING source: micro-batches of
+    ``batch_rows`` rows in row order, offset = rows already emitted.
+
+    This closes the source-connector story end-to-end: one registered
+    format serves batch scans (partition-parallel ``reader``) and
+    incremental processing (this reader) — the Structured Streaming
+    unified-model contract for a custom backend. Offsets are plain row
+    counts, so replay is deterministic (``readBetweenOffsets`` re-reads
+    exactly the committed slice on recovery — exactly-once with a
+    checkpointed sink). Row counts are re-measured per batch, so an
+    appender regrowing the arrays (the jagged-file analog of files
+    landing in a directory) is picked up incrementally. The simple
+    reader runs driver-side and hands tuples to the engine — right for
+    modest per-batch volumes; a partition-planned DataSourceStreamReader
+    is the same code with ``partitions(start, end)`` split like the
+    batch reader's."""
+
+    def __init__(self, path: str, schema: StructType, batch_rows: int):
+        self.path = path
+        self.batch_rows = batch_rows
+        self.cols = [f.name for f in schema.fields]
+        self.jagged = {
+            f.name for f in schema.fields if isinstance(f.dataType, ArrayType)
+        }
+
+    def _n_rows(self) -> int:
+        c = self.cols[0]
+        if c in self.jagged:
+            return len(_peek(self.path, c + _OFF)) - 1
+        return len(_peek(self.path, c))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        lo = start["row"]
+        hi = min(lo + self.batch_rows, self._n_rows())
+        if hi <= lo:
+            return iter(()), start
+        return iter(_read_rows(self.path, self.cols, self.jagged, lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            _read_rows(self.path, self.cols, self.jagged, start["row"], end["row"])
+        )
