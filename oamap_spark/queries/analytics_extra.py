@@ -733,3 +733,140 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return l.select("pri", "mon", "rev_cents", growth.alias("growth_bp"))
+
+
+@register(
+    "winsorized_value_stats",
+    tags=("stats", "percentile", "outlier"),
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(avg(e.value), 4) AS mean_raw,
+       round(avg(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END), 4) AS mean_winsorized,
+       round(b.lo, 4) AS p05,
+       round(b.hi, 4) AS p95
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.lo, b.hi
+""",
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust profiling: per event type, the mean before and
+    after winsorizing `value` at the exact [p05, p95] band. Exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation) computed once per
+    group — a 5-row aggregate joined back broadcast-style; the wide
+    scan happens exactly twice and at 100 TB the percentile pass would
+    switch to `percentile_approx` (declared separately as
+    `percentile_approx_price`) without changing this plan's shape."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bands), "event_type")
+    capped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg(capped), 4).alias("mean_winsorized"),
+    ).select(
+        "event_type",
+        "mean_raw",
+        "mean_winsorized",
+        F.round("lo", 4).alias("p05"),
+        F.round("hi", 4).alias("p95"),
+    )
+
+
+@register(
+    "event_type_entropy_daily",
+    tags=("stats", "entropy", "profiling"),
+    oracle="""
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT day, sum(n) AS tot FROM c GROUP BY day
+)
+SELECT c.day,
+       round(-sum((n / tot) * ln(n / tot)), 6) AS entropy_nats,
+       count(*) AS n_types
+FROM c JOIN t USING (day)
+GROUP BY c.day
+""",
+)
+def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day — drift/anomaly
+    profiling (a collapsed mix flags instrumentation breakage). Two
+    narrow aggregations over (day, type) counts; the per-day total
+    re-joins on the tiny day key."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("day").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "day")
+        .groupBy("day")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+@register(
+    "gini_acctbal_by_nation",
+    tags=("stats", "gini", "window"),
+    oracle="""
+WITH r AS (
+  SELECT c_nationkey, c_acctbal - min(c_acctbal) OVER (PARTITION BY c_nationkey) AS x,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS i,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT c_nationkey,
+       round(2.0 * sum(i * x) / (n * sum(x)) - (n + 1.0) / n, 6) AS gini
+FROM r
+GROUP BY c_nationkey, n
+HAVING sum(x) > 0
+""",
+)
+def gini_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of (min-shifted, non-negative) account balances
+    per nation via the sorted-rank identity G = 2·Σi·xᵢ/(n·Σx) −
+    (n+1)/n. One window pass partitioned by nation (rank + min + count
+    in a single shuffle on the nation key), then a hash agg — no
+    pairwise |xᵢ−xⱼ| cross join, which is the O(n²) textbook form this
+    identity replaces at scale. Deterministic tie-break on c_custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    wo = w.orderBy("c_acctbal", "c_custkey")
+    r = cust.select(
+        "c_nationkey",
+        (F.col("c_acctbal") - F.min("c_acctbal").over(w)).alias("x"),
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return (
+        r.groupBy("c_nationkey", "n")
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x")) / (F.col("n") * F.sum("x"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini")
+        )
+        .where(F.col("gini").isNotNull())
+        .select("c_nationkey", "gini")
+    )
