@@ -44,9 +44,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # CORRECTNESS window (the complement of CORRECTNESS_r01 ∪ r02 — the
 # entire late-round-2 surface: compiled queries, graph/time-series/
 # stats, SCD, stream-stream joins, curation pipeline, O(n²) oracle
-# twins, rows-only checks) plus two already-green rows-only fillers
-# (ann_lsh_topk, ann_ivf_topk) to fill the 50-slot window. After this
-# round every declared query has a driver verdict across r1–r3.
+# twins, rows-only checks) plus two round-3 oracle-gated additions
+# (dedup_minhash_lsh_capped, dedup_ngram_window_overlap) to fill the
+# 50-slot window. After this round every query declared before round 3
+# has a driver verdict across r1–r3; the other round-3 additions
+# (sketches, profiling stats) rotate into the round-4 window.
 _PRIORITY: tuple[str, ...] = (
     "asof_join_tolerance_30d",
     "salted_join_priority_volume",
@@ -97,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "scd2_intervals_from_events",
     "doc_tfidf_top_terms",
     "dedup_minhash_lsh_capped",
-    "ann_lsh_topk",
+    "dedup_ngram_window_overlap",
 )
 
 
