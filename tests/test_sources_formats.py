@@ -82,3 +82,45 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"a", "b", "c"}
     rows = {r["a"]: r["c"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 1.5
+
+
+def test_xml_read_write_roundtrip_nested(spark, tmp_path):
+    """XML is a first-class built-in source in Spark 4: nested,
+    repeated elements land as array<struct> — the same Dremel-style
+    shredding as every other nested ingest (oamap fill semantics at
+    the storage layer). Round-trip: write with rowTag, read back."""
+    from oamap_spark.sources.fill import fromdata
+
+    df = fromdata(
+        spark,
+        [
+            {"id": 1, "tags": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]},
+            {"id": 2, "tags": [{"k": "c", "v": 3}]},
+        ],
+    )
+    p = str(tmp_path / "x")
+    df.write.format("xml").option("rowTag", "row").mode("overwrite").save(p)
+    back = spark.read.format("xml").option("rowTag", "row").load(p)
+    got = {
+        r["id"]: sorted((t["k"], t["v"]) for t in r["tags"])
+        for r in back.collect()
+    }
+    assert got == {1: [("a", 1), ("b", 2)], 2: [("c", 3)]}
+
+
+def test_from_xml_column_parse(spark):
+    """from_xml parses an XML-string column against a declared schema
+    — the XML twin of the events.props JSON path (same late-binding
+    semantics: malformed rows null out, columns prune)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "<p><a>5</a><b>x</b></p>"), (2, "<p><a>7</a><b>y</b></p>"), (3, "not xml")],
+        ["id", "payload"],
+    )
+    parsed = df.select(
+        "id", F.from_xml("payload", "a INT, b STRING").alias("p")
+    ).select("id", "p.a", "p.b")
+    rows = {r["id"]: (r["a"], r["b"]) for r in parsed.collect()}
+    assert rows[1] == (5, "x") and rows[2] == (7, "y")
+    assert rows[3] == (None, None)
