@@ -451,3 +451,54 @@ def dedup_ngram_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`oamap_spark.operators.dedup.ngram_window_overlap`."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_window_overlap(d, "doc_id", "text", n=8)
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    tags=("llm", "dedup", "incremental", "anti_join"),
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest
+  FROM documents
+  WHERE CAST(substring(source, 4) AS INT) < 10
+), arrivals AS (
+  SELECT source,
+         md5(array_to_string(string_split(text, ' '), ' ')) AS digest
+  FROM documents
+  WHERE CAST(substring(source, 4) AS INT) >= 10
+)
+SELECT a.source,
+       count(*) AS n_arrivals,
+       CAST(sum(CASE WHEN c.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN c.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM arrivals a LEFT JOIN corpus c USING (digest)
+GROUP BY a.source
+""",
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: new arrivals (sources src10+) checked
+    against the accumulated corpus (src0–src9) by canonical digest —
+    the production shape for continuous ingestion, where the corpus
+    side is a compacted digest-only table (32 chars/doc, ~3 GB per
+    100M docs — broadcastable or a cheap shuffle) and arrivals never
+    rescan corpus text. The streaming twin is dropDuplicates over the
+    digest column with the corpus table as initial state (see
+    sources/dataset.py put_stream). Emits per-arriving-source dup/new
+    counts."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    digest = D.canonical_text_digest("text")
+    corpus = (
+        d.where(src_num < 10).select(digest.alias("digest")).distinct()
+    )
+    arrivals = d.where(src_num >= 10).select("source", digest.alias("digest"))
+    j = arrivals.join(
+        corpus.withColumn("in_corpus", F.lit(1)), "digest", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_new"),
+    )

@@ -575,3 +575,60 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("pc"), lambda x: x["comp"]).alias("centroid"),
         )
     )
+
+
+@register(
+    "embedding_int8_quantization_error",
+    tags=("llm", "embedding", "quantization", "compression"),
+    oracle=f"""
+WITH v AS (
+  SELECT label, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+), s AS (
+  SELECT label, e,
+         127.0 / list_aggregate(list_transform(e, x -> abs(x)), 'max') AS sc
+  FROM v
+), dq AS (
+  SELECT label, e,
+         list_transform(e, x -> round(x * sc) / sc) AS d
+  FROM s
+), cs AS (
+  SELECT label,
+         {V.SQL_DOT.format(a='e', b='d')}
+           / (sqrt({V.SQL_SUMSQ.format(a='e')}) * sqrt({V.SQL_SUMSQ.format(a='d')}))
+           AS cos_sim
+  FROM dq
+)
+SELECT label,
+       count(*) AS n,
+       round(avg(cos_sim), 6) AS mean_cos,
+       round(min(cos_sim), 6) AS min_cos
+FROM cs
+GROUP BY label
+""",
+)
+def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = 127/max|x|)
+    and its reconstruction quality per label — the storage/shuffle
+    compression step before ANN at scale: int8 vectors are 4× smaller
+    than float32 (16× vs float64), which is 4× less candidate-join
+    shuffle and 4× more vectors per executor cache. All arithmetic is
+    a narrow per-row transform (zero shuffle until the tiny label
+    agg); cosine(fp, dequant) ≥ ~0.995 is the expected quality bar.
+    The oracle replays the identical double-precision fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.as_double(F.col("embedding"))
+    e = emb.select("label", v.alias("e"))
+    sc = F.lit(127.0) / F.array_max(F.transform(F.col("e"), F.abs))
+    dq = e.select(
+        "label",
+        "e",
+        F.transform(F.col("e"), lambda x: F.round(x * sc) / sc).alias("d"),
+    )
+    cs = dq.select(
+        "label", V.cosine(F.col("e"), F.col("d")).alias("cos_sim")
+    )
+    return cs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("cos_sim"), 6).alias("mean_cos"),
+        F.round(F.min("cos_sim"), 6).alias("min_cos"),
+    )
