@@ -202,3 +202,54 @@ def pointer_tree_grandparent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.iterate_pointer(forest, "doc_id", "parent_id", 2).select(
         "doc_id", "ancestor_id"
     )
+
+
+@register(
+    "union_tagged_dispatch_events",
+    tags=("union", "schema", "dispatch"),
+    oracle="""
+WITH u AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+         CASE WHEN event_type = 'purchase' THEN value END AS v_0,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS v_1
+  FROM events
+)
+SELECT tag,
+       count(*) AS n,
+       round(sum(v_0), 2) AS sum_amount,
+       CAST(count(DISTINCT v_1) AS BIGINT) AS n_text_kinds
+FROM u
+GROUP BY tag
+""",
+)
+def union_tagged_dispatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Union node end-to-end on real data: events become a
+    ``Union([amount: double, kind: string])`` — purchases carry a
+    numeric payload (variant 0), everything else its type name
+    (variant 1) — via links.union_encode (struct(tag, v_0, v_1), one
+    live slot per row), then are dispatched back by tag and aggregated
+    per variant. Physically the union is just three narrow columns
+    (nulls compress to bitmaps in parquet), so the encoding costs
+    nothing at scale; the when-chain dispatch stays in codegen.
+    Converts the §2.B Union surface from tests-only to oracle-gated."""
+    from oamap_spark.operators.links import union_encode
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    u = ev.select(
+        union_encode(
+            tag,
+            [
+                ("v_0", F.col("value")),
+                ("v_1", F.col("event_type")),
+            ],
+        ).alias("u")
+    )
+    return (
+        u.groupBy(F.col("u.tag").alias("tag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("u.v_0"), 2).alias("sum_amount"),
+            F.count_distinct(F.col("u.v_1")).alias("n_text_kinds"),
+        )
+    )
