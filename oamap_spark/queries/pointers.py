@@ -253,3 +253,52 @@ def union_tagged_dispatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("u.v_1")).alias("n_text_kinds"),
         )
     )
+
+
+@register(
+    "recursive_cte_subtree_stats",
+    tags=("pointer", "recursive", "tree", "recursive_cte", "sql"),
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth FROM documents
+  UNION ALL
+  SELECT doc_id, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+)
+SELECT cur AS root_id,
+       count(*) AS n_nodes,
+       max(depth) AS max_depth
+FROM walk
+WHERE cur < 10
+GROUP BY cur
+""",
+)
+def recursive_cte_subtree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-root subtree size and height via Spark 4's native
+    ``WITH RECURSIVE`` — the SQL-recursion face of the recursive-schema
+    story: the same document forest the pointer-doubling operators
+    walk (`pointer_tree_root_depth`), traversed by the engine's own
+    iterative union (each recursion step is one self-join stage, state
+    = the frontier — the declarative twin of links.iterate_pointer's
+    jump joins). The DuckDB oracle runs the identical recursion, so
+    both engines' recursive-CTE semantics are pinned against each
+    other. At scale the frontier shrinks geometrically with depth;
+    pointer doubling (O(log d) rounds) remains the better plan for
+    deep chains, which is why both forms ship."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id").createOrReplaceTempView("__oamap_tree_docs")
+    return spark.sql(
+        """
+WITH RECURSIVE walk AS (
+  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+  FROM __oamap_tree_docs
+  UNION ALL
+  SELECT doc_id, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+)
+SELECT cur AS root_id,
+       count(*) AS n_nodes,
+       max(depth) AS max_depth
+FROM walk
+WHERE cur < 10
+GROUP BY cur
+"""
+    )
