@@ -73,6 +73,23 @@ def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
                 "float64 and false-fails the hash; wrap in CAST(... AS "
                 "BIGINT)"
             )
+        # The driver canonicalizes through pandas sort_values, which
+        # throws "unhashable type: numpy.ndarray" on top-level LIST /
+        # STRUCT / MAP columns (CORRECTNESS_r03 embedding_label_
+        # centroids red row). Oracle-gated queries must emit scalar
+        # columns only — explode nested output to rows instead.
+        nested = [
+            (c, t)
+            for c, t, *_ in desc
+            if "[]" in t or t.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ]
+        if nested:
+            raise AssertionError(
+                "oracle emits nested column(s) "
+                f"{nested} — the driver's pandas sort_values crashes on "
+                "unhashable array/struct cells; emit exploded scalar "
+                "rows (e.g. (key, pos, value)) or to_json on both sides"
+            )
         res = con.execute(sql)
         cols = [d[0] for d in res.description]
         rows = res.fetchall()

@@ -257,13 +257,55 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding near-dedup corpus: the raw testdata contains NO cosine≥0.99
+# pairs at verification SF, so a bare hash gate on these queries would
+# be vacuous (0 == 0 rows proves nothing about the candidate
+# generator — VERDICT r3 "What's wrong #2"). Both queries therefore
+# union N_CLONES deterministic perturbed copies of the first vectors
+# into the corpus — pure double arithmetic replayed identically in the
+# DuckDB oracle — so the driver hash certifies that the LSH-banded
+# path actually FINDS the known near-duplicate pairs (one per clone,
+# cosine ≈ 0.99997), not merely that both engines agree on ∅.
+N_CLONES = 20
+CLONE_OFFSET = 10_000_000
+_PERTURB = 5e-4  # per-component delta ((i % 7) - 3) * 5e-4, i 0-based
+
+
+def _dedup_corpus(e: DataFrame) -> DataFrame:
+    """embeddings ∪ perturbed clones, all as array<double> ``embedding``."""
+    base = e.select("vec_id", V.as_double("embedding").alias("embedding"))
+    clones = base.where(F.col("vec_id") < N_CLONES).select(
+        (F.col("vec_id") + CLONE_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x + (i % 7 - 3).cast("double") * F.lit(_PERTURB),
+        ).alias("embedding"),
+    )
+    return base.unionByName(clones)
+
+
+# DuckDB twin of _dedup_corpus: identical int-mod + double arithmetic
+# (CAST(0.0005 AS DOUBLE) forces int×double, matching Spark's fold;
+# DuckDB lambda index i is 1-based → (i - 1)).
+_SQL_DEDUP_CORPUS = f"""
+base AS (
+  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+),
+clones AS (
+  SELECT vec_id + {CLONE_OFFSET} AS vec_id,
+         list_transform(e, (x, i) -> x + (((i - 1) % 7) - 3) * CAST({_PERTURB} AS DOUBLE)) AS e
+  FROM base WHERE vec_id < {N_CLONES}
+),
+v AS (SELECT * FROM base UNION ALL SELECT * FROM clones)
+"""
+
+
 @register(
     "dedup_embedding_cosine",
     tags=("llm", "dedup", "embedding", "cosine", "sf_bounded_oracle_twin"),
     oracle=f"""
-WITH v AS (
-  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
-)
+WITH {_SQL_DEDUP_CORPUS}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({V.SQL_DOT.format(a='a.e', b='b.e')}
          / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
@@ -280,13 +322,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver gate; the declared scale path is
     ``dedup_embedding_banded`` (LSH-bucketed, identical output,
     never forms the cross product). Size-guarded: raises above
-    ALL_PAIRS_MAX_ROWS rows."""
+    ALL_PAIRS_MAX_ROWS rows. Corpus = embeddings ∪ deterministic
+    perturbed clones (see _dedup_corpus) so the gate compares
+    non-empty output at every SF."""
     from oamap_spark.operators.dedup import guard_all_pairs
 
     e = guard_all_pairs(
-        load_table(spark, sf_dir, "embeddings"), "dedup_embedding_cosine"
+        _dedup_corpus(load_table(spark, sf_dir, "embeddings")),
+        "dedup_embedding_cosine",
     )
-    v = e.select("vec_id", V.as_double("embedding").alias("e"))
+    v = e.select("vec_id", F.col("embedding").alias("e"))
     a, b = v.alias("a"), v.alias("b")
     cos = V.cosine(F.col("a.e"), F.col("b.e"))
     return (
@@ -304,13 +349,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_banded",
     tags=("llm", "dedup", "embedding", "lsh", "banded"),
     bench=True,
-    # Oracle = the exact all-pairs SQL: the banded path must recover
-    # every cosine≥0.99 pair (recall-completeness is what's under test,
-    # exactly as dedup_simhash_banded is gated against its pairs twin).
+    # Oracle = the exact all-pairs SQL over the SAME clone-augmented
+    # corpus: the banded path must recover every cosine≥0.99 pair
+    # (recall-completeness is what's under test, exactly as
+    # dedup_simhash_banded is gated against its pairs twin) — and with
+    # the clones present the match is over ≥ N_CLONES real pairs, not ∅.
     oracle=f"""
-WITH v AS (
-  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
-)
+WITH {_SQL_DEDUP_CORPUS}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({V.SQL_DOT.format(a='a.e', b='b.e')}
          / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
@@ -334,9 +379,11 @@ def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY; vectors are re-joined by id after the candidate-pair
     distinct, so the wide embedding column never rides the candidate
     shuffle. 256-value bands keep buckets at ~n/256 rows; at 100 TB
-    widen bands/tables, the plan shape is unchanged."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", V.as_double("embedding").alias("v"))
+    widen bands/tables, the plan shape is unchanged. Corpus = embeddings
+    ∪ deterministic perturbed clones (see _dedup_corpus), so the
+    all-pairs oracle match certifies the banded path finds real pairs."""
+    e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", F.col("embedding").alias("v"))
     band_keys = _dedup_band_keys_udf()
     sig = e.select(
         "vec_id",
@@ -521,34 +568,38 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_label_centroids",
     tags=("llm", "similarity", "centroid", "fixed_point"),
+    # Output is the EXPLODED (label, pos, comp, n) shape — the driver's
+    # hash harness canonicalizes through pandas sort_values, which
+    # cannot sort a top-level array column (CORRECTNESS_r03 red row:
+    # "unhashable type: numpy.ndarray"). Scalar rows are the
+    # driver-safe encoding of the same centroid matrix; plans/verify.py
+    # now rejects top-level array columns in oracle-gated queries so
+    # the class of bug cannot recur.
     oracle=f"""
 WITH v AS (
   SELECT label, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
-),
-c AS (
-  SELECT label, pos,
-         floor(CAST(CAST(sum(CAST(floor(e[pos] * 1000000.0 + 0.5) AS BIGINT))
-                    AS BIGINT) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS comp,
-         count(*) AS n
-  FROM v, generate_series(1, {DIM}) AS g(pos)
-  GROUP BY label, pos
 )
-SELECT label, CAST(max(n) AS BIGINT) AS n, list(comp ORDER BY pos) AS centroid
-FROM c GROUP BY label
+SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+       floor(CAST(CAST(sum(CAST(floor(e[pos] * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS comp,
+       count(*) AS n
+FROM v, generate_series(1, {DIM}) AS g(pos)
+GROUP BY label, pos
 """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding in exact fixed-point arithmetic (the
     operators/kmeans.py update step as a standalone operator):
     components quantized to 1e-6 BIGINTs, summed exactly (order-free),
-    mean re-snapped to the grid — so the full float centroid ARRAY is
+    mean re-snapped to the grid — so every (label, pos) component is
     hash-comparable against the oracle. Shuffle is (label, pos) keyed
-    with map-side partials; the driver never sees the vectors."""
+    with map-side partials; the driver never sees the vectors. ``pos``
+    is 0-based (Spark posexplode convention; oracle emits pos-1)."""
     e = load_table(spark, sf_dir, "embeddings")
     expl = e.select(
         "label", F.posexplode(V.as_double("embedding")).alias("pos", "val")
     )
-    comp = (
+    return (
         expl.groupBy("label", "pos")
         .agg(
             F.sum(F.floor(F.col("val") * KM.QUANT + 0.5).cast("long")).alias("s"),
@@ -556,23 +607,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "label",
-            "pos",
+            F.col("pos").cast("long").alias("pos"),
             (F.floor(F.col("s").cast("double") / F.col("n") + 0.5) / KM.QUANT).alias(
                 "comp"
             ),
             "n",
-        )
-    )
-    return (
-        comp.groupBy("label")
-        .agg(
-            F.max("n").alias("n"),
-            F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"),
-        )
-        .select(
-            "label",
-            "n",
-            F.transform(F.col("pc"), lambda x: x["comp"]).alias("centroid"),
         )
     )
 

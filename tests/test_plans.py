@@ -301,3 +301,24 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j = part.join(dim, "lang").filter(F.col("tier") == "high").groupBy("lang").count()
     phys = j._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in phys, phys[:2000]
+
+
+def test_oracle_guard_rejects_nested_and_hugeint_columns():
+    """plans/verify.py hard-errors on oracle result shapes the driver's
+    pandas canonicalization cannot hash: HUGEINT (degrades to float64)
+    and top-level LIST/STRUCT columns (sort_values throws 'unhashable
+    type: numpy.ndarray' — the CORRECTNESS_r03 embedding_label_
+    centroids red row). Scalar columns pass."""
+    import pytest as _pytest
+
+    from oamap_spark.plans.verify import run_oracle
+
+    sf = SF_SMOKE
+    with _pytest.raises(AssertionError, match="HUGEINT"):
+        run_oracle(sf, "SELECT sum(o_custkey) AS s FROM orders")
+    with _pytest.raises(AssertionError, match="nested"):
+        run_oracle(sf, "SELECT [1, 2, 3] AS a")
+    with _pytest.raises(AssertionError, match="nested"):
+        run_oracle(sf, "SELECT {'x': 1} AS s")
+    cols, rows = run_oracle(sf, "SELECT CAST(1 AS BIGINT) AS ok")
+    assert cols == ["ok"] and rows == [(1,)]
