@@ -255,10 +255,20 @@ class _NpyStreamReader(SimpleDataSourceStreamReader):
         }
 
     def _n_rows(self) -> int:
-        c = self.cols[0]
-        if c in self.jagged:
-            return len(_peek(self.path, c + _OFF)) - 1
-        return len(_peek(self.path, c))
+        # Min across ALL columns, not just the first: an appender that
+        # grows column files non-atomically (pt.npy extended before
+        # hits_offsets.npy) must not let a micro-batch commit offset hi
+        # while emitting fewer rows — the un-synced tail defers to the
+        # next batch instead of being silently dropped, preserving the
+        # exactly-once replay contract.
+        n: int | None = None
+        for c in self.cols:
+            if c in self.jagged:
+                m = len(_peek(self.path, c + _OFF)) - 1
+            else:
+                m = len(_peek(self.path, c))
+            n = m if n is None else min(n, m)
+        return max(n or 0, 0)
 
     def initialOffset(self):
         return {"row": 0}
@@ -271,6 +281,15 @@ class _NpyStreamReader(SimpleDataSourceStreamReader):
         return iter(_read_rows(self.path, self.cols, self.jagged, lo, hi)), {"row": hi}
 
     def readBetweenOffsets(self, start, end):
-        return iter(
-            _read_rows(self.path, self.cols, self.jagged, start["row"], end["row"])
-        )
+        hi = end["row"]
+        avail = self._n_rows()
+        if avail < hi:
+            # A committed offset must always be re-readable; fewer rows
+            # on disk than the committed hi means the directory was
+            # truncated or corrupted — fail loudly rather than replay a
+            # different row count for the same offset range.
+            raise ValueError(
+                f"npy stream replay: committed offset {hi} exceeds the "
+                f"{avail} rows currently on disk in {self.path!r}"
+            )
+        return iter(_read_rows(self.path, self.cols, self.jagged, start["row"], hi))

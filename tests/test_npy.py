@@ -158,13 +158,23 @@ def test_npy_datasource_streaming_replay(spark, tmp_path):
     )
     import time
 
-    deadline = time.time() + 60
+    # Poll for catch-up, but distinguish "machine too slow" from a
+    # correctness failure: if the deadline is hit, fail with the
+    # stream's own progress report rather than a bare count mismatch.
+    deadline = time.time() + 120
+    caught_up = False
     while time.time() < deadline:
         if spark.table("npy_stream_sink").count() >= n:
+            caught_up = True
             break
         time.sleep(0.3)
     q.stop()
     q.awaitTermination()
+    assert caught_up, (
+        f"TIMEOUT (not a correctness failure): sink held "
+        f"{spark.table('npy_stream_sink').count()}/{n} rows after 120s; "
+        f"lastProgress={q.lastProgress}"
+    )
     got = sorted(
         spark.table("npy_stream_sink").collect(), key=lambda r: r["pt"]
     )
@@ -176,3 +186,38 @@ def test_npy_datasource_streaming_replay(spark, tmp_path):
     assert [(r["pt"], list(r["hits"])) for r in got] == [
         (r["pt"], list(r["hits"])) for r in batch
     ]
+
+
+def test_npy_stream_reader_clamps_to_min_column_rows(tmp_path):
+    """A non-atomic appender (one column file grown before the others)
+    must NOT let a micro-batch commit an offset past the shortest
+    column: rows defer to the next batch instead of being silently
+    dropped by zip-truncation, and a committed offset beyond the rows
+    on disk fails loudly on replay (ADVICE r3, npy_datasource.py)."""
+    from oamap_spark.sources.npy_datasource import NpyDataSource, _NpyStreamReader
+
+    np.save(tmp_path / "pt.npy", np.arange(10, dtype=np.float64))
+    offsets = np.arange(7, dtype=np.int64)  # 6 rows, 1 hit each
+    np.save(tmp_path / "hits_offsets.npy", offsets)
+    np.save(tmp_path / "hits_content.npy", np.arange(6, dtype=np.int64))
+
+    ds = NpyDataSource({"path": str(tmp_path)})
+    reader = _NpyStreamReader(str(tmp_path), ds.schema(), batch_rows=100)
+    # pt has 10 rows but hits only 6 → batch stops at 6
+    rows, end = reader.read({"row": 0})
+    rows = list(rows)
+    assert end == {"row": 6}
+    assert len(rows) == 6
+    # replay of the committed range is exact
+    assert len(list(reader.readBetweenOffsets({"row": 0}, {"row": 6}))) == 6
+    # replay PAST the rows on disk is a hard error, not a short read
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exceeds"):
+        reader.readBetweenOffsets({"row": 0}, {"row": 8})
+    # once the appender syncs the jagged column, the tail flows
+    offsets = np.arange(11, dtype=np.int64)
+    np.save(tmp_path / "hits_offsets.npy", offsets)
+    np.save(tmp_path / "hits_content.npy", np.arange(10, dtype=np.int64))
+    rows2, end2 = reader.read({"row": 6})
+    assert end2 == {"row": 10} and len(list(rows2)) == 4
