@@ -28,20 +28,30 @@ def main() -> None:
     first = next(iter(bench.values()))
     first(spark, sf_dir).count()
 
+    # Self-diagnosing timings (VERDICT r3 "Next round #5"): the r3
+    # bench read ~1.34× slower than r2 on UNCHANGED query code —
+    # machine noise that best-of-2 couldn't prove. Record every raw
+    # run plus the 1-minute load average sampled around the sweep, so
+    # a rerun regression can be attributed (noise vs plan change) from
+    # the JSON alone: noisy runs show high run-to-run spread and/or
+    # elevated load; a real regression shows tight runs at a new level.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    load_samples: list[float] = [round(os.getloadavg()[0], 2)]
     for name, fn in bench.items():
-        # best-of-2: the second run reuses warmed parquet footers /
+        # best-of-3: the later runs reuse warmed parquet footers /
         # Python workers, so transient machine load and one-time JVM
         # costs don't masquerade as query regressions
-        best, rows = None, 0
-        for _ in range(2):
+        runs, rows = [], 0
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             rows = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(runs)
+        all_runs[name] = runs
+        load_samples.append(round(os.getloadavg()[0], 2))
+        print(f"# {name}: {min(runs):.3f}s best of {runs} ({rows} rows)", file=sys.stderr)
         # the LSH/banded queries persist narrow signature tables whose
         # lifetime the CALLER owns (documented in the operators); a
         # sweep that never clears them would accumulate cached copies
@@ -64,17 +74,17 @@ def main() -> None:
     )
     skew_pairs: dict[str, int] = {}
     for label, cap in (("skew_500dup_lsh_capped", 50), ("skew_500dup_lsh_uncapped", None)):
-        best, rows = None, 0
+        runs, rows = [], 0
         for _ in range(2):
             t0 = time.perf_counter()
             rows = minhash_lsh_pairs(
                 degen, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9, bucket_cap=cap
             ).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[label] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[label] = min(runs)
+        all_runs[label] = runs
         skew_pairs[label] = rows
-        print(f"# {label}: {best:.3f}s ({rows} verified pairs)", file=sys.stderr)
+        print(f"# {label}: {min(runs):.3f}s ({rows} verified pairs)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -86,6 +96,12 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # noise forensics: every raw run per query + 1-min load average
+        # sampled after each query. High spread / high load ⇒ machine
+        # noise; tight runs at a new level ⇒ real plan change.
+        "runs": all_runs,
+        "loadavg_1min": load_samples,
+        "cpus": os.cpu_count(),
         "sf": sf_val,
         # wall times at 500 docs are overhead-dominated; the pair
         # counts are the skew-guard signal (linear star vs s²/2 on one

@@ -36,6 +36,8 @@ def _load_all() -> None:
         "oamap_spark.queries.analytics_extra",
         "oamap_spark.queries.warehousing",
         "oamap_spark.queries.sketches_suite",
+        "oamap_spark.queries.observability",
+        "oamap_spark.queries.relational_extra",
     ):
         try:
             importlib.import_module(mod)

@@ -205,6 +205,45 @@ def pointer_tree_grandparent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pointer_chain_depth_root",
+    tags=("pointer", "recursive", "chain", "deep", "iterative"),
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id, cur - 1, depth + 1 FROM walk WHERE cur > 0
+)
+SELECT doc_id, cur AS root_id, depth
+FROM walk
+WHERE cur = 0
+""",
+)
+def pointer_chain_depth_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP recursive traversal: a 400-node linked list (parent =
+    doc_id − 1 over doc_id < 400; node 0 is the root) resolved to
+    root + depth by pointer doubling. The document FOREST maxes out at
+    depth 3 at test SF, so `pointer_tree_root_depth` exercises only a
+    couple of doubling rounds; this chain forces ⌈log₂ 400⌉ ≈ 9 rounds
+    — the O(log diameter) loop working at real depth, exactly the
+    regime (deep chains) where doubling beats the recursive CTE's
+    depth-many sequential self-joins. The DuckDB oracle IS that
+    recursive form (O(n·depth) intermediate rows at this size), so the
+    two traversal strategies must agree at depth 399."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    chain = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") > 0, F.col("doc_id") - 1).alias("parent_id"),
+    )
+    out = L.pointer_depth_root(chain, "doc_id", "parent_id")
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "root_id",
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+@register(
     "union_tagged_dispatch_events",
     tags=("union", "schema", "dispatch"),
     oracle="""

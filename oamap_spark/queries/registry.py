@@ -40,66 +40,69 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # this list pins the window each round: queries named here come first
 # (in this order), everything else follows in registration order.
 #
-# Round-3 window: the 48 queries that have never appeared in a driver
-# CORRECTNESS window (the complement of CORRECTNESS_r01 ∪ r02 — the
-# entire late-round-2 surface: compiled queries, graph/time-series/
-# stats, SCD, stream-stream joins, curation pipeline, O(n²) oracle
-# twins, rows-only checks) plus two round-3 oracle-gated additions
-# (dedup_minhash_lsh_capped, dedup_ngram_window_overlap) to fill the
-# 50-slot window. After this round every query declared before round 3
-# has a driver verdict across r1–r3; the other round-3 additions
-# (sketches, profiling stats) rotate into the round-4 window.
+# Round-4 window (VERDICT r3 "Next round #2"): the 13 round-3 queries
+# that have never had a driver verdict, then the three queries whose
+# output/oracle changed this round (the centroids red-row fix and the
+# two de-vacuized embedding-dedup gates), then the six new round-4
+# queries, and the remaining ~28 slots re-check the round-1 window
+# queries (their verdicts are the oldest, from before the round-2 perf
+# rewrites). After this round all declared queries have a driver
+# verdict across r1–r4.
 _PRIORITY: tuple[str, ...] = (
-    "asof_join_tolerance_30d",
-    "salted_join_priority_volume",
-    "retention_cohorts",
-    "sliding_window_counts",
-    "latest_event_per_user",
-    "events_week_hour_profile",
-    "doc_fingerprint_native",
-    "doc_repetition_signals",
-    "dominant_source_per_lang",
-    "dedup_jaccard_pairs",
-    "dedup_simhash_pairs",
-    "fuzzy_join_part_names",
-    "dedup_savings_by_source",
-    "dedup_embedding_cosine",
+    # -- never driver-checked (declared round 3)
+    "hll_region_distinct_customers",
+    "hll_weekly_users_from_daily_sketches",
+    "bitmap_distinct_custs_by_priority",
+    "winsorized_value_stats",
+    "event_type_entropy_daily",
+    "gini_acctbal_by_nation",
+    "pointer_tree_root_depth",
+    "pointer_tree_grandparent",
+    "recursive_cte_subtree_stats",
+    "union_tagged_dispatch_events",
+    "stream_daily_distinct_users_hll",
+    "dedup_incremental_vs_corpus",
+    "embedding_int8_quantization_error",
+    # -- changed this round (red-row fix + de-vacuized gates)
     "embedding_label_centroids",
-    "multimodal_decode_features",
-    "stream_stream_view_purchase_join",
-    "stream_stream_left_outer_join",
-    "stream_sliding_window_counts",
-    "stream_latest_event_per_user",
-    "compiled_rowfn_revenue",
-    "compiled_nested_event_loop",
-    "corpus_token_budget_sample",
-    "weighted_sample_docs",
-    "doc_scrub_pii",
-    "corpus_mixture_weighted",
-    "train_benchmark_overlap",
-    "doc_bpe_token_estimate",
-    "doc_unigram_logprob_quality",
-    "pack_sequences_greedy",
-    "curation_pipeline_end_to_end",
-    "stats_moments_suite",
-    "date_spine_gap_fill",
-    "window_rank_variants",
+    "dedup_embedding_cosine",
+    "dedup_embedding_banded",
+    # -- new round-4 queries
+    "pointer_chain_depth_root",
     "percentile_approx_price",
-    "explode_outer_null_semantics",
-    "window_range_7d_sum",
-    "median_by_status",
-    "map_hof_suite",
-    "pagerank_event_types",
-    "interpolate_daily_values",
-    "table_stats_profile",
-    "zscore_normalize_by_group",
-    "triangle_counts_event_graph",
-    "orders_monthly_growth",
-    "merge_upsert_scd1",
-    "scd2_intervals_from_events",
-    "doc_tfidf_top_terms",
-    "dedup_minhash_lsh_capped",
-    "dedup_ngram_window_overlap",
+    "observed_ingest_quality",
+    "lateral_top3_orders_per_customer",
+    "nullsafe_join_event_props",
+    "hll_intersection_view_purchase",
+    # -- oldest verdicts (round-1 window, in its original order)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q4_priority_with_late_ship",
+    "q7_volume_between_nations",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_ship_year",
+    "q14_promo_revenue_share",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "q20_dominant_shippers",
+    "q21_lone_late_suppliers",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "range_join_ship_within_90d",
+    "theta_join_nation_pairs",
+    "asof_join_latest_order_before_event",
+    "rollup_flag_status",
 )
 
 

@@ -1,0 +1,89 @@
+"""Round-4 relational surface additions: lateral (correlated table)
+joins and null-safe equality joins — two join semantics absent from
+both oamap (no join surface at all [H]) and the earlier §2.D rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oamap_spark.queries.registry import register
+from oamap_spark.sources.tables import load_table
+
+
+@register(
+    "lateral_top3_orders_per_customer",
+    tags=("join", "lateral", "correlated", "topk"),
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def lateral_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery: for each BUILDING customer,
+    its top-3 orders by price — the per-row "run a parameterized
+    subquery" shape SQL:2003 calls a lateral derived table. Catalyst
+    decorrelates this into a join + per-key window-group-limit (the
+    same physical plan the window top-k formulation gets), so the
+    declarative form costs nothing extra at 100 TB: one shuffle on the
+    correlation key, limits pushed into each group. DuckDB runs the
+    identical LATERAL text — both engines' decorrelation semantics are
+    pinned against each other."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql(
+        """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM __lat_customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM __lat_orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+    )
+
+
+@register(
+    "nullsafe_join_event_props",
+    tags=("join", "null_safe", "semantics"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, json_extract_string(props, '$.k') AS k FROM events
+),
+dim AS (
+  SELECT DISTINCT k FROM e
+)
+SELECT dim.k AS k, count(*) AS n_events
+FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
+GROUP BY dim.k
+""",
+)
+def nullsafe_join_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): events
+    keyed by a NULLABLE JSON property joined to the distinct-key dim —
+    under plain `=` every null-keyed row silently drops; `<=>` makes
+    null a first-class join key (one null group survives). Same
+    hash-join physical plan — null-safe equality is still an equi-join
+    key for Catalyst (EqualNullSafe is a valid hash key), NOT a
+    fallback to nested-loop, so the 100 TB story is unchanged. The
+    oracle replays with IS NOT DISTINCT FROM."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    )
+    dim = ev.select("k").distinct().select(F.col("k").alias("dim_k"))
+    return (
+        ev.join(dim, ev["k"].eqNullSafe(dim["dim_k"]))
+        .groupBy(F.col("dim_k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

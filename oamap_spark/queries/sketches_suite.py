@@ -117,3 +117,49 @@ def bitmap_distinct_custs_by_priority(spark: SparkSession, sf_dir: str) -> DataF
         "o_custkey",
     )
     return bitmap_rollup_count(monthly, ["o_orderpriority"], out="n_custs")
+
+
+@register(
+    "hll_intersection_view_purchase",
+    tags=("sketch", "hll", "intersection", "inclusion_exclusion"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         bool_or(event_type = 'view') AS v,
+         bool_or(event_type = 'purchase') AS p
+  FROM events
+  GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN v AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM u
+""",
+)
+def hll_intersection_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via sketch inclusion–exclusion: distinct users
+    who VIEWED ∩ users who PURCHASED, computed as |A| + |B| − |A∪B|
+    from two HLL sketches — never re-shuffling user ids. This is the
+    set-algebra face of the sketch story (union is native register
+    merge; intersection is derived): two stored per-segment sketches
+    answer any pairwise overlap question at metadata cost. The 1×1
+    crossJoin combines two single-row sketch aggregates — scalars, not
+    data. Exact at this SF (sparse regime ⇒ oracle-gated); at 100 TB
+    the same plan returns estimates whose error grows with
+    |A∪B|/|A∩B| — the documented trade of sketched intersections."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "view").agg(
+        SK.sketch("user_id").alias("sk_v")
+    )
+    b = ev.where(F.col("event_type") == "purchase").agg(
+        SK.sketch("user_id").alias("sk_p")
+    )
+    both = a.crossJoin(F.broadcast(b))
+    est_v = F.hll_sketch_estimate("sk_v")
+    est_p = F.hll_sketch_estimate("sk_p")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_v", "sk_p"))
+    return both.select(
+        est_v.alias("n_view"),
+        est_p.alias("n_purchase"),
+        (est_v + est_p - est_union).alias("n_both"),
+    )

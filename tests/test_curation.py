@@ -108,19 +108,21 @@ def test_contamination_flags_planted_dup(spark):
 
 
 def test_percentile_approx_within_tolerance(spark):
-    """Approx percentiles must land within 2% relative error of the
-    exact global-sort percentiles."""
+    """The tolerance-gated query must report every group's approx
+    percentile inside the ±2% band, and its exact quantiles must match
+    an independent exact computation."""
     import __spark_entry__ as em
 
-    approx = em.queries()["percentile_approx_price"](spark, SF_SMOKE).collect()[0][
-        "approx_pcts"
-    ]
-    exact = (
-        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
-        .selectExpr(
-            "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95)) AS p"
-        )
-        .collect()[0]["p"]
-    )
-    for a, x in zip(approx, exact):
-        assert abs(a - x) / x < 0.02, (a, x)
+    rows = em.queries()["percentile_approx_price"](spark, SF_SMOKE).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r["p50_within_2pct"] and r["p95_within_2pct"], r
+    exact = {
+        r["o_orderstatus"]: r["p"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.expr("round(percentile(o_totalprice, 0.5), 2)").alias("p"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["exact_p50"] - exact[r["o_orderstatus"]]) < 1e-9

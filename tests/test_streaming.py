@@ -195,9 +195,18 @@ def test_transform_with_state_gate_or_runs(spark):
 
     ev = P.read_events_stream(spark, SF_SMOKE)
     if not transform_with_state_available():
+        # The fail-fast ImportError contract IS verified; the runtime
+        # availableNow-vs-batch equivalence has NEVER executed in this
+        # container (protobuf absent, pip unavailable) — xfail, not
+        # skip, so the gap stays machine-visible in every test report
+        # (VERDICT r3 "Next round #7"; COVERAGE.md §2.D).
         with pytest.raises(ImportError, match="protobuf"):
             user_profile_stateful(ev)
-        pytest.skip("protobuf unavailable: runtime path env-gated")
+        pytest.xfail(
+            "transformWithStateInPandas runtime path untested here: "
+            "protobuf worker dep absent and pip unavailable; only the "
+            "documented fail-fast ImportError is verified"
+        )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
