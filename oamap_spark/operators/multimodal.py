@@ -119,6 +119,50 @@ def decode_features(df: DataFrame) -> DataFrame:
     return slim.mapInPandas(run, DECODE_SCHEMA)
 
 
+def decode_features_arrow(df: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of :func:`decode_features`: the same stub
+    decode, but consuming/producing Arrow RecordBatches directly — no
+    Arrow→pandas→Arrow conversion per batch. For binary-heavy columns
+    that conversion is a full extra copy of every payload (pandas
+    materializes each cell as a Python ``bytes`` object), so the Arrow
+    path is the one a 100 TB media pipeline would run; equality with
+    the pandas path is pinned in tests/test_multimodal.py."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            payloads = batch.column("payload")
+            rows = [
+                _decode_payload_stub(p.as_py() if p.is_valid else b"")
+                for p in payloads
+            ]
+            n_bytes = pa.array(
+                [len(p.as_py()) if p.is_valid else 0 for p in payloads],
+                type=pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("asset_id"),
+                    batch.column("kind"),
+                    n_bytes,
+                    pa.array([r[0] for r in rows], type=pa.float64()),
+                    pa.array([r[1] for r in rows], type=pa.float64()),
+                    pa.array([r[2] for r in rows], type=pa.list_(pa.float32())),
+                ],
+                names=[
+                    "asset_id",
+                    "kind",
+                    "n_bytes",
+                    "byte_mean",
+                    "byte_entropy",
+                    "feature",
+                ],
+            )
+
+    slim = df.select("asset_id", F.col("media.kind").alias("kind"), "payload")
+    return slim.mapInArrow(run, DECODE_SCHEMA)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize pass: metadata update is native (width/height withField);
     the pixel resample itself is the stubbed decode path. Real codec

@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "lateral_top3_orders_per_customer",
     "nullsafe_join_event_props",
     "hll_intersection_view_purchase",
+    "variant_props_typed_extract",
     # -- oldest verdicts (round-1 window, in its original order)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -67,3 +67,23 @@ def test_multimodal_oracles_at_smoke_sf(spark):
     ):
         errs = compare_query(spark, SF_SMOKE, q[name], o[name])
         assert not errs, f"{name}: {errs}"
+
+
+def test_decode_features_arrow_equals_pandas_path(spark):
+    """mapInArrow and mapInPandas decode paths must produce identical
+    rows — same stub decoder, two interop layers. The Arrow path skips
+    the per-batch Arrow→pandas payload copy, which is the one a
+    binary-heavy pipeline would run at scale."""
+    m = MM.with_media_columns(load_table(spark, SF_SMOKE, "documents").limit(50))
+    a = sorted(
+        MM.decode_features_arrow(m).collect(), key=lambda r: r["asset_id"]
+    )
+    p = sorted(MM.decode_features(m).collect(), key=lambda r: r["asset_id"])
+    assert len(a) == len(p) == 50
+    for ra, rp in zip(a, p):
+        assert ra["asset_id"] == rp["asset_id"]
+        assert ra["kind"] == rp["kind"]
+        assert ra["n_bytes"] == rp["n_bytes"]
+        assert abs(ra["byte_mean"] - rp["byte_mean"]) < 1e-12
+        assert abs(ra["byte_entropy"] - rp["byte_entropy"]) < 1e-12
+        assert ra["feature"] == rp["feature"]

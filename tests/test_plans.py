@@ -322,3 +322,24 @@ def test_oracle_guard_rejects_nested_and_hugeint_columns():
         run_oracle(sf, "SELECT {'x': 1} AS s")
     cols, rows = run_oracle(sf, "SELECT CAST(1 AS BIGINT) AS ok")
     assert cols == ["ok"] and rows == [(1,)]
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark, queries):
+    """The LATERAL correlated subquery must decorrelate into a join +
+    per-key WindowGroupLimit — NOT a per-outer-row nested-loop replay.
+    At 100 TB decorrelation is the difference between one shuffle on
+    the correlation key and |customer| subquery executions."""
+    df = queries["lateral_top3_orders_per_customer"](spark, SF_SMOKE)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys, phys[:2000]
+    assert "NestedLoop" not in phys and "CartesianProduct" not in phys, phys[:2000]
+
+
+def test_nullsafe_join_stays_hash_join(spark, queries):
+    """EqualNullSafe is a valid hash-join key: the null-safe join must
+    plan as a hash/sort-merge equi-join, never fall back to a
+    nested-loop — null-keyed rows hash like any other key value."""
+    df = queries["nullsafe_join_event_props"](spark, SF_SMOKE)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in phys or "SortMergeJoin" in phys, phys[:2000]
+    assert "NestedLoop" not in phys and "CartesianProduct" not in phys, phys[:2000]

@@ -124,3 +124,36 @@ def test_from_xml_column_parse(spark):
     rows = {r["id"]: (r["a"], r["b"]) for r in parsed.collect()}
     assert rows[1] == (5, "x") and rows[2] == (7, "y")
     assert rows[3] == (None, None)
+
+
+def test_binaryfile_source_reads_opaque_payloads(spark, tmp_path):
+    """`binaryFile` is the ingestion ramp for multimodal assets: each
+    file becomes (path, modificationTime, length, content binary) —
+    the opaque-payload column the decode operators consume. Verify
+    content fidelity and glob filtering (only .img files picked up)."""
+    payloads = {f"a{i}.img": bytes([i] * (10 + i)) for i in range(4)}
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(tmp_path))
+    )
+    assert sorted(df.columns) == ["content", "length", "modificationTime", "path"]
+    rows = df.collect()
+    assert len(rows) == 4
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        assert bytes(r["content"]) == payloads[name]
+        assert r["length"] == len(payloads[name])
+
+
+def test_text_source_wholetext_one_doc_per_file(spark, tmp_path):
+    """`text` with wholetext=true: one row per file — the raw-corpus
+    ingest shape (one document per file) feeding the curation ops."""
+    (tmp_path / "d1.txt").write_text("hello\nworld")
+    (tmp_path / "d2.txt").write_text("second doc")
+    df = spark.read.text(str(tmp_path), wholetext=True)
+    vals = sorted(r["value"] for r in df.collect())
+    assert vals == ["hello\nworld", "second doc"]
