@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "nullsafe_join_event_props",
     "hll_intersection_view_purchase",
     "variant_props_typed_extract",
+    "try_error_handling_suite",
     # -- oldest verdicts (round-1 window, in its original order)
     "q1_pricing_summary",
     "q3_shipping_priority",

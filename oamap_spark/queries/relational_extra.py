@@ -126,3 +126,52 @@ def variant_props_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0)).alias("n_missing"),
     )
+
+
+@register(
+    "try_error_handling_suite",
+    tags=("functions", "try", "error_handling", "data_quality"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT)
+         AS sum_pri,
+       count(TRY_CAST(o_orderpriority AS BIGINT)) AS n_bad_cast_nonnull,
+       round(sum(CASE WHEN o_custkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / CAST(o_custkey % 3 AS DOUBLE) END), 2)
+         AS sum_ratio,
+       count(CASE WHEN len(string_split(o_orderpriority, '-')) >= 3
+                  THEN string_split(o_orderpriority, '-')[3] END) AS n_part3,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def try_error_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `try_` error-handling family over dirty-ish inputs: bad
+    casts, division by zero, and out-of-bounds array access all yield
+    NULL instead of failing the job — the data-quality posture a
+    100 TB ingest needs (one malformed row must not kill a 6-hour
+    stage; the NULL count IS the quality metric). try_cast parses the
+    leading priority digit ('1-URGENT' → 1) but nulls the full string;
+    try_divide nulls the o_custkey%3==0 rows; try_element_at nulls the
+    missing third split part. The oracle replays each null-production
+    rule with portable CASE/TRY_CAST semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderstatus",
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").alias(
+            "pri_num"
+        ),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
+        F.expr(
+            "try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE))"
+        ).alias("ratio"),
+        F.expr("try_element_at(split(o_orderpriority, '-'), 3)").alias("part3"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.sum("pri_num").alias("sum_pri"),
+        F.count("bad_cast").alias("n_bad_cast_nonnull"),
+        F.round(F.sum("ratio"), 2).alias("sum_ratio"),
+        F.count("part3").alias("n_part3"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -343,3 +343,56 @@ def test_nullsafe_join_stays_hash_join(spark, queries):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in phys or "SortMergeJoin" in phys, phys[:2000]
     assert "NestedLoop" not in phys and "CartesianProduct" not in phys, phys[:2000]
+
+
+def test_analyze_table_stats_feed_cbo(spark):
+    """Catalog statistics → cost-based optimizer: ANALYZE TABLE must
+    surface rowCount (table-level) and column NDV/null-count stats to
+    the optimizer. At 100 TB, stats are what let CBO pick build sides
+    and join orders instead of size guesses — this pins that the
+    ANALYZE → catalog → optimizedPlan.stats pipeline works end-to-end."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    spark.sql("DROP TABLE IF EXISTS __cbo_docs")
+    # a previous session's DROP removes the catalog entry but can leave
+    # the managed location behind; clear it or saveAsTable refuses
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/__cbo_docs", ignore_errors=True)
+    docs.write.mode("overwrite").saveAsTable("__cbo_docs")
+    keep_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        # rowCount only propagates into optimizedPlan.stats under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql(
+            "ANALYZE TABLE __cbo_docs COMPUTE STATISTICS FOR COLUMNS doc_id, lang"
+        )
+        n = docs.count()
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED __cbo_docs").collect()
+        }
+        assert "Statistics" in desc and f"{n} rows" in desc["Statistics"], desc.get(
+            "Statistics"
+        )
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED __cbo_docs doc_id"
+            ).collect()
+        }
+        assert int(col["distinct_count"]) > 0
+        assert col["num_nulls"] == "0"
+        # the optimizer sees the exact rowCount, not a size guess
+        stats = (
+            spark.table("__cbo_docs")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined() and stats.rowCount().get() == n
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", keep_cbo)
+        spark.sql("DROP TABLE IF EXISTS __cbo_docs")
