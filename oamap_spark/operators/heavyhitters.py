@@ -1,0 +1,104 @@
+"""Misra–Gries heavy hitters — frequent-item detection whose shuffle
+is bounded by the summary capacity, not the item cardinality.
+
+Capability absent from the reference (oamap has no frequency surface;
+absent from oamap/operations.py [H]); this is the token/domain/user
+"what dominates the corpus?" question a training-data pipeline asks at
+100 TB, where an exact global groupBy over raw terms shuffles every
+distinct term.
+
+Two-pass exact design (the same approximate-prefilter + exact-verify
+pattern as the LSH dedup family):
+
+1. **Candidate pass** — each partition runs the Misra–Gries streaming
+   summary (capacity k): at most k counters survive per partition, and
+   every item whose PARTITION count exceeds n_p/(k+1) is guaranteed
+   present. By pigeonhole, an item with GLOBAL count > n/(k+1) must
+   exceed that bound in at least one partition, so the union of
+   per-partition keys is a guaranteed superset of every global heavy
+   hitter at threshold ≥ n/(k+1). Only ≤ k·P candidate keys ever leave
+   the partitions.
+2. **Verify pass** — exact counts for the candidate set only: the big
+   token stream broadcast-joins the (tiny, distinct) candidate list
+   and aggregates. Output = items with exact count ≥ threshold —
+   bit-identical to the full groupBy+HAVING, at a fraction of the
+   shuffle.
+
+The soundness condition (threshold ≥ n/(capacity+1)) is asserted at
+runtime — a capacity too small for the requested threshold raises
+rather than silently under-reporting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summary(capacity: int):
+    """mapInPandas body: one Misra–Gries pass over this partition's
+    items; emits the surviving (item,) keys."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < capacity:
+                    counters[item] = 1
+                else:
+                    # decrement-all step; drop zeros (classic MG)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    return run
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    min_frac: float,
+    *,
+    capacity: int = 512,
+) -> DataFrame:
+    """EXACT heavy hitters (count ≥ ⌈min_frac·n⌉) via MG candidate
+    pruning. ``items`` is the exploded one-row-per-occurrence stream;
+    the total n enters the plan as a 1-row broadcast cross join
+    (scalars, not data). Completeness requires
+    min_frac ≥ 1/(capacity+1), asserted in the plan via assert_true —
+    a capacity too small for the requested fraction fails the query
+    rather than silently under-reporting."""
+    if min_frac <= 0 or min_frac >= 1:
+        raise ValueError(f"min_frac must be in (0, 1), got {min_frac}")
+    src = items.select(F.col(item_col).cast("string").alias("item"))
+    cands = src.mapInPandas(_mg_summary(capacity), "item string").distinct()
+    bound = src.agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        src.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    thresh = F.ceil(F.lit(min_frac) * F.col("__n")).cast("long")
+    chk = F.assert_true(
+        F.lit(min_frac) >= 1.0 / (capacity + 1),
+        F.lit(
+            f"heavy_hitters: min_frac {min_frac} below completeness "
+            f"bound 1/{capacity + 1}; raise capacity"
+        ),
+    )
+    return (
+        counts.crossJoin(F.broadcast(bound))
+        .withColumn("__chk", chk)
+        .where(F.col("__chk").isNull() & (F.col("cnt") >= thresh))
+        .select("item", "cnt")
+    )

@@ -355,3 +355,33 @@ def dominant_source_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_docs"),
         )
     )
+
+
+@register(
+    "heavy_hitter_terms",
+    tags=("llm", "text", "heavy_hitters", "misra_gries"),
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS item FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT item, CAST(count(*) AS BIGINT) AS cnt
+FROM toks, tot
+GROUP BY item, tot.n
+HAVING count(*) >= ceiling(0.002 * n)
+""",
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dominating terms (count ≥ 0.2% of all tokens) — the
+    stopword/boilerplate-discovery question — via the two-pass
+    Misra–Gries operator (operators/heavyhitters.py): per-partition
+    capacity-512 summaries yield a GUARANTEED candidate superset
+    (0.002 ≥ 1/513), then exact counts verify candidates only. The
+    output is bit-identical to the full GROUP BY + HAVING the oracle
+    runs, but at 100 TB only ≤ 512·P candidate keys leave the
+    partitions instead of every distinct term of the corpus."""
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    return heavy_hitters(toks, "item", 0.002, capacity=512)

@@ -43,11 +43,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Round-4 window (VERDICT r3 "Next round #2"): the 13 round-3 queries
 # that have never had a driver verdict, then the three queries whose
 # output/oracle changed this round (the centroids red-row fix and the
-# two de-vacuized embedding-dedup gates), then the six new round-4
-# queries, and the remaining ~28 slots re-check the round-1 window
-# queries (their verdicts are the oldest, from before the round-2 perf
-# rewrites). After this round all declared queries have a driver
-# verdict across r1–r4.
+# two de-vacuized embedding-dedup gates), then the nine new round-4
+# queries, and the remaining 25 slots re-check the oldest round-1
+# verdicts (from before the round-2 perf rewrites; the last three r1
+# names listed overflow slot 50 and simply keep their r1 verdicts).
+# After this round all declared queries have a driver verdict across
+# r1–r4.
 _PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (declared round 3)
     "hll_region_distinct_customers",
@@ -76,6 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "hll_intersection_view_purchase",
     "variant_props_typed_extract",
     "try_error_handling_suite",
+    "heavy_hitter_terms",
     # -- oldest verdicts (round-1 window, in its original order)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -226,3 +226,34 @@ def test_ngram_window_overlap_detects_shared_substring(spark):
     assert out[3]["dup_ratio"] == 0.0
     # every doc reports all its windows: len(tokens) - 7
     assert out[1]["n_windows"] == 16 - 7
+
+
+def test_heavy_hitters_guard_and_exactness(spark):
+    """MG candidate pruning must (a) match the exact groupBy+HAVING
+    output and (b) refuse a min_frac below its completeness bound."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(toks, "item", 0.002, capacity=512).collect()
+    }
+    n = toks.count()
+    import math
+
+    exact = {
+        (r["item"], r["cnt"])
+        for r in toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= math.ceil(0.002 * n))
+        .collect()
+    }
+    assert got == exact and got
+    # fraction below 1/(capacity+1): completeness not guaranteed → raise
+    with _pt.raises(Exception, match="completeness"):
+        heavy_hitters(toks, "item", 0.0005, capacity=512).collect()
