@@ -35,6 +35,15 @@ _RUNTIME_CONF = {
     # sources.tables re-derive a µs timestamp (exactness preserved in
     # ts_ns).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Let AQE coalesce shuffle partitions by SIZE, not down to
+    # defaultParallelism: with the default (true), every small shuffle
+    # is padded out to one partition per core — scheduler overhead
+    # dominates sub-GB stages (measured ~25-35% of q3/q5/minhash wall
+    # at sf0.1). Spark's own docs recommend false for real workloads;
+    # at 100 TB shuffles exceed the advisory size and behavior is
+    # identical, while small intermediate stages (post-filter dims,
+    # candidate sets) stop paying per-core scheduling tax.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 

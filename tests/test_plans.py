@@ -211,6 +211,7 @@ def test_no_python_eval_outside_udf_surface(spark):
         "dedup_embedding_cosine",
         "multimodal_frame_sample",
         "multimodal_resize_metadata",
+        "heavy_hitter_terms",  # per-partition Misra-Gries summary pass
     }
     markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     offenders = []
