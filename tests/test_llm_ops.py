@@ -257,3 +257,32 @@ def test_heavy_hitters_guard_and_exactness(spark):
     # fraction below 1/(capacity+1): completeness not guaranteed → raise
     with _pt.raises(Exception, match="completeness"):
         heavy_hitters(toks, "item", 0.0005, capacity=512).collect()
+
+
+def test_simhash_arrow_equals_native(spark):
+    """The Arrow popcount simhash must be bit-identical to the native
+    32-branch Column expression on every document (integer majority
+    logic — no tolerance)."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.functions import text as X
+    from tests.conftest import SF_SMOKE
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = d.select("doc_id", X.token_ids("text").alias("ids"))
+    both = base.select(
+        "doc_id",
+        X.simhash32(F.col("ids")).alias("arrow_h"),
+        X.simhash32_native(F.col("ids")).alias("native_h"),
+    )
+    bad = both.where(F.col("arrow_h") != F.col("native_h")).count()
+    assert bad == 0
+    # empty token list → 0 on both paths
+    import pandas as pd
+
+    e = spark.createDataFrame(pd.DataFrame({"ids": [[], [0], [3, 3]]}))
+    rows = e.select(
+        X.simhash32(F.col("ids").cast("array<long>")).alias("a"),
+        X.simhash32_native(F.col("ids").cast("array<long>")).alias("n"),
+    ).collect()
+    assert all(r["a"] == r["n"] for r in rows)

@@ -212,6 +212,11 @@ def test_no_python_eval_outside_udf_surface(spark):
         "multimodal_frame_sample",
         "multimodal_resize_metadata",
         "heavy_hitter_terms",  # per-partition Misra-Gries summary pass
+        # Arrow popcount simhash signatures (native twin + equality
+        # test in test_llm_ops; same precedent as the LSH matmuls)
+        "dedup_simhash_signatures",
+        "dedup_simhash_banded",
+        "dedup_simhash_pairs",
     }
     markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     offenders = []
