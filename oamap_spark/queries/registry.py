@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "variant_props_typed_extract",
     "try_error_handling_suite",
     "heavy_hitter_terms",
+    "regression_stats_suite",
     # -- oldest verdicts (round-1 window, in its original order)
     "q1_pricing_summary",
     "q3_shipping_priority",

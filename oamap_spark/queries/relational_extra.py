@@ -175,3 +175,43 @@ def try_error_handling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("part3").alias("n_part3"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "regression_stats_suite",
+    tags=("agg", "stats", "regression", "corr"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       arg_min(l_partkey, l_orderkey * 8 + l_linenumber) AS first_part
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def regression_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per return flag: Pearson
+    correlation, sample covariance, OLS slope/intercept/R² of price on
+    quantity, plus a deterministic min_by (ordering key unique per
+    row, so no tie ambiguity between engines). All single-pass
+    map-side-partial Tungsten aggregates — the moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) merge associatively, so 100 TB costs one
+    narrow scan + a 3-row reduce. Rounding pins the float hash; DuckDB
+    computes the identical closed forms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(y, x), 6).alias("corr_pq"),
+        F.round(F.covar_samp(y, x), 4).alias("covar_pq"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.min_by(
+            "l_partkey", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        ).alias("first_part"),
+    )
