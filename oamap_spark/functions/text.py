@@ -255,11 +255,17 @@ def simhash32(ids_col: Column) -> Column:
     # annotations`, which trips pandas_udf's hint parser
     @F.pandas_udf(LongType())
     def _simhash(ids):
-        lens = ids.map(len).to_numpy(dtype=np.int64)
+        # NULL array → 0, matching the native twin (size(NULL) is NULL
+        # → every when() falls to otherwise(0))
+        lens = ids.map(lambda x: 0 if x is None else len(x)).to_numpy(
+            dtype=np.int64
+        )
         n_rows = len(lens)
         if n_rows == 0 or lens.sum() == 0:
             return pd.Series(np.zeros(n_rows, dtype=np.int64))
-        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in ids])
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in ids if x is not None]
+        )
         rows = np.repeat(np.arange(n_rows), lens)
         bits = ((flat[:, None] >> np.arange(32)) & 1).astype(np.int64)
         counts = np.zeros((n_rows, 32), dtype=np.int64)

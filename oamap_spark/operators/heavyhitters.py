@@ -40,11 +40,15 @@ from pyspark.sql import functions as F
 
 def _mg_summary(capacity: int):
     """mapInPandas body: one Misra–Gries pass over this partition's
-    items; emits the surviving (item,) keys."""
+    items; emits the surviving item keys (pcount=0) plus ONE marker
+    row (item=NULL) carrying the partition's row count, so the global
+    total rides this pass instead of costing a third full scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for item in pdf["item"]:
                 if item in counters:
                     counters[item] += 1
@@ -59,7 +63,12 @@ def _mg_summary(capacity: int):
                             dead.append(key)
                     for key in dead:
                         del counters[key]
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "pcount": [0] * len(counters) + [n_part],
+            }
+        )
 
     return run
 
@@ -74,15 +83,26 @@ def heavy_hitters(
     """EXACT heavy hitters (count ≥ ⌈min_frac·n⌉) via MG candidate
     pruning. ``items`` is the exploded one-row-per-occurrence stream;
     the total n enters the plan as a 1-row broadcast cross join
-    (scalars, not data). Completeness requires
-    min_frac ≥ 1/(capacity+1), asserted in the plan via assert_true —
-    a capacity too small for the requested fraction fails the query
-    rather than silently under-reporting."""
+    (scalars, not data). Completeness requires min_frac STRICTLY
+    greater than 1/(capacity+1) — the MG guarantee covers items with
+    count > n/(capacity+1), so threshold = ⌈min_frac·n⌉ > n/(cap+1)
+    must hold strictly or an item sitting exactly on the bound could
+    be evicted from every partition summary yet qualify. Asserted in
+    the plan via assert_true — a capacity too small for the requested
+    fraction fails the query rather than silently under-reporting.
+    The total n rides the SAME MG pass (a null-item marker row per
+    partition carries its row count), so the stream is scanned exactly
+    twice: summary pass + exact verify. The tiny summary (≤ capacity·P
+    rows) is persisted because two branches read it; lifetime is
+    caller-owned, same convention as the LSH signature tables."""
     if min_frac <= 0 or min_frac >= 1:
         raise ValueError(f"min_frac must be in (0, 1), got {min_frac}")
     src = items.select(F.col(item_col).cast("string").alias("item"))
-    cands = src.mapInPandas(_mg_summary(capacity), "item string").distinct()
-    bound = src.agg(F.count(F.lit(1)).alias("__n"))
+    summary = src.mapInPandas(
+        _mg_summary(capacity), "item string, pcount long"
+    ).persist()
+    cands = summary.where(F.col("item").isNotNull()).select("item").distinct()
+    bound = summary.agg(F.sum("pcount").alias("__n"))
     counts = (
         src.join(F.broadcast(cands), "item")
         .groupBy("item")
@@ -90,10 +110,10 @@ def heavy_hitters(
     )
     thresh = F.ceil(F.lit(min_frac) * F.col("__n")).cast("long")
     chk = F.assert_true(
-        F.lit(min_frac) >= 1.0 / (capacity + 1),
+        F.lit(min_frac) > 1.0 / (capacity + 1),
         F.lit(
-            f"heavy_hitters: min_frac {min_frac} below completeness "
-            f"bound 1/{capacity + 1}; raise capacity"
+            f"heavy_hitters: min_frac {min_frac} not strictly above the "
+            f"completeness bound 1/{capacity + 1}; raise capacity"
         ),
     )
     return (

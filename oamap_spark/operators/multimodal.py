@@ -103,12 +103,16 @@ def decode_features(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_decode_payload_stub(p) for p in pdf["payload"]]
+            # NULL payload → empty bytes, the same convention as the
+            # mapInArrow twin (decode_features_arrow): zero-stats, not
+            # a task-killing TypeError
+            payloads = pdf["payload"].map(lambda p: b"" if p is None else p)
+            rows = [_decode_payload_stub(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "n_bytes": payloads.map(len).astype("int32"),
                     "byte_mean": [r[0] for r in rows],
                     "byte_entropy": [r[1] for r in rows],
                     "feature": [r[2] for r in rows],

@@ -78,10 +78,12 @@ def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
         # STRUCT / MAP columns (CORRECTNESS_r03 embedding_label_
         # centroids red row). Oracle-gated queries must emit scalar
         # columns only — explode nested output to rows instead.
+        # match "[" not "[]": fixed-size ARRAY types DESCRIBE as e.g.
+        # DOUBLE[3]; no scalar DuckDB type name contains "["
         nested = [
             (c, t)
             for c, t, *_ in desc
-            if "[]" in t or t.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
+            if "[" in t or t.upper().startswith(("STRUCT", "MAP", "LIST", "UNION"))
         ]
         if nested:
             raise AssertionError(

@@ -260,11 +260,21 @@ class _NpyStreamReader(SimpleDataSourceStreamReader):
         # hits_offsets.npy) must not let a micro-batch commit offset hi
         # while emitting fewer rows — the un-synced tail defers to the
         # next batch instead of being silently dropped, preserving the
-        # exactly-once replay contract.
+        # exactly-once replay contract. For jagged columns the usable
+        # row count is additionally clamped by the CONTENT file: a row
+        # only exists once content[0:offsets[r]] is fully on disk
+        # (offsets may land before content), otherwise the numpy slice
+        # would silently clip and emit short lists.
+        import numpy as np
+
         n: int | None = None
         for c in self.cols:
             if c in self.jagged:
-                m = len(_peek(self.path, c + _OFF)) - 1
+                off = _peek(self.path, c + _OFF)
+                con_len = len(_peek(self.path, c + _CON))
+                # largest r with off[r] <= con_len → complete rows
+                m = int(np.searchsorted(off, con_len, side="right")) - 1
+                m = min(m, len(off) - 1)
             else:
                 m = len(_peek(self.path, c))
             n = m if n is None else min(n, m)

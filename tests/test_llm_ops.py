@@ -280,7 +280,9 @@ def test_simhash_arrow_equals_native(spark):
     # empty token list → 0 on both paths
     import pandas as pd
 
-    e = spark.createDataFrame(pd.DataFrame({"ids": [[], [0], [3, 3]]}))
+    e = spark.createDataFrame(
+        pd.DataFrame({"ids": [[], [0], [3, 3], None]})
+    )
     rows = e.select(
         X.simhash32(F.col("ids").cast("array<long>")).alias("a"),
         X.simhash32_native(F.col("ids").cast("array<long>")).alias("n"),

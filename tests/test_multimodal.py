@@ -74,7 +74,15 @@ def test_decode_features_arrow_equals_pandas_path(spark):
     rows — same stub decoder, two interop layers. The Arrow path skips
     the per-batch Arrow→pandas payload copy, which is the one a
     binary-heavy pipeline would run at scale."""
-    m = MM.with_media_columns(load_table(spark, SF_SMOKE, "documents").limit(50))
+    m0 = MM.with_media_columns(load_table(spark, SF_SMOKE, "documents").limit(50))
+    # include a NULL payload row: both paths must share the
+    # empty-bytes convention (zero-stats, no TypeError)
+    m = m0.withColumn(
+        "payload",
+        F.when(F.col("asset_id") % 17 == 3, F.lit(None)).otherwise(
+            F.col("payload")
+        ),
+    )
     a = sorted(
         MM.decode_features_arrow(m).collect(), key=lambda r: r["asset_id"]
     )

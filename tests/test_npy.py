@@ -215,9 +215,13 @@ def test_npy_stream_reader_clamps_to_min_column_rows(tmp_path):
 
     with _pt.raises(ValueError, match="exceeds"):
         reader.readBetweenOffsets({"row": 0}, {"row": 8})
+    # offsets file grown AHEAD of content: only rows whose content is
+    # fully on disk are visible (no silent short lists)
+    np.save(tmp_path / "hits_offsets.npy", np.arange(11, dtype=np.int64))
+    # content still has 6 values -> rows 0..5 complete, 6..9 incomplete
+    rows15, end15 = reader.read({"row": 6})
+    assert end15 == {"row": 6} and list(rows15) == []
     # once the appender syncs the jagged column, the tail flows
-    offsets = np.arange(11, dtype=np.int64)
-    np.save(tmp_path / "hits_offsets.npy", offsets)
     np.save(tmp_path / "hits_content.npy", np.arange(10, dtype=np.int64))
     rows2, end2 = reader.read({"row": 6})
     assert end2 == {"row": 10} and len(list(rows2)) == 4

@@ -326,6 +326,9 @@ def test_oracle_guard_rejects_nested_and_hugeint_columns():
         run_oracle(sf, "SELECT [1, 2, 3] AS a")
     with _pytest.raises(AssertionError, match="nested"):
         run_oracle(sf, "SELECT {'x': 1} AS s")
+    # fixed-size ARRAY types describe as DOUBLE[3] — no "[]" substring
+    with _pytest.raises(AssertionError, match="nested"):
+        run_oracle(sf, "SELECT array_value(1.0, 2.0, 3.0) AS a")
     cols, rows = run_oracle(sf, "SELECT CAST(1 AS BIGINT) AS ok")
     assert cols == ["ok"] and rows == [(1,)]
 
