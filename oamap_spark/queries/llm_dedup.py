@@ -190,9 +190,9 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup candidates share signature bands; Hamming distance over
     the packed int is one xor+popcount at query time."""
     d = load_table(spark, sf_dir, "documents")
-    # Project ids first: simhash32 references the ids array 64 times
-    # (32 bits × filter+size) and would otherwise inline the md5
-    # token-id subtree 64-fold (see minhash_lsh_pairs).
+    # Project ids first so the Arrow simhash UDF receives the
+    # materialized ids array (and the md5 token-id subtree is computed
+    # once, not inlined into every reference — see minhash_lsh_pairs).
     return d.select("doc_id", X.token_ids("text").alias("ids")).select(
         "doc_id", X.simhash32(F.col("ids")).alias("simhash")
     )

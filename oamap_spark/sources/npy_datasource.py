@@ -135,7 +135,11 @@ class NpyDataSource(DataSource):
         return StructType(fields)
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _NpyReader(self.options["path"], schema)
+        return _NpyReader(
+            self.options["path"],
+            schema,
+            int(self.options.get("n_partitions", "4")),
+        )
 
     def simpleStreamReader(self, schema: StructType) -> "_NpyStreamReader":
         return _NpyStreamReader(
@@ -146,8 +150,9 @@ class NpyDataSource(DataSource):
 
 
 class _NpyReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType, n_partitions: int = 4):
         self.path = path
+        self.n_partitions = max(1, n_partitions)
         self.cols = [f.name for f in schema.fields]
         self.jagged = {
             f.name for f in schema.fields if isinstance(f.dataType, ArrayType)
@@ -176,10 +181,9 @@ class _NpyReader(DataSourceReader):
         self.n_rows = n
 
     def partitions(self):
-        # ~4 slices per column (tunable via option) — enough to show
-        # the parallel contract at test size; a real deployment sizes
-        # this to rows-per-task.
-        n_parts = max(1, min(4, self.n_rows))
+        # default 4 row-range slices, tunable via the `n_partitions`
+        # read option — a real deployment sizes this to rows-per-task.
+        n_parts = max(1, min(self.n_partitions, self.n_rows))
         step = (self.n_rows + n_parts - 1) // n_parts
         return [
             _RangePartition(lo, min(lo + step, self.n_rows))

@@ -225,3 +225,17 @@ def test_npy_stream_reader_clamps_to_min_column_rows(tmp_path):
     np.save(tmp_path / "hits_content.npy", np.arange(10, dtype=np.int64))
     rows2, end2 = reader.read({"row": 6})
     assert end2 == {"row": 10} and len(list(rows2)) == 4
+
+
+def test_npy_datasource_n_partitions_option(spark, tmp_path):
+    """The `n_partitions` read option sizes the row-range slicing —
+    rows-per-task is the caller's scale knob."""
+    from oamap_spark.sources.npy_datasource import NpyDataSource
+
+    d = tmp_path / "np8"
+    d.mkdir()
+    np.save(d / "x.npy", np.arange(64, dtype=np.int64))
+    spark.dataSource.register(NpyDataSource)
+    df = spark.read.format("npy").option("n_partitions", "8").load(str(d))
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 64
