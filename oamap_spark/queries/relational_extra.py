@@ -215,3 +215,26 @@ def regression_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", F.col("l_orderkey") * 8 + F.col("l_linenumber")
         ).alias("first_part"),
     )
+
+
+@register(
+    "crosstab_priority_status",
+    tags=("stats", "crosstab", "contingency"),
+    oracle="""
+SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrameStatFunctions.crosstab — the
+    exploratory pair-frequency surface (one shuffle on the row key,
+    columns pivoted from the value domain). Statuses are the fixed
+    TPC-H domain {F, O, P}, so the pivoted schema is stable and the
+    oracle replays it as a conditional-count pivot with identical
+    column names."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.stat.crosstab("o_orderpriority", "o_orderstatus")

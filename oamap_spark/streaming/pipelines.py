@@ -206,3 +206,51 @@ def view_purchase_interval_join_outer(events: DataFrame) -> DataFrame:
         )
         .select("view_id", "user_id", "purchase_id")
     )
+
+
+def foreach_batch_upsert_latest(
+    events: DataFrame, spark: SparkSession, target_dir: str
+) -> None:
+    """Streaming UPSERT sink via ``foreachBatch``: each micro-batch
+    merges its per-user latest event into a parquet target keyed by
+    user_id — the lakehouse merge pattern with plain parquet (no ACID
+    table format in this container, so the merge is read-union-dedup-
+    overwrite per batch; on Delta/Iceberg the identical foreachBatch
+    body would issue MERGE INTO and the rest of the plan is
+    unchanged). Winner per key is max(ts, event_id) — a keyed
+    comparison, so the final state is independent of micro-batch
+    arrival order and replays idempotently."""
+    from pyspark.sql import Window
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        updates = batch.select("user_id", "event_id", "event_type", "ts")
+        bspark = batch.sparkSession
+        try:
+            current = bspark.read.parquet(target_dir)
+            merged = current.unionByName(updates)
+        except Exception:
+            merged = updates  # first batch: no target yet
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # materialize before overwrite: the plan reads the same files
+        # it is about to replace
+        latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_dir
+        )
+
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation",
+            os.path.join(target_dir + "_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
