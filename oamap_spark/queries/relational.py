@@ -324,18 +324,40 @@ def count_distinct_custs_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "approx_distinct_parts",
-    tags=("agg", "approx"),
-    # HLL sketches differ between engines — driver records rows-only.
-    oracle=None,
+    tags=("agg", "approx", "tolerance_gated"),
+    # Tolerance-mode oracle (same pattern as percentile_approx_price):
+    # HLL sketches differ between engines, so each engine certifies
+    # ITS OWN estimate inside a ±5% band of ITS OWN exact distinct
+    # count (2.5× the configured rsd=0.02) and emits the boolean; the
+    # exact counts cross-hash between engines.
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+         <= 0.05 * count(DISTINCT l_partkey) AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     cardinality estimation: constant memory, one pass, no expand.
-    Engine-specific sketch ⇒ no cross-engine oracle (rows-only gate);
-    accuracy is asserted in tests against the exact count."""
+    Engine-specific sketch ⇒ the raw estimate can't hash cross-engine;
+    gated in tolerance mode instead: |approx − exact| ≤ 5%·exact
+    computed engine-side (Spark rsd=0.02 ⇒ 5% is 2.5σ), with the
+    exact distinct counts carried for the cross-engine hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("a") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -54,13 +54,14 @@ def test_embedding_neardup_symmetric_and_thresholded(spark, queries):
 
 
 def test_approx_count_distinct_accuracy(spark, queries):
-    """HLL estimate within 5% of the exact count (rsd=0.02 configured)."""
+    """Every group's HLL estimate lands in the ±5% band (rsd=0.02),
+    and the exact counts agree with an independent computation."""
     from oamap_spark.sources.tables import load_table
 
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
-        for r in queries["approx_distinct_parts"](spark, SF_SMOKE).collect()
-    }
+    rows = queries["approx_distinct_parts"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["approx_within_5pct"], r
     li = load_table(spark, SF_SMOKE, "lineitem")
     exact = {
         r["l_returnflag"]: r["n"]
@@ -68,8 +69,8 @@ def test_approx_count_distinct_accuracy(spark, queries):
         .agg(F.countDistinct("l_partkey").alias("n"))
         .collect()
     }
-    for k, v in exact.items():
-        assert abs(approx[k] - v) / v < 0.05, f"{k}: approx {approx[k]} vs exact {v}"
+    for r in rows:
+        assert r["exact_parts"] == exact[r["l_returnflag"]]
 
 
 def test_fingerprint_native_matches_portable_groups(spark, queries):
