@@ -163,17 +163,30 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint_native",
     tags=("llm", "text", "fingerprint", "native"),
-    # xxhash64 is Spark-specific — rows-only gate; equivalence with the
-    # portable fingerprint is asserted in tests (same duplicate groups).
-    oracle=None,
+    # xxhash64 VALUES are Spark-specific, but the duplicate GROUPS they
+    # induce are engine-neutral (hash equality ⇔ text equality absent
+    # collisions, vanishingly improbable at 2⁻⁶⁴ on this corpus) — so
+    # the query emits each doc's canonical group representative and
+    # the oracle replays the grouping on the raw text. Rows-only →
+    # oracle-gated conversion (round 4); hash-value equivalence with
+    # the portable rolling fingerprint stays pinned in tests.
+    oracle="""
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS group_min_doc
+FROM documents
+""",
 )
 def doc_fingerprint_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-native fingerprint (xxhash64 over the token stream) —
-    the production hot path: one JVM hash op, no hex round-trip."""
+    the production hot path: one JVM hash op, no hex round-trip. The
+    declared output is the induced duplicate grouping (each doc's
+    minimum-id groupmate): at 100 TB the 8-byte fp64 is the shuffle
+    key — the full text never leaves the scan — while the result is
+    engine-neutral and oracle-checkable."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.fingerprint_native("text").alias("fp64"),
+    fp = d.select("doc_id", X.fingerprint_native("text").alias("fp64"))
+    w = Window.partitionBy("fp64")
+    return fp.select(
+        "doc_id", F.min("doc_id").over(w).alias("group_min_doc")
     )
 
 

@@ -85,7 +85,7 @@ def test_fingerprint_native_matches_portable_groups(spark, queries):
             g.setdefault(r[key], set()).add(r["doc_id"])
         return {frozenset(v) for v in g.values() if len(v) > 1}
 
-    assert groups(port, "fp") == groups(nat, "fp64")
+    assert groups(port, "fp") == groups(nat, "group_min_doc")
 
 
 def test_minhash_lsh_bucket_cap_degenerate_corpus(spark):
