@@ -238,3 +238,50 @@ def crosstab_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     column names."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "csv_source_roundtrip_agg",
+    tags=("source", "csv", "roundtrip"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       max(o_orderdate) AS last_date
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def csv_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path gated end-to-end: orders written to CSV
+    (header, ISO dates) and read back with an explicit schema, then
+    aggregated — the oracle runs on the original parquet, so a
+    value-mangling writer or parser (float precision, date format,
+    delimiter quoting) breaks the hash. Spark's CSV writer emits
+    shortest-round-trip doubles, so the parquet → CSV → parquet-typed
+    round trip is exact. The /tmp staging dir is per-SF and rewritten
+    each invocation (cheap at test SF; the point is the format
+    contract, not the copy)."""
+    import os
+    import shutil
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "oamap_spark_csv",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_csv",
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.option("header", "true").csv(stage)
+    back = (
+        spark.read.option("header", "true")
+        .schema(orders.schema)
+        .csv(stage)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.max("o_orderdate").alias("last_date"),
+    )
