@@ -285,3 +285,133 @@ def csv_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+def _staged(sf_dir: str, leaf: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "oamap_spark_fmt",
+        sf_dir.strip("/").replace("/", "_"),
+        leaf,
+    )
+
+
+@register(
+    "xml_source_roundtrip_agg",
+    tags=("source", "xml", "roundtrip"),
+    oracle="""
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n,
+       min(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def xml_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source (Spark 4) gated end-to-end: nation written as
+    <nation> row elements and read back with an explicit schema before
+    aggregating — element naming, escaping, and numeric round-trip all
+    sit on the hash path. The oracle runs on the original parquet."""
+    import shutil
+
+    stage = _staged(sf_dir, "nation_xml")
+    shutil.rmtree(stage, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.option("rootTag", "nations").option("rowTag", "nation").xml(stage)
+    back = (
+        spark.read.option("rowTag", "nation").schema(nation.schema).xml(stage)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+@register(
+    "orc_source_roundtrip_agg",
+    tags=("source", "orc", "roundtrip"),
+    oracle="""
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_linestatus
+""",
+)
+def orc_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source gated end-to-end: a filtered lineitem slice written
+    to ORC and read back (vectorized ORC reader), then the q6-style
+    revenue fold — value fidelity across the columnar format change is
+    what the hash certifies; the oracle reads the original parquet
+    with the same filter."""
+    import shutil
+
+    stage = _staged(sf_dir, "lineitem_orc")
+    shutil.rmtree(stage, ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= "1995-01-01"
+    )
+    li.write.orc(stage)
+    back = spark.read.orc(stage)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "fromdata_union_inference_agg",
+    tags=("source", "fromdata", "union", "inference"),
+    oracle="""
+WITH objs(name, payload_tag, payload_num, payload_str) AS (
+  VALUES ('a', 0, 1.5, NULL),
+         ('b', 1, NULL, 'xyz'),
+         ('c', 0, 2.25, NULL),
+         ('d', 1, NULL, 'pq'),
+         ('e', 0, -3.0, NULL),
+         ('f', 1, NULL, 'xyz')
+)
+SELECT payload_tag AS tag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(COALESCE(payload_num, 0.0) AS DOUBLE)), 2) AS sum_num,
+       CAST(count(DISTINCT payload_str) AS BIGINT) AS n_strs
+FROM objs
+GROUP BY payload_tag
+""",
+)
+def fromdata_union_inference_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fromdata ingest path (oamap's fill) gated end-to-end,
+    including UNION SYNTHESIS: six literal objects whose ``payload``
+    leaf carries conflicting primitive types (double vs string) are
+    inferred into the tagged-union struct(tag, v_double, v_string)
+    encoding — no stringification, no data loss — then aggregated per
+    variant. The oracle replays the same six objects as a VALUES table
+    in their already-encoded form, so the inference + encoding +
+    aggregation pipeline is what the hash certifies. Deterministic:
+    the object list is a fixed literal (the ingest shape, not the
+    ingest volume, is under test)."""
+    from oamap_spark.sources.fill import fromdata
+
+    objs = [
+        {"name": "a", "payload": 1.5},
+        {"name": "b", "payload": "xyz"},
+        {"name": "c", "payload": 2.25},
+        {"name": "d", "payload": "pq"},
+        {"name": "e", "payload": -3.0},
+        {"name": "f", "payload": "xyz"},
+    ]
+    df = fromdata(spark, objs)
+    u = F.col("payload")
+    return df.groupBy(u.getField("tag").alias("tag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce(u.getField("v_double"), F.lit(0.0))), 2).alias(
+            "sum_num"
+        ),
+        F.count_distinct(u.getField("v_string")).alias("n_strs"),
+    )
