@@ -415,3 +415,37 @@ def fromdata_union_inference_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct(u.getField("v_string")).alias("n_strs"),
     )
+
+
+@register(
+    "parquet_partitioned_write_prune_agg",
+    tags=("source", "parquet", "partitioned", "pruning"),
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+""",
+)
+def parquet_partitioned_write_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet WRITE path gated end-to-end: documents
+    re-written partitioned by lang (hive-style lang=.. directories),
+    read back with a partition filter, aggregated — value fidelity
+    through the partition-column round trip (lang leaves the file and
+    comes back from the directory name) plus directory pruning on the
+    read (only lang=en files are listed; partition pruning is
+    separately plan-asserted in test_plans). Oracle filters the
+    original parquet."""
+    import shutil
+
+    stage = _staged(sf_dir, "docs_by_lang")
+    shutil.rmtree(stage, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(stage)
+    back = spark.read.parquet(stage).where(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
