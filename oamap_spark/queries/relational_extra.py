@@ -259,20 +259,10 @@ def csv_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-mangling writer or parser (float precision, date format,
     delimiter quoting) breaks the hash. Spark's CSV writer emits
     shortest-round-trip doubles, so the parquet → CSV → parquet-typed
-    round trip is exact. The /tmp staging dir is per-SF and rewritten
-    each invocation (cheap at test SF; the point is the format
-    contract, not the copy)."""
-    import os
-    import shutil
-    import tempfile
-
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "oamap_spark_csv",
-        sf_dir.strip("/").replace("/", "_"),
-        "orders_csv",
-    )
-    shutil.rmtree(stage, ignore_errors=True)
+    round trip is exact. Staging is a fresh mkdtemp per invocation
+    (cheap at test SF; the point is the format contract, not the
+    copy)."""
+    stage = _staged(sf_dir, "orders_csv")
     orders = load_table(spark, sf_dir, "orders")
     orders.write.option("header", "true").csv(stage)
     back = (
@@ -288,15 +278,17 @@ def csv_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged(sf_dir: str, leaf: str) -> str:
+    """Fresh staging dir per invocation (mkdtemp): concurrent runs of
+    the same query — driver scoring alongside a local replay, or
+    pytest-xdist — can never race on a shared /tmp path. sf_dir rides
+    in the prefix only for debuggability."""
     import os
     import tempfile
 
-    return os.path.join(
-        tempfile.gettempdir(),
-        "oamap_spark_fmt",
-        sf_dir.strip("/").replace("/", "_"),
-        leaf,
+    base = tempfile.mkdtemp(
+        prefix=f"oamap_fmt_{os.path.basename(sf_dir.rstrip('/'))}_"
     )
+    return os.path.join(base, leaf)
 
 
 @register(
@@ -315,10 +307,7 @@ def xml_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     <nation> row elements and read back with an explicit schema before
     aggregating — element naming, escaping, and numeric round-trip all
     sit on the hash path. The oracle runs on the original parquet."""
-    import shutil
-
     stage = _staged(sf_dir, "nation_xml")
-    shutil.rmtree(stage, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation")
     nation.write.option("rootTag", "nations").option("rowTag", "nation").xml(stage)
     back = (
@@ -348,10 +337,7 @@ def orc_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue fold — value fidelity across the columnar format change is
     what the hash certifies; the oracle reads the original parquet
     with the same filter."""
-    import shutil
-
     stage = _staged(sf_dir, "lineitem_orc")
-    shutil.rmtree(stage, ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") >= "1995-01-01"
     )
@@ -438,10 +424,7 @@ def parquet_partitioned_write_prune_agg(spark: SparkSession, sf_dir: str) -> Dat
     read (only lang=en files are listed; partition pruning is
     separately plan-asserted in test_plans). Oracle filters the
     original parquet."""
-    import shutil
-
     stage = _staged(sf_dir, "docs_by_lang")
-    shutil.rmtree(stage, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
     docs.write.partitionBy("lang").parquet(stage)
     back = spark.read.parquet(stage).where(F.col("lang") == "en")

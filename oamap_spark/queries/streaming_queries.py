@@ -383,7 +383,7 @@ def stream_daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFra
 SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id
-                               ORDER BY ts DESC, event_id DESC) AS rn
+                               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events
 )
 WHERE rn = 1
@@ -394,23 +394,18 @@ def stream_foreachbatch_upsert_latest(spark: SparkSession, sf_dir: str) -> DataF
     per-user latest event into a keyed parquet target — the pattern
     behind every streaming-into-lakehouse pipeline (with Delta/Iceberg
     the batch body becomes MERGE INTO; the streaming side is
-    identical). Winner per key is max(ts, event_id), so the target's
-    final state is arrival-order-independent and the batch
-    row_number() oracle gates it exactly. Target + checkpoint live
-    under /tmp per sf; each invocation starts fresh so the drained
-    result is deterministic."""
+    identical). Winner per key is max(µs timestamp, event_id) — the
+    exact key both engines agree on — so the target's final state is
+    arrival-order-independent and the batch row_number() oracle gates
+    it exactly. Target + checkpoint live in a FRESH mkdtemp per
+    invocation, so concurrent runs (driver scoring alongside a local
+    replay) can never race on a shared staging path."""
     import os
-    import shutil
     import tempfile
 
     target = os.path.join(
-        tempfile.gettempdir(),
-        "oamap_spark_stream",
-        sf_dir.strip("/").replace("/", "_"),
-        "upsert_latest",
+        tempfile.mkdtemp(prefix="oamap_upsert_"), "upsert_latest"
     )
-    shutil.rmtree(target, ignore_errors=True)
-    shutil.rmtree(target + "_ckpt", ignore_errors=True)
     ev = P.read_events_stream(spark, sf_dir)
     P.foreach_batch_upsert_latest(ev, spark, target)
     return spark.read.parquet(target).select(

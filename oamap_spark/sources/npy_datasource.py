@@ -183,6 +183,10 @@ class _NpyReader(DataSourceReader):
     def partitions(self):
         # default 4 row-range slices, tunable via the `n_partitions`
         # read option — a real deployment sizes this to rows-per-task.
+        if self.n_rows == 0:
+            # an empty (but valid) directory is an empty table, not a
+            # planning error
+            return [_RangePartition(0, 0)]
         n_parts = max(1, min(self.n_partitions, self.n_rows))
         step = (self.n_rows + n_parts - 1) // n_parts
         return [

@@ -217,21 +217,36 @@ def foreach_batch_upsert_latest(
     table format in this container, so the merge is read-union-dedup-
     overwrite per batch; on Delta/Iceberg the identical foreachBatch
     body would issue MERGE INTO and the rest of the plan is
-    unchanged). Winner per key is max(ts, event_id) — a keyed
+    unchanged). Winner per key is max(ts_us, event_id) — the µs-exact
+    (ts_ns div 1000) key both engines agree on (the shared events-
+    timestamp convention, see pointer_self_prev_event) — a keyed
     comparison, so the final state is independent of micro-batch
     arrival order and replays idempotently."""
     from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        updates = batch.select("user_id", "event_id", "event_type", "ts")
+        updates = batch.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        )
         bspark = batch.sparkSession
         try:
             current = bspark.read.parquet(target_dir)
             merged = current.unionByName(updates)
-        except Exception:
-            merged = updates  # first batch: no target yet
+        except AnalysisException as exc:
+            # ONLY the first-batch missing-target case may fall through
+            # to "start fresh"; any other failure (corrupt target,
+            # schema drift, transient IO) must raise — silently
+            # replacing accumulated state with one batch would emit
+            # wrong results, not an error.
+            if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
+                raise
+            merged = updates
         w = Window.partitionBy("user_id").orderBy(
-            F.desc("ts"), F.desc("event_id")
+            F.desc("ts_us"), F.desc("event_id")
         )
         latest = (
             merged.withColumn("__rn", F.row_number().over(w))
@@ -246,10 +261,7 @@ def foreach_batch_upsert_latest(
 
     q = (
         events.writeStream.foreachBatch(upsert)
-        .option(
-            "checkpointLocation",
-            os.path.join(target_dir + "_ckpt"),
-        )
+        .option("checkpointLocation", target_dir + "_ckpt")
         .trigger(availableNow=True)
         .start()
     )
