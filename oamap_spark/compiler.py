@@ -19,9 +19,11 @@ The dual-path contract (same results, different speed) is pinned by
 comparisons (incl. chained), ``and/or/not``, conditional expressions,
 ``in`` against literal collections, ``abs/min/max/round/len``, the
 ``math`` module's common functions, string methods
-(``upper/lower/strip/startswith/endswith``), ``None`` checks
-(``r.x is None``), and closure constants. Anything else raises
-:class:`CompileError` — and the UDF path picks it up.
+(``upper/lower/strip/startswith/endswith``), string indexing/slicing
+(``s[0]``, ``s[-1]``, ``s[a:b]`` with constant non-negative bounds),
+f-strings (no format specs), ``None`` checks (``r.x is None``), and
+closure constants. Anything else raises :class:`CompileError` — and
+the UDF path picks it up.
 
 Documented semantic divergences between the two paths (inherent to
 lowering Python onto SQL semantics; each is pinned by a test):
@@ -254,7 +256,70 @@ class _Translator(ast.NodeVisitor):
         local = self._local_field(node)
         if local is not None:
             return local
+        # string indexing / slicing on an expression of string type:
+        # s[i] → one char (Python IndexError on out-of-range becomes
+        # empty string — documented divergence, same family as the
+        # substring clamp below); s[a:b] → substring. Only constant
+        # non-negative bounds (plus s[-1]) lower; anything fancier
+        # falls back to the UDF path via CompileError.
+        base = self.visit(node.value)
+        # stringiness: schema type when available, else syntactic (the
+        # base is a string-returning method call or f-string) — never
+        # guess for bare fields without a schema, so array subscripts
+        # keep falling back to the UDF path instead of mis-lowering.
+        str_methods = ("upper", "lower", "strip", "lstrip", "rstrip", "replace")
+        syntactically_str = isinstance(node.value, ast.JoinedStr) or (
+            isinstance(node.value, ast.Call)
+            and isinstance(node.value.func, ast.Attribute)
+            and node.value.func.attr in str_methods
+        )
+        if isinstance(base, Column) and (
+            isinstance(self._field_type(node.value), T.StringType)
+            or syntactically_str
+        ):
+            sl = node.slice
+            # literal -1 parses as UnaryOp(USub, Constant(1))
+            if (
+                isinstance(sl, ast.UnaryOp)
+                and isinstance(sl.op, ast.USub)
+                and isinstance(sl.operand, ast.Constant)
+                and sl.operand.value == 1
+            ):
+                return F.substring(base, -1, 1)
+            if isinstance(sl, ast.Constant) and isinstance(sl.value, int):
+                i = sl.value
+                if i >= 0:
+                    return F.substring(base, i + 1, 1)
+                raise CompileError("only s[-1] negative string index supported")
+            if isinstance(sl, ast.Slice) and sl.step is None:
+                lo = 0 if sl.lower is None else getattr(sl.lower, "value", None)
+                hi = getattr(sl.upper, "value", None) if sl.upper is not None else None
+                if isinstance(lo, int) and lo >= 0:
+                    if sl.upper is None:
+                        return F.substring(base, lo + 1, 2**31 - 1 - lo)
+                    if isinstance(hi, int) and hi >= lo:
+                        return F.substring(base, lo + 1, hi - lo)
+                raise CompileError(
+                    "only constant non-negative string slices supported"
+                )
         raise CompileError("only string-key subscripts of the row are supported")
+
+    def visit_JoinedStr(self, node: ast.JoinedStr):
+        # f-strings → concat of string pieces; formatted values cast to
+        # string (no format specs / conversions — those fall back)
+        parts: list[Column] = []
+        for piece in node.values:
+            if isinstance(piece, ast.Constant):
+                parts.append(F.lit(str(piece.value)))
+            elif isinstance(piece, ast.FormattedValue):
+                if piece.format_spec is not None or piece.conversion not in (-1, 115):
+                    raise CompileError(
+                        "f-string format specs / !r conversions unsupported"
+                    )
+                parts.append(self._col(self.visit(piece.value)).cast("string"))
+            else:
+                raise CompileError("unsupported f-string piece")
+        return F.concat(*parts) if parts else F.lit("")
 
     # -- operators ----------------------------------------------------
 

@@ -374,3 +374,55 @@ def test_split_feeds_genexp(spark):
     fn = lambda r: sum(1.0 for w in r.t.split(" ") if w == "aa")  # noqa: E731
     got = [r["v"] for r in df.select(compile_row_fn(fn).alias("v")).collect()]
     assert got == [2.0, 0.0]
+
+
+def test_string_subscript_and_slice(spark):
+    """s[i] / s[a:b] lower to substring (schema-typed or on a
+    string-method result); Python ground truth pins the values."""
+    df = fromdata(spark, [{"s": "hello"}, {"s": "ab"}], schema="s string")
+
+    def f_idx0(r):
+        return r.s[0]
+
+    def f_idx1(r):
+        return r.s[1]
+
+    def f_neg(r):
+        return r.s[-1]
+
+    def f_slice(r):
+        return r.s[1:4]
+
+    def f_open(r):
+        return r.s[2:]
+
+    def f_upper0(r):
+        return r.s.upper()[0]
+
+    for fn in (f_idx0, f_idx1, f_neg, f_slice, f_open, f_upper0):
+        col = compile_row_fn(fn, schema=df.schema)
+        got = [r["v"] for r in df.select(col.alias("v")).collect()]
+
+        class R:
+            def __init__(self, d):
+                self.__dict__.update(d)
+
+        want = [fn(R({"s": s})) for s in ("hello", "ab")]
+        assert got == want, f"{got} != {want}"
+
+
+def test_fstring_concat(spark):
+    """f-strings lower to concat-of-casts; format specs fall back."""
+    import pytest as _pt
+
+    from oamap_spark.compiler import CompileError
+
+    df = fromdata(
+        spark, [{"s": "x", "n": 7}, {"s": "yz", "n": -2}], schema="s string, n long"
+    )
+    fn = lambda r: f"{r.s}#{r.n}!"  # noqa: E731
+    col = compile_row_fn(fn, schema=df.schema)
+    got = [r["v"] for r in df.select(col.alias("v")).collect()]
+    assert got == ["x#7!", "yz#-2!"]
+    with _pt.raises(CompileError, match="format spec"):
+        compile_row_fn(lambda r: f"{r.n:04d}", schema=df.schema)
