@@ -39,7 +39,12 @@ def _stream_dir(sf_dir: str) -> str:
     link = os.path.join(d, "events.parquet")
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except FileExistsError:
+            # concurrent run won the check-then-create race; the link
+            # target is identical either way
+            pass
     return d
 
 
