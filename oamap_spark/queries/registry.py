@@ -43,11 +43,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Round-4 window (VERDICT r3 "Next round #2"): the 13 round-3 queries
 # that have never had a driver verdict, then the three queries whose
 # output/oracle changed this round (the centroids red-row fix and the
-# two de-vacuized embedding-dedup gates), then the 19 new/changed round-4
+# two de-vacuized embedding-dedup gates), then the 20 new/changed round-4
 # queries (incl. approx_distinct_parts and doc_fingerprint_native,
 # rows-only entries converted to oracle-gated forms), and the
-# remaining 15 slots re-check the oldest round-1 verdicts (the last
-# thirteen r1 names listed overflow slot 50 and keep their r1
+# remaining 14 slots re-check the oldest round-1 verdicts (the last
+# fourteen r1 names listed overflow slot 50 and keep their r1
 # verdicts).
 # After this round all declared queries have a driver verdict across
 # r1–r4.
@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "orc_source_roundtrip_agg",
     "fromdata_union_inference_agg",
     "parquet_partitioned_write_prune_agg",
+    "listagg_priorities_by_status",
     # -- oldest verdicts (round-1 window, in its original order)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -432,3 +432,37 @@ def parquet_partitioned_write_prune_agg(spark: SparkSession, sf_dir: str) -> Dat
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "listagg_priorities_by_status",
+    tags=("agg", "listagg", "string_agg", "ordered"),
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2016 LISTAGG ... WITHIN GROUP,
+    new in Spark 4): the distinct priorities of each order status
+    joined in sorted order — deterministic because DISTINCT + the
+    WITHIN GROUP ordering pin both membership and sequence, so the
+    concatenated string hash-matches DuckDB's string_agg twin exactly.
+    The distinct set per group is tiny (≤5) while the input is the
+    full orders table — partial aggregation keeps the strings from
+    ever being built map-side."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__la_orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       listagg(DISTINCT o_orderpriority, ',')
+         WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+       count(*) AS n
+FROM __la_orders
+GROUP BY o_orderstatus
+"""
+    )
