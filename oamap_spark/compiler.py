@@ -41,6 +41,15 @@ lowering Python onto SQL semantics; each is pinned by a test):
   ``F.size`` instead — schema-less ``len`` over an array fails at
   DataFrame analysis time, not compile time, so pass ``schema=``
   (or go through ``as_column(fn, df)``, which always does).
+- ``s[i]`` out of range returns ``''`` compiled (SQL substring
+  semantics) where Python raises IndexError — success vs crash, the
+  price of total SQL functions.
+- f-string value rendering follows SQL casts, not Python ``str()``:
+  NULL renders as ``"None"`` (coalesced to match Python), but
+  booleans render ``true``/``false`` (Python: ``True``/``False``)
+  and exotic floats use SQL scientific notation (``1.0E20`` vs
+  Python's ``1e+20``). Format specs and ``!r`` refuse to compile and
+  take the UDF path, which is exactly Python.
 """
 
 from __future__ import annotations
@@ -267,15 +276,9 @@ class _Translator(ast.NodeVisitor):
         # base is a string-returning method call or f-string) — never
         # guess for bare fields without a schema, so array subscripts
         # keep falling back to the UDF path instead of mis-lowering.
-        str_methods = ("upper", "lower", "strip", "lstrip", "rstrip", "replace")
-        syntactically_str = isinstance(node.value, ast.JoinedStr) or (
-            isinstance(node.value, ast.Call)
-            and isinstance(node.value.func, ast.Attribute)
-            and node.value.func.attr in str_methods
-        )
         if isinstance(base, Column) and (
             isinstance(self._field_type(node.value), T.StringType)
-            or syntactically_str
+            or self._syntactically_str(node.value)
         ):
             sl = node.slice
             # literal -1 parses as UnaryOp(USub, Constant(1))
@@ -306,7 +309,10 @@ class _Translator(ast.NodeVisitor):
 
     def visit_JoinedStr(self, node: ast.JoinedStr):
         # f-strings → concat of string pieces; formatted values cast to
-        # string (no format specs / conversions — those fall back)
+        # string (no format specs / conversions — those fall back).
+        # NULL fields render as "None" (coalesce) to match Python str();
+        # SQL-vs-Python rendering of bools/exotic floats remains a
+        # documented divergence (see module docstring).
         parts: list[Column] = []
         for piece in node.values:
             if isinstance(piece, ast.Constant):
@@ -316,7 +322,8 @@ class _Translator(ast.NodeVisitor):
                     raise CompileError(
                         "f-string format specs / !r conversions unsupported"
                     )
-                parts.append(self._col(self.visit(piece.value)).cast("string"))
+                v = self._col(self.visit(piece.value)).cast("string")
+                parts.append(F.coalesce(v, F.lit("None")))
             else:
                 raise CompileError("unsupported f-string piece")
         return F.concat(*parts) if parts else F.lit("")
@@ -326,11 +333,38 @@ class _Translator(ast.NodeVisitor):
     def _col(self, v):
         return v if isinstance(v, Column) else F.lit(v)
 
+    #: method calls whose RESULT is a string — shared by the stringiness
+    #: checks in _is_stringy (string `+` → concat) and visit_Subscript
+    _STRING_RESULT_METHODS = (
+        "upper", "lower", "strip", "lstrip", "rstrip", "replace",
+    )
+
+    def _syntactically_str(self, node: ast.expr) -> bool:
+        """Stringiness visible from the AST alone: f-strings, string
+        subscripts/slices of stringy bases, and string-returning method
+        calls — needed so `f"..." + r.s.upper()` lowers to concat, not
+        numeric addition, even without a schema."""
+        if isinstance(node, ast.JoinedStr):
+            return True
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in self._STRING_RESULT_METHODS
+        ):
+            return True
+        if isinstance(node, ast.Subscript):
+            return self._syntactically_str(node.value) or isinstance(
+                self._field_type(node.value), T.StringType
+            )
+        return False
+
     def _is_stringy(self, node: ast.expr, value) -> bool:
         if isinstance(value, str):
             return True
         if isinstance(node, ast.Constant):
             return isinstance(node.value, str)
+        if self._syntactically_str(node):
+            return True
         return isinstance(self._field_type(node), T.StringType)
 
     def visit_BinOp(self, node: ast.BinOp):

@@ -37,14 +37,22 @@ def _stream_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join("/tmp", "oamap_spark_stream", key, "events")
     link = os.path.join(d, "events.parquet")
+    target = os.path.join(sf_dir, "events.parquet")
     if not os.path.islink(link):
         os.makedirs(d, exist_ok=True)
         try:
-            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+            os.symlink(target, link)
         except FileExistsError:
-            # concurrent run won the check-then-create race; the link
-            # target is identical either way
-            pass
+            # only tolerable if a concurrent run won the check-then-
+            # create race with the SAME target; a pre-existing regular
+            # file or foreign symlink would silently stream stale data
+            if not (os.path.islink(link) and os.readlink(link) == target):
+                raise
+    elif os.readlink(link) != target:
+        raise RuntimeError(
+            f"stream staging link {link!r} points at "
+            f"{os.readlink(link)!r}, expected {target!r} — remove it"
+        )
     return d
 
 

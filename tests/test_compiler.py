@@ -426,3 +426,47 @@ def test_fstring_concat(spark):
     assert got == ["x#7!", "yz#-2!"]
     with _pt.raises(CompileError, match="format spec"):
         compile_row_fn(lambda r: f"{r.n:04d}", schema=df.schema)
+
+
+def test_string_binop_with_fstring_and_method_result(spark):
+    """`f-string + method-result` operands must lower to concat, not
+    numeric addition (which would NULL every row under ANSI-off)."""
+    df = fromdata(spark, [{"s": "ab", "n": 3}], schema="s string, n long")
+    fn = lambda r: f"{r.n}:" + r.s.upper()  # noqa: E731
+    col = compile_row_fn(fn, schema=df.schema)
+    got = [r["v"] for r in df.select(col.alias("v")).collect()]
+    assert got == ["3:AB"]
+
+
+def test_subscript_out_of_range_documented_divergence(spark):
+    """Compiled s[i] out of range returns '' (SQL substring semantics)
+    where Python raises IndexError — the documented divergence."""
+    df = fromdata(spark, [{"s": ""}], schema="s string")
+
+    def fn(r):
+        return r.s[0]
+
+    col = compile_row_fn(fn, schema=df.schema)
+    assert [r["v"] for r in df.select(col.alias("v")).collect()] == [""]
+    import pytest as _pt
+
+    class R:
+        s = ""
+
+    with _pt.raises(IndexError):
+        fn(R())
+
+
+def test_fstring_null_and_bool_rendering(spark):
+    """NULL formatted values render as 'None' (matching Python);
+    boolean rendering is the documented SQL-cast divergence
+    (true/false, not True/False)."""
+    df = fromdata(
+        spark,
+        [{"s": None, "b": True}, {"s": "x", "b": False}],
+        schema="s string, b boolean",
+    )
+    fn = lambda r: f"<{r.s}|{r.b}>"  # noqa: E731
+    col = compile_row_fn(fn, schema=df.schema)
+    got = sorted(r["v"] for r in df.select(col.alias("v")).collect())
+    assert got == ["<None|true>", "<x|false>"]
