@@ -71,3 +71,49 @@ def test_resolve_pointer_empty_target(spark):
     out = oa.resolve_pointer(sup, "s_nationkey", empty_nat, "n_nationkey", ["n_name"])
     assert out.count() == sup.count()
     assert all(r["n_name"] is None for r in out.select("n_name").collect())
+
+
+def test_heavy_hitters_empty_and_tiny_streams(spark):
+    """Empty stream → empty result (no division-by-zero on the bound);
+    a 1-row stream → that item (count 1 ≥ ceil(frac·1))."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters(empty, "item", 0.01, capacity=512).count() == 0
+    one = spark.createDataFrame([("t",)], ["item"])
+    got = heavy_hitters(one, "item", 0.01, capacity=512).collect()
+    assert [(r["item"], r["cnt"]) for r in got] == [("t", 1)]
+
+
+def test_pointer_depth_root_single_node_and_empty(spark):
+    """A forest of one root resolves to itself at depth 0; an empty
+    forest converges immediately to an empty result."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.links import pointer_depth_root
+
+    one = spark.createDataFrame([(5, None)], "id long, parent long")
+    got = pointer_depth_root(one, "id", "parent").collect()
+    assert [(r["node"], r["root_id"], r["depth"]) for r in got] == [(5, 5, 0)]
+    empty = spark.createDataFrame([], "id long, parent long")
+    assert pointer_depth_root(empty, "id", "parent").count() == 0
+
+
+def test_simhash_empty_text_docs(spark):
+    """Docs whose tokenization yields no ids get signature 0 on both
+    the Arrow and native paths — and never crash the popcount batch."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.functions import text as X
+
+    df = spark.createDataFrame([("",), ("a a a",)], ["text"]).select(
+        X.token_ids("text").alias("ids")
+    )
+    rows = df.select(
+        X.simhash32(F.col("ids")).alias("a"),
+        X.simhash32_native(F.col("ids")).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["n"]
