@@ -1,0 +1,115 @@
+"""Property-based tests for the round-4 operator family (hypothesis):
+random inputs, Python/exact ground truth — the same oracle discipline
+as the declared queries, but over adversarially-generated shapes the
+fixed testdata can't produce (deep random forests, degenerate token
+streams, pathological bit patterns)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    items=st.lists(
+        st.sampled_from("abcdefgh"), min_size=1, max_size=300
+    ),
+    # capacity=64 ⇒ completeness bound 1/65 ≈ 1.54%; stay strictly
+    # above it (the in-plan guard correctly rejects anything lower)
+    frac_pct=st.integers(min_value=2, max_value=40),
+)
+def test_heavy_hitters_matches_exact_groupby(spark, items, frac_pct):
+    """MG candidate pruning + exact verify ≡ GROUP BY + HAVING for any
+    corpus and any threshold above the completeness bound."""
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+
+    frac = frac_pct / 100.0
+    df = spark.createDataFrame([(i,) for i in items], ["item"])
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "item", frac, capacity=64).collect()
+    }
+    thresh = math.ceil(frac * len(items))
+    from collections import Counter
+
+    want = {
+        (k, v) for k, v in Counter(items).items() if v >= thresh
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    parents=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=60)
+)
+def test_pointer_depth_root_matches_python_walk(spark, parents):
+    """Pointer doubling on a RANDOM forest ≡ a plain Python parent walk.
+    Node i's parent is parents[i] clamped to j < i (so the forest is
+    acyclic by construction; parent == own index ⇒ root)."""
+    from oamap_spark.operators.links import pointer_depth_root
+
+    edges = []
+    for i, p in enumerate(parents):
+        pp = min(p, i)  # ancestors only
+        edges.append((i, None if pp == i else pp))
+    df = spark.createDataFrame(edges, "id long, parent long")
+    got = {
+        r["node"]: (r["root_id"], r["depth"])
+        for r in pointer_depth_root(df, "id", "parent").collect()
+    }
+
+    def walk(i: int) -> tuple[int, int]:
+        d = 0
+        while edges[i][1] is not None:
+            i = edges[i][1]
+            d += 1
+        return i, d
+
+    want = {i: walk(i) for i in range(len(edges))}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    idlists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_simhash_arrow_matches_python_majority(spark, idlists):
+    """Arrow popcount simhash ≡ a plain-Python majority vote for any
+    int32 id lists (incl. empty lists and adversarial bit patterns)."""
+    from oamap_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(ids,) for ids in idlists], "ids array<long>"
+    )
+    got = [
+        r["h"]
+        for r in df.select(X.simhash32(F.col("ids")).alias("h")).collect()
+    ]
+
+    def py_simhash(ids: list[int]) -> int:
+        n = len(ids)
+        total = 0
+        for b in range(32):
+            n_set = sum(1 for x in ids if x & (1 << b))
+            if 2 * n_set > n:
+                total += 1 << b
+        return total
+
+    assert got == [py_simhash(ids) for ids in idlists]
