@@ -243,3 +243,126 @@ def array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
         .alias("sumsq"),
     )
+
+
+@register(
+    "array_mutation_suite",
+    tags=("functions", "array", "mutation"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus,
+         [o_custkey % 10, NULL, o_orderkey % 7] AS arr
+  FROM orders
+), m AS (
+  SELECT o_orderstatus,
+         list_filter(arr, x -> x IS NOT NULL) AS compacted,
+         arr[1:1] || [99] || arr[2:] AS inserted
+  FROM base
+)
+SELECT o_orderstatus,
+       CAST(sum(len(compacted)) AS BIGINT) AS sum_compact_len,
+       CAST(sum(inserted[2]) AS BIGINT) AS sum_elem2,
+       CAST(sum(list_position(inserted, 99)) AS BIGINT) AS sum_pos99,
+       CAST(sum(len(list_prepend(0, list_append(compacted, 0)))) AS BIGINT)
+         AS sum_extended_len
+FROM m
+GROUP BY o_orderstatus
+""",
+)
+def array_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 3.4+ array-mutation family (array_compact /
+    array_insert / array_append / array_prepend / array_position) over
+    per-row built arrays with an embedded NULL — all codegen'd narrow
+    expressions; results reduced to per-status scalars so the driver
+    hash applies. The oracle rebuilds each mutation from DuckDB list
+    primitives (slicing+concat for insert, list_filter for compact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    arr = F.array(
+        F.col("o_custkey") % 10, F.lit(None).cast("long"), F.col("o_orderkey") % 7
+    )
+    t = orders.select(
+        "o_orderstatus",
+        F.array_compact(arr).alias("compacted"),
+        F.array_insert(arr, 2, F.lit(99).cast("long")).alias("inserted"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.sum(F.size("compacted")).alias("sum_compact_len"),
+        F.sum(F.element_at("inserted", 2)).alias("sum_elem2"),
+        F.sum(F.array_position("inserted", 99)).alias("sum_pos99"),
+        F.sum(
+            F.size(F.array_prepend(F.array_append(F.col("compacted"), 0), 0))
+        ).alias("sum_extended_len"),
+    )
+
+
+@register(
+    "string_mutation_suite",
+    tags=("functions", "string", "mutation"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(DISTINCT split_part(o_orderpriority, '-', 2)) AS BIGINT)
+         AS n_tails,
+       min(substr(o_orderpriority, 1, 2) || 'XX' || substr(o_orderpriority, 5))
+         AS min_overlaid,
+       min(upper(substr(o_orderpriority, 1, 1)) || lower(substr(o_orderpriority, 2)))
+         AS min_initcap,
+       min(lpad(o_orderpriority, 12, '_')) AS min_lpad,
+       min(repeat(substr(o_orderpriority, 1, 1), 3)) AS min_rep
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def string_mutation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surgery beyond the classic suite: substring_index (tail
+    after the first '-'), overlay (patch characters 3-4 with 'XX'),
+    initcap, lpad, repeat — all JVM-side; the oracle rebuilds each
+    from DuckDB primitives (split_part, substr concatenation,
+    upper/lower casing) so the exact character semantics cross-check.
+    o_orderpriority values are single words, so initcap ≡ capitalize
+    first char + lowercase rest on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_orderpriority")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct(F.substring_index(p, "-", -1)).alias("n_tails"),
+        F.min(F.overlay(p, F.lit("XX"), F.lit(3))).alias("min_overlaid"),
+        F.min(F.initcap(p)).alias("min_initcap"),
+        F.min(F.lpad(p, 12, "_")).alias("min_lpad"),
+        F.min(F.repeat(F.substring(p, 1, 1), 3)).alias("min_rep"),
+    )
+
+
+@register(
+    "rollup_grouping_id_levels",
+    tags=("agg", "rollup", "grouping_id"),
+    oracle="""
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS BIGINT)
+         AS lvl,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_grouping_id_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit grouping-level identification: grouping()
+    bits distinguish detail rows from subtotal and grand-total rows —
+    the standard warehouse idiom for rendering rollup output (NULL in
+    a group key is ambiguous; the grouping bit is not). Both engines
+    compute 2·g(status)+g(priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                2 * F.grouping("o_orderstatus") + F.grouping("o_orderpriority")
+            ).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "lvl",
+            "n",
+        )
+    )
