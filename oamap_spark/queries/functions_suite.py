@@ -366,3 +366,31 @@ def rollup_grouping_id_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "date_calendar_suite",
+    tags=("functions", "date", "calendar"),
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(count(*) AS BIGINT) AS n,
+       max(last_day(o_orderdate)) AS max_month_end,
+       max(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE)) AS max_plus2m,
+       CAST(count(DISTINCT quarter(o_orderdate)) AS BIGINT) AS n_quarters
+FROM orders
+GROUP BY year(o_orderdate)
+""",
+)
+def date_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar navigation beyond the date-diff basics: last_day (end
+    of month), add_months (month arithmetic with day clamping —
+    identical clamp semantics in both engines), quarter. Per-year
+    scalars keep the hash gate tight."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.groupBy(F.year(d).cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.last_day(d)).alias("max_month_end"),
+        F.max(F.add_months(d, 2)).alias("max_plus2m"),
+        F.count_distinct(F.quarter(d)).alias("n_quarters"),
+    )
