@@ -372,6 +372,7 @@ def dominant_source_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "heavy_hitter_terms",
+    bench=True,
     tags=("llm", "text", "heavy_hitters", "misra_gries"),
     oracle="""
 WITH toks AS (
