@@ -466,3 +466,38 @@ FROM __la_orders
 GROUP BY o_orderstatus
 """
     )
+
+
+@register(
+    "zorder_write_filtered_agg",
+    tags=("layout", "zorder", "pruning", "source"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey < 500 AND o_totalprice > 50000
+GROUP BY o_orderstatus
+""",
+)
+def zorder_write_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout gated end-to-end: orders rewritten clustered
+    along the (o_custkey, o_totalprice) Z-curve, then read back with a
+    selective filter on BOTH clustering columns and aggregated. The
+    hash certifies the curve write is value-preserving; the actual
+    file-skipping payoff (per-file min/max spans materially narrower
+    than a shuffled layout) stays footer-asserted in test_layout. At
+    100 TB this layout is what turns either filter into a scan of a
+    few files instead of all of them."""
+    from oamap_spark.operators.layout import zorder_write
+
+    stage = _staged(sf_dir, "orders_zorder")
+    orders = load_table(spark, sf_dir, "orders")
+    zorder_write(orders, stage, ["o_custkey", "o_totalprice"])
+    back = spark.read.parquet(stage).where(
+        (F.col("o_custkey") < 500) & (F.col("o_totalprice") > 50000.0)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
