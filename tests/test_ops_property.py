@@ -113,3 +113,37 @@ def test_simhash_arrow_matches_python_majority(spark, idlists):
         return total
 
     assert got == [py_simhash(ids) for ids in idlists]
+
+
+@settings(**_SETTINGS)
+@given(
+    strings=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=3,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_compiler_string_subscript_matches_python(spark, strings):
+    """Compiled s[i]/s[a:b]/f-string lowering ≡ Python for random
+    printable strings (all in-range accesses, len ≥ 3)."""
+    from oamap_spark.compiler import compile_row_fn
+    from oamap_spark.sources.fill import fromdata
+
+    df = fromdata(spark, [{"s": s} for s in strings], schema="s string")
+
+    def fn(r):
+        return f"<{r.s[0]}|{r.s[1:3]}|{r.s[-1]}>"
+
+    col = compile_row_fn(fn, schema=df.schema)
+    got = sorted(r["v"] for r in df.select(col.alias("v")).collect())
+
+    class R:
+        def __init__(self, s):
+            self.s = s
+
+    want = sorted(fn(R(s)) for s in strings)
+    assert got == want
