@@ -289,3 +289,32 @@ def test_simhash_arrow_equals_native(spark):
         X.simhash32_native(F.col("ids").cast("array<long>")).alias("n"),
     ).collect()
     assert all(r["a"] == r["n"] for r in rows)
+
+
+@pytest.mark.slow
+def test_heavy_hitters_exact_at_bench_scale(spark):
+    """MG pruning == exact GROUP BY+HAVING on the sf0.1 corpus
+    (~270k token occurrences) — the candidate-superset guarantee
+    holding at bench scale, not just toy partitions."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+    from tests.conftest import SF_BENCH
+
+    d = spark.read.parquet(f"{SF_BENCH}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(toks, "item", 0.002, capacity=512).collect()
+    }
+    n = toks.count()
+    exact = {
+        (r["item"], r["cnt"])
+        for r in toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= math.ceil(0.002 * n))
+        .collect()
+    }
+    assert got == exact and got
