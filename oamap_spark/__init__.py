@@ -53,6 +53,19 @@ from oamap_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
 )
+from oamap_spark.operators.heavyhitters import heavy_hitters
+
+# Mergeable sketches (HLL / bitmap rollups).
+from oamap_spark.operators.sketches import (
+    group_sketches,
+    rollup_estimate,
+)
+
+# Iterative pointer traversal (recursive schemas).
+from oamap_spark.operators.links import iterate_pointer, pointer_depth_root
+
+# Inline pipeline metrics (Observation API).
+from oamap_spark.plans.metrics import observed
 
 # Row-function compiler (oamap/compiler.py's dual path, SURVEY §2.B).
 from oamap_spark.compiler import CompileError, as_column, compile_row_fn, row_fn_udf
@@ -111,8 +124,11 @@ __all__ = [
     "broadcast_join_count", "codegen_stage_count",
     # dataset layer
     "Database", "Dataset",
-    # dedup
+    # dedup / heavy hitters / sketches
     "exact_dedup_groups", "all_pairs_jaccard", "minhash_lsh_pairs",
+    "heavy_hitters", "group_sketches", "rollup_estimate",
+    # pointer traversal / metrics
+    "iterate_pointer", "pointer_depth_root", "observed",
     # schema language (PLURTP)
     "Primitive", "List", "Union", "Record", "Tuple", "Pointer",
     "to_spark", "from_spark", "infer",
