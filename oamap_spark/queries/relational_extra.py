@@ -501,3 +501,53 @@ def zorder_write_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "batch_session_window_stats",
+    tags=("session_window", "batch", "events"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), per AS (
+  SELECT user_id, sid, count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per GROUP BY user_id
+""",
+)
+def batch_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window in BATCH mode: the same gap-merge operator the
+    streaming pipeline uses (stream_user_sessions), applied to the
+    events table as a plain groupBy — no watermark, every session
+    finalized, which is exactly how you'd sessionize historical backfill
+    data with the SAME code the live stream runs. The oracle is the
+    unclipped lag-islands formulation; the streaming twin's oracle
+    clips to the watermark line — comparing the two documents what
+    the watermark semantics add."""
+    from oamap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
