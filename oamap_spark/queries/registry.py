@@ -43,11 +43,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Round-4 window (VERDICT r3 "Next round #2"): the 13 round-3 queries
 # that have never had a driver verdict, then the three queries whose
 # output/oracle changed this round (the centroids red-row fix and the
-# two de-vacuized embedding-dedup gates), then the 26 new/changed round-4
+# two de-vacuized embedding-dedup gates), then the 27 new/changed round-4
 # queries (incl. approx_distinct_parts and doc_fingerprint_native,
 # rows-only entries converted to oracle-gated forms), and the
-# remaining 8 slots re-check the oldest round-1 verdicts (the
-# twenty r1 names listed past slot 50 keep their r1 verdicts).
+# remaining 7 slots re-check the oldest round-1 verdicts (the
+# twenty-one r1 names listed past slot 50 keep their r1 verdicts).
 # After this round all declared queries have a driver verdict across
 # r1–r4.
 _PRIORITY: tuple[str, ...] = (
@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "date_calendar_suite",
     "zorder_write_filtered_agg",
     "batch_session_window_stats",
+    "stream_chained_hourly_to_daily",
     # -- oldest verdicts (round-1 window, in its original order)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -413,3 +413,45 @@ def stream_foreachbatch_upsert_latest(spark: SparkSession, sf_dir: str) -> DataF
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
     )
+
+
+@register(
+    "stream_chained_hourly_to_daily",
+    tags=("streaming", "window", "chained", "watermark", "append"),
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+  FROM events
+  GROUP BY 1
+)
+WHERE day + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+""",
+)
+def stream_chained_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming window aggregations (Spark 3.5+/4): hourly
+    counts re-windowed into daily totals inside ONE streaming query —
+    two stateful operators back to back, with the watermark propagating
+    through the chain (the daily window finalizes when the upstream
+    hourly windows it contains are final). Pre-3.5 this required two
+    queries with an intermediate sink; the chained form is the 100 TB
+    rollup cascade (minute→hour→day) as one exactly-once pipeline.
+    Append mode: each day emits once; the oracle clips to the same
+    finalization line as the single-level tumbling query."""
+    ev = P.read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour").alias("hw"))
+        .agg(F.count(F.lit(1)).alias("hn"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("hw"), "1 day").alias("dw"))
+        .agg(F.sum("hn").alias("n"), F.count(F.lit(1)).alias("n_hours"))
+    )
+    sink = P.drain_to_memory(
+        daily.select(F.col("dw.start").alias("day"), "n", "n_hours"),
+        output_mode="append",
+        spark=spark,
+    )
+    return sink.select("day", F.col("n").cast("long").alias("n"), "n_hours")
