@@ -188,8 +188,22 @@ SQL_FINGERPRINT = (
 
 def fingerprint_native(text_col: Column | str) -> Column:
     """Engine-native fast fingerprint (xxhash64 of the token stream) —
-    the production hot path; not oracle-replayable (rows-only gate)."""
-    return F.xxhash64(F.concat_ws("\x1f", tokens(text_col)))
+    the production hot path; hash VALUES are Spark-specific, the
+    duplicate grouping they induce is engine-neutral.
+
+    The token stream is serialized with a length-prefixed (netstring)
+    encoding — ``len(tok) ':' tok`` concatenated — which is injective:
+    no two distinct token streams share an encoding, so fingerprint
+    equality ⇔ token-stream equality on ANY corpus (ADVICE r4 #4: the
+    old '\\x1f' separator collided 'a\\x1fb' with 'a b'). Since
+    :func:`tokens` is an invertible single-space split, token-stream
+    equality ⇔ raw-text equality, which is exactly the grouping the
+    DuckDB oracle replays on the raw text."""
+    enc = F.transform(
+        tokens(text_col),
+        lambda t: F.concat(F.length(t).cast("string"), F.lit(":"), t),
+    )
+    return F.xxhash64(F.concat_ws("", enc))
 
 
 def minhash_signature(ids_col: Column, k: int) -> Column:
@@ -267,9 +281,17 @@ def simhash32(ids_col: Column) -> Column:
             [np.asarray(x, dtype=np.int64) for x in ids if x is not None]
         )
         rows = np.repeat(np.arange(n_rows), lens)
-        bits = ((flat[:, None] >> np.arange(32)) & 1).astype(np.int64)
-        counts = np.zeros((n_rows, 32), dtype=np.int64)
-        np.add.at(counts, rows, bits)
+        # per-bit bincount instead of a len(flat)×32 int64 bit matrix:
+        # peak transient is ONE len(flat) float64 weights array (8 B
+        # per token id, not 256 B) — with ~1k-token docs in 10k-row
+        # Arrow batches the matrix form was multi-GB per core on the
+        # path advertised as the 100 TB hot path (ADVICE r4 #1).
+        # bincount weights are float64; counts < 2^53 stay exact.
+        counts = np.empty((n_rows, 32), dtype=np.int64)
+        for b in range(32):
+            counts[:, b] = np.bincount(
+                rows, weights=(flat >> b) & 1, minlength=n_rows
+            ).astype(np.int64)
         maj = counts * 2 > lens[:, None]
         out = (maj * (np.int64(1) << np.arange(32, dtype=np.int64))).sum(axis=1)
         return pd.Series(out.astype(np.int64))

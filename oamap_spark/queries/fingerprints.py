@@ -1,0 +1,195 @@
+"""Per-query source fingerprints + verdict history → the driver window.
+
+VERDICT r4 "What's wrong #1": the hand-pinned ``_PRIORITY`` window
+missed an in-round implementation swap (``simhash32`` → Arrow UDF),
+leaving three queries with driver verdicts for code that no longer
+runs. The window is now computed, not pinned:
+
+- every declared query gets a deterministic **source fingerprint**:
+  sha256 over the query function's source, the sources of every
+  ``oamap_spark`` function/class it references (transitively, through
+  nested lambdas and module-alias attribute access), the repr of every
+  module-level constant it reads, and the oracle SQL string;
+- a committed sidecar (``verdicts.json``, next to this file) records
+  for each query the round of its **last driver verdict** and the
+  fingerprint its source carried at that time;
+- :func:`compute_priority` orders the window: queries whose current
+  fingerprint differs from the recorded one (or that have no record)
+  first, in registration order, then everything else by oldest
+  verdict round, registration order breaking ties.
+
+Maintenance loop (``tools/update_verdicts.py``): at the START of each
+round — before touching any query code — fold the previous round's
+``CORRECTNESS_r0N.json`` into the sidecar, so the recorded fingerprint
+is the fingerprint of the code the driver actually ran.
+
+The traversal is static (``co_names`` of the compiled code objects),
+so helpers reached only through dynamic dispatch are not hashed — a
+fingerprint change is therefore *sufficient* but not *necessary*
+evidence of a behavior change; the oldest-verdict-first tail sweeps up
+anything the static closure misses within a few rounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import types
+from pathlib import Path
+
+VERDICTS_PATH = Path(__file__).with_name("verdicts.json")
+
+_SCALARS = (int, float, str, bool, bytes, type(None))
+
+
+def _code_names(code: types.CodeType) -> list[str]:
+    """co_names of a code object plus every nested code const (lambdas,
+    comprehensions, local defs), in deterministic bytecode order."""
+    out = list(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            out.extend(_code_names(const))
+    return out
+
+
+def _is_ours(obj) -> bool:
+    return getattr(obj, "__module__", "").startswith("oamap_spark")
+
+
+def _const_repr(obj) -> str | None:
+    """repr of a constant, but only if it is a scalar or a container of
+    scalars all the way down — anything holding objects (functions,
+    specs, …) reprs with memory addresses and would make the
+    fingerprint nondeterministic."""
+    if isinstance(obj, _SCALARS):
+        return repr(obj)
+    if isinstance(obj, (tuple, list, set, frozenset)):
+        seq = sorted(obj, key=repr) if isinstance(obj, (set, frozenset)) else obj
+        items = [_const_repr(x) for x in seq]
+        if any(i is None for i in items):
+            return None
+        return "[" + ", ".join(items) + "]"
+    if isinstance(obj, dict):
+        items = [
+            (_const_repr(k), _const_repr(v)) for k, v in obj.items()
+        ]
+        if any(k is None or v is None for k, v in items):
+            return None
+        return "{" + ", ".join(f"{k}: {v}" for k, v in items) + "}"
+    return None
+
+
+def _append_source(key: tuple[str, str], obj, parts: list[str]) -> None:
+    try:
+        src = inspect.getsource(obj)
+    except (OSError, TypeError):
+        src = "<no source>"
+    parts.append(f"## {key[0]}.{key[1]}\n{src}")
+
+
+def _visit_fn(fn, seen: set, parts: list[str]) -> None:
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return
+    key = (getattr(fn, "__module__", "") or "", getattr(fn, "__qualname__", "") or "")
+    if key in seen:
+        return
+    seen.add(key)
+    _append_source(key, fn, parts)
+    g = getattr(fn, "__globals__", {})
+    names = _code_names(code)
+    for name in names:
+        if name not in g:
+            continue
+        obj = g[name]
+        if isinstance(obj, types.FunctionType) and _is_ours(obj):
+            _visit_fn(obj, seen, parts)
+        elif isinstance(obj, type) and _is_ours(obj):
+            ckey = (obj.__module__, obj.__qualname__)
+            if ckey not in seen:
+                seen.add(ckey)
+                _append_source(ckey, obj, parts)
+        elif isinstance(obj, types.ModuleType) and obj.__name__.startswith(
+            "oamap_spark"
+        ):
+            # attribute access through a module alias (`X.simhash32`):
+            # LOAD_ATTR names land in the same co_names list, so any
+            # other referenced name resolving inside the module is part
+            # of the closure
+            for attr in names:
+                if attr == name or not hasattr(obj, attr):
+                    continue
+                sub = getattr(obj, attr)
+                if isinstance(sub, types.FunctionType) and _is_ours(sub):
+                    _visit_fn(sub, seen, parts)
+                elif isinstance(sub, type) and _is_ours(sub):
+                    ckey = (sub.__module__, sub.__qualname__)
+                    if ckey not in seen:
+                        seen.add(ckey)
+                        _append_source(ckey, sub, parts)
+                else:
+                    rep = _const_repr(sub)
+                    mkey = (obj.__name__, attr)
+                    if rep is not None and mkey not in seen:
+                        seen.add(mkey)
+                        parts.append(f"## const {obj.__name__}.{attr} = {rep}")
+        else:
+            rep = _const_repr(obj)
+            gkey = (key[0], f"const:{name}")
+            if rep is not None and gkey not in seen:
+                seen.add(gkey)
+                parts.append(f"## const {key[0]}.{name} = {rep}")
+
+
+def query_fingerprint(spec) -> str:
+    """Deterministic fingerprint of a QuerySpec's source closure."""
+    parts: list[str] = []
+    seen: set = set()
+    _visit_fn(spec.raw_fn or spec.fn, seen, parts)
+    parts.append("## oracle\n" + (spec.oracle if spec.oracle is not None else "<rows-only>"))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def all_fingerprints() -> dict[str, str]:
+    from oamap_spark.queries import registry
+
+    return {
+        n: query_fingerprint(registry._REGISTRY[n])
+        for n in registry.registration_order()
+    }
+
+
+def load_verdicts() -> dict[str, dict]:
+    if not VERDICTS_PATH.exists():
+        return {}
+    return json.loads(VERDICTS_PATH.read_text())
+
+
+def save_verdicts(verdicts: dict[str, dict]) -> None:
+    VERDICTS_PATH.write_text(
+        json.dumps(dict(sorted(verdicts.items())), indent=1) + "\n"
+    )
+
+
+def compute_priority() -> list[str]:
+    """Driver-window order: changed/never-verified first (registration
+    order), then verified-unchanged oldest-verdict-first."""
+    from oamap_spark.queries import registry
+
+    names = registry.registration_order()
+    pos = {n: i for i, n in enumerate(names)}
+    verdicts = load_verdicts()
+    fps = all_fingerprints()
+    changed = [
+        n
+        for n in names
+        if verdicts.get(n, {}).get("fingerprint") != fps[n]
+        or verdicts.get(n, {}).get("round") in (None, 0)
+    ]
+    changed_set = set(changed)
+    rest = sorted(
+        (n for n in names if n not in changed_set),
+        key=lambda n: (verdicts[n]["round"], pos[n]),
+    )
+    return changed + rest

@@ -30,107 +30,38 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    raw_fn: QueryFn | None = None  # unwrapped body (fingerprinting)
     extra: dict = field(default_factory=dict)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Driver-window rotation (SURVEY.md §7.1). The correctness driver
-# scores the FIRST 50 entries of ``queries()`` in iteration order, so
-# this list pins the window each round: queries named here come first
-# (in this order), everything else follows in registration order.
-#
-# Round-4 window (VERDICT r3 "Next round #2"): the 13 round-3 queries
-# that have never had a driver verdict, then the three queries whose
-# output/oracle changed this round (the centroids red-row fix and the
-# two de-vacuized embedding-dedup gates), then the 27 new/changed round-4
-# queries (incl. approx_distinct_parts and doc_fingerprint_native,
-# rows-only entries converted to oracle-gated forms), and the
-# remaining 7 slots re-check the oldest round-1 verdicts (the
-# twenty-one r1 names listed past slot 50 keep their r1 verdicts).
-# After this round all declared queries have a driver verdict across
-# r1–r4.
-_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (declared round 3)
-    "hll_region_distinct_customers",
-    "hll_weekly_users_from_daily_sketches",
-    "bitmap_distinct_custs_by_priority",
-    "winsorized_value_stats",
-    "event_type_entropy_daily",
-    "gini_acctbal_by_nation",
-    "pointer_tree_root_depth",
-    "pointer_tree_grandparent",
-    "recursive_cte_subtree_stats",
-    "union_tagged_dispatch_events",
-    "stream_daily_distinct_users_hll",
-    "dedup_incremental_vs_corpus",
-    "embedding_int8_quantization_error",
-    # -- changed this round (red-row fix + de-vacuized gates)
-    "embedding_label_centroids",
-    "dedup_embedding_cosine",
-    "dedup_embedding_banded",
-    # -- new round-4 queries
-    "pointer_chain_depth_root",
-    "percentile_approx_price",
-    "observed_ingest_quality",
-    "lateral_top3_orders_per_customer",
-    "nullsafe_join_event_props",
-    "hll_intersection_view_purchase",
-    "variant_props_typed_extract",
-    "try_error_handling_suite",
-    "heavy_hitter_terms",
-    "regression_stats_suite",
-    "stream_foreachbatch_upsert_latest",
-    "crosstab_priority_status",
-    "approx_distinct_parts",
-    "doc_fingerprint_native",
-    "csv_source_roundtrip_agg",
-    "xml_source_roundtrip_agg",
-    "orc_source_roundtrip_agg",
-    "fromdata_union_inference_agg",
-    "parquet_partitioned_write_prune_agg",
-    "listagg_priorities_by_status",
-    "array_mutation_suite",
-    "string_mutation_suite",
-    "rollup_grouping_id_levels",
-    "date_calendar_suite",
-    "zorder_write_filtered_agg",
-    "batch_session_window_stats",
-    "stream_chained_hourly_to_daily",
-    # -- oldest verdicts (round-1 window, in its original order)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q4_priority_with_late_ship",
-    "q7_volume_between_nations",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_ship_year",
-    "q14_promo_revenue_share",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q11_important_part_value",
-    "q13_order_count_distribution",
-    "q16_supplier_part_counts",
-    "q20_dominant_shippers",
-    "q21_lone_late_suppliers",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "range_join_ship_within_90d",
-    "theta_join_nation_pairs",
-    "asof_join_latest_order_before_event",
-    "rollup_flag_status",
-)
+# scores the FIRST 50 entries of ``queries()`` in iteration order. Up
+# to round 4 the window was a hand-pinned name list, which missed an
+# in-round implementation swap (VERDICT r4 "What's wrong #1": simhash32
+# moved to an Arrow UDF after its queries' verdicts). The window is now
+# COMPUTED from per-query source fingerprints recorded in
+# ``verdicts.json`` at each query's last driver verdict
+# (queries/fingerprints.py): changed-since-verdict (or never-verified)
+# queries first in registration order, then everything else
+# oldest-verdict-first. Cached per process — the registry is immutable
+# after import.
+_PRIORITY_CACHE: list[str] | None = None
+
+
+def registration_order() -> list[str]:
+    """Declared names in raw registration (import) order."""
+    return list(_REGISTRY)
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _PRIORITY if n in _REGISTRY]
+    global _PRIORITY_CACHE
+    if _PRIORITY_CACHE is None:
+        from oamap_spark.queries.fingerprints import compute_priority
+
+        _PRIORITY_CACHE = compute_priority()
+    pri = [n for n in _PRIORITY_CACHE if n in _REGISTRY]
     seen = set(pri)
     return pri + [n for n in _REGISTRY if n not in seen]
 
@@ -148,7 +79,13 @@ def register(
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=_wrap(fn), oracle=oracle, tags=tags, doc=fn.__doc__ or "", bench=bench
+            name=name,
+            fn=_wrap(fn),
+            oracle=oracle,
+            tags=tags,
+            doc=fn.__doc__ or "",
+            bench=bench,
+            raw_fn=fn,
         )
         return fn
 

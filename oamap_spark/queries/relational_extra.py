@@ -278,17 +278,18 @@ def csv_source_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged(sf_dir: str, leaf: str) -> str:
-    """Fresh staging dir per invocation (mkdtemp): concurrent runs of
-    the same query — driver scoring alongside a local replay, or
-    pytest-xdist — can never race on a shared /tmp path. sf_dir rides
-    in the prefix only for debuggability."""
+    """Fresh staging dir per invocation: concurrent runs of the same
+    query — driver scoring alongside a local replay, or pytest-xdist —
+    can never race on a shared /tmp path; roots are swept at process
+    exit (sources/staging.py — ADVICE r4 #3 closed the leak). sf_dir
+    rides in the prefix only for debuggability."""
     import os
-    import tempfile
 
-    base = tempfile.mkdtemp(
-        prefix=f"oamap_fmt_{os.path.basename(sf_dir.rstrip('/'))}_"
+    from oamap_spark.sources.staging import staging_path
+
+    return staging_path(
+        f"oamap_fmt_{os.path.basename(sf_dir.rstrip('/'))}_", leaf
     )
-    return os.path.join(base, leaf)
 
 
 @register(

@@ -399,13 +399,11 @@ def stream_foreachbatch_upsert_latest(spark: SparkSession, sf_dir: str) -> DataF
     arrival-order-independent and the batch row_number() oracle gates
     it exactly. Target + checkpoint live in a FRESH mkdtemp per
     invocation, so concurrent runs (driver scoring alongside a local
-    replay) can never race on a shared staging path."""
-    import os
-    import tempfile
+    replay) can never race on a shared staging path; roots are swept
+    at process exit (sources/staging.py)."""
+    from oamap_spark.sources.staging import staging_path
 
-    target = os.path.join(
-        tempfile.mkdtemp(prefix="oamap_upsert_"), "upsert_latest"
-    )
+    target = staging_path("oamap_upsert_", "upsert_latest")
     ev = P.read_events_stream(spark, sf_dir)
     P.foreach_batch_upsert_latest(ev, spark, target)
     return spark.read.parquet(target).select(

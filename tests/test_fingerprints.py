@@ -1,0 +1,111 @@
+"""Driver-window rotation: per-query source fingerprints + verdict
+sidecar (VERDICT r4 "Next round #1" — compute the window, don't
+hand-pin it)."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import textwrap
+
+import __spark_entry__  # noqa: F401 — populate the registry
+
+from oamap_spark.queries import fingerprints as fp
+from oamap_spark.queries import registry
+
+
+def test_every_declared_query_fingerprint_is_tracked():
+    """Every declared query must have a sidecar entry — a new query
+    ships with a round-0 stub (tools/update_verdicts.py --add-missing)
+    so it is machine-visibly 'never verified', not silently absent."""
+    verdicts = fp.load_verdicts()
+    declared = set(registry.registration_order())
+    missing = declared - set(verdicts)
+    assert not missing, f"untracked queries: {sorted(missing)}"
+    orphans = set(verdicts) - declared
+    assert not orphans, f"sidecar entries for undeclared queries: {sorted(orphans)}"
+
+
+def test_fingerprints_are_deterministic_and_complete():
+    a = fp.all_fingerprints()
+    b = fp.all_fingerprints()
+    assert a == b
+    assert set(a) == set(registry.registration_order())
+    assert all(len(v) == 64 for v in a.values())
+
+
+def test_changed_queries_lead_the_window(monkeypatch):
+    """A query whose recorded fingerprint no longer matches its source
+    must sort before every verified-unchanged query; the unchanged tail
+    is oldest-verdict-first."""
+    real = fp.load_verdicts()
+    names = registry.registration_order()
+    victim = next(n for n in names if real[n]["round"] == 4)
+    fake = {k: dict(v) for k, v in real.items()}
+    fake[victim]["fingerprint"] = "stale" + fake[victim]["fingerprint"][5:]
+    monkeypatch.setattr(fp, "load_verdicts", lambda: fake)
+    pri = fp.compute_priority()
+    assert pri[0] == victim
+    rounds = [fake[n]["round"] for n in pri[1:]]
+    assert rounds == sorted(rounds), "unchanged tail must be oldest-first"
+
+
+def test_never_verified_round0_stub_is_prioritized(monkeypatch):
+    real = fp.load_verdicts()
+    names = registry.registration_order()
+    victim = names[-1]
+    fake = {k: dict(v) for k, v in real.items()}
+    fake[victim] = {"round": 0, "fingerprint": fp.all_fingerprints()[victim]}
+    monkeypatch.setattr(fp, "load_verdicts", lambda: fake)
+    assert fp.compute_priority()[0] == victim
+
+
+def test_queries_iteration_order_follows_computed_priority(monkeypatch):
+    monkeypatch.setattr(registry, "_PRIORITY_CACHE", None)
+    assert list(registry.queries()) == fp.compute_priority()
+
+
+def _mk_module(tmp_path, stem: str, helper_body: str):
+    """Import a throwaway module under the FIXED name ``fpmod`` (so the
+    module-name part of the fingerprint is identical between variants
+    and only the helper source differs)."""
+    src = textwrap.dedent(
+        f"""
+        CONST = 7
+
+        def helper(x):
+            {helper_body}
+
+        def query(spark, sf_dir):
+            return helper(CONST)
+        """
+    )
+    p = tmp_path / f"{stem}.py"
+    p.write_text(src)
+    spec = importlib.util.spec_from_file_location("fpmod", p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["fpmod"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fingerprint_changes_when_transitive_helper_changes(tmp_path, monkeypatch):
+    """The fingerprint must cover the helper a query calls, not just
+    the query body — the exact class of drift (simhash32's Arrow swap)
+    the hand-pinned window missed in round 4."""
+    m1 = _mk_module(tmp_path, "variant_a", "return x + 1")
+    m2 = _mk_module(tmp_path, "variant_b", "return x + 2")
+    # same module name + query body text in both; only the helper differs
+    monkeypatch.setattr(fp, "_is_ours", lambda obj: getattr(obj, "__module__", "").startswith("fpmod"))
+    spec1 = registry.QuerySpec(name="t", fn=m1.query, raw_fn=m1.query)
+    spec2 = registry.QuerySpec(name="t", fn=m2.query, raw_fn=m2.query)
+    assert fp.query_fingerprint(spec1) != fp.query_fingerprint(spec2)
+
+
+def test_fingerprint_covers_oracle_sql(monkeypatch):
+    name = registry.registration_order()[0]
+    spec = registry._REGISTRY[name]
+    import dataclasses
+
+    altered = dataclasses.replace(spec, oracle=(spec.oracle or "") + " -- changed")
+    assert fp.query_fingerprint(spec) != fp.query_fingerprint(altered)

@@ -88,6 +88,19 @@ def test_fingerprint_native_matches_portable_groups(spark, queries):
     assert groups(port, "fp") == groups(nat, "group_min_doc")
 
 
+def test_fingerprint_native_injective_on_separator_collisions(spark):
+    """ADVICE r4 #4 regression: with the old '\\x1f'-joined encoding,
+    a text containing a literal \\x1f ('a\\x1fb') collided with 'a b';
+    the netstring (length-prefixed) encoding must keep every distinct
+    text distinct — including empty tokens from repeated spaces."""
+    from oamap_spark.functions.text import fingerprint_native
+
+    texts = ["a\x1fb", "a b", "a  b", "a b ", " a b", "ab", "", " ", "1:a", "a", "2:ab"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    fps = [r[0] for r in df.select(fingerprint_native("text")).collect()]
+    assert len(set(fps)) == len(texts)
+
+
 def test_minhash_lsh_bucket_cap_degenerate_corpus(spark):
     """500 identical docs: every band bucket holds all 500 ids, so the
     uncapped join would build 500·499/2 ≈ 125k pairs on ONE reducer

@@ -1,0 +1,83 @@
+"""Fold a round's CORRECTNESS file into the verdict sidecar.
+
+Run at the START of a round, BEFORE editing any query code, so the
+fingerprint recorded for each freshly-verified query is the
+fingerprint of the code the driver actually ran:
+
+    python tools/update_verdicts.py CORRECTNESS_r05.json 5
+
+One-time seeding from the full r1..rN history (records each query's
+LATEST green round, with the current fingerprint — only valid while
+no query's code has changed since its last verdict; queries known to
+have changed must be edited or manually invalidated afterward):
+
+    python tools/update_verdicts.py --seed
+
+Stub out brand-new queries that have no driver verdict yet (round 0 →
+always prioritized as "changed"):
+
+    python tools/update_verdicts.py --add-missing
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _green(row: dict) -> bool:
+    # rows-only driver checks record err='no_oracle' with a spark row
+    # count and no match booleans; that is a (weaker) verdict too
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return (
+        row.get("rows_match") in (True, None)
+        and row.get("schema_match") in (True, None)
+        and row.get("hash_match") in (True, None)
+        and not row.get("err")
+    )
+
+
+def main() -> None:
+    import __spark_entry__  # noqa: F401 — populate the registry
+
+    from oamap_spark.queries import fingerprints as fp
+
+    verdicts = fp.load_verdicts()
+    fps = fp.all_fingerprints()
+
+    if sys.argv[1] == "--seed":
+        files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+        for f in files:
+            rnd = int(f.stem.split("_r")[1])
+            data = json.loads(f.read_text())
+            for name, row in data.items():
+                if name in fps and _green(row):
+                    verdicts[name] = {"round": rnd, "fingerprint": fps[name]}
+        print(f"seeded {len(verdicts)} verdicts from {len(files)} files")
+    elif sys.argv[1] == "--add-missing":
+        added = 0
+        for name in fps:
+            if name not in verdicts:
+                verdicts[name] = {"round": 0, "fingerprint": fps[name]}
+                added += 1
+        print(f"added {added} never-verified stubs")
+    else:
+        path, rnd = Path(sys.argv[1]), int(sys.argv[2])
+        data = json.loads(path.read_text())
+        n = 0
+        for name, row in data.items():
+            if name in fps and _green(row):
+                verdicts[name] = {"round": rnd, "fingerprint": fps[name]}
+                n += 1
+        print(f"recorded {n} round-{rnd} verdicts from {path.name}")
+
+    fp.save_verdicts(verdicts)
+
+
+if __name__ == "__main__":
+    main()
