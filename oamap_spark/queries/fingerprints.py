@@ -32,9 +32,12 @@ anything the static closure misses within a few rounds.
 
 from __future__ import annotations
 
+import ast
 import hashlib
+import importlib
 import inspect
 import json
+import textwrap
 import types
 from pathlib import Path
 
@@ -88,6 +91,37 @@ def _append_source(key: tuple[str, str], obj, parts: list[str]) -> None:
     parts.append(f"## {key[0]}.{key[1]}\n{src}")
 
 
+def _local_import_targets(fn) -> list:
+    """Objects brought in by ``import``/``from … import`` statements
+    INSIDE the function body (query bodies conventionally import their
+    operators locally) — invisible to the globals-based walk, so they
+    are resolved by parsing the source."""
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
+            "oamap_spark"
+        ):
+            try:
+                mod = importlib.import_module(node.module)
+            except ImportError:
+                continue
+            for alias in node.names:
+                if hasattr(mod, alias.name):
+                    out.append(getattr(mod, alias.name))
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith("oamap_spark"):
+                    try:
+                        out.append(importlib.import_module(alias.name))
+                    except ImportError:
+                        pass
+    return out
+
+
 def _visit_fn(fn, seen: set, parts: list[str]) -> None:
     code = getattr(fn, "__code__", None)
     if code is None:
@@ -97,8 +131,11 @@ def _visit_fn(fn, seen: set, parts: list[str]) -> None:
         return
     seen.add(key)
     _append_source(key, fn, parts)
-    g = getattr(fn, "__globals__", {})
+    g = dict(getattr(fn, "__globals__", {}))
     names = _code_names(code)
+    for i, obj in enumerate(_local_import_targets(fn)):
+        g[f"__local_import_{i}"] = obj
+        names.append(f"__local_import_{i}")
     for name in names:
         if name not in g:
             continue

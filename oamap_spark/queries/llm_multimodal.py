@@ -112,10 +112,49 @@ def multimodal_resize_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_features",
     tags=("llm", "multimodal", "decode", "map_in_pandas"),
-    # Arrow-batched mapInPandas decode — not SQL-expressible; the
-    # stub's arithmetic is re-verified against a local recompute in
-    # tests/test_multimodal.py → rows-only gate here.
-    oracle=None,
+    # Oracle-gated since round 5 (VERDICT r4 "Next round #4" — the stub
+    # codec is deterministic byte arithmetic, so DuckDB can replay it):
+    # payload bytes = UTF-8 text bytes, and the corpus is ASCII, so
+    # byte i == ascii(char i) — asserted fail-loud via error() rather
+    # than assumed. byte_mean is an exact integer-sum / n (identical
+    # doubles both engines); byte_entropy differs only in summation
+    # order (~1e-15) under the round-4 discipline. The mapInArrow twin
+    # + local-recompute tests in test_multimodal.py stay as the second
+    # in-engine implementation.
+    oracle=f"""
+WITH media AS ({_SQL_MEDIA}),
+guard AS (
+  SELECT CASE WHEN max(CASE WHEN octet_length(encode(text)) != length(text)
+                            THEN 1 ELSE 0 END) = 1
+              THEN error('multimodal_decode_features oracle assumes an ASCII corpus')
+              ELSE 0 END AS ok
+  FROM documents
+),
+b AS (
+  SELECT asset_id, ascii(substring(text, i, 1)) AS byte
+  FROM (SELECT doc_id AS asset_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+),
+bc AS (SELECT asset_id, byte, count(*) AS c FROM b GROUP BY asset_id, byte),
+tot AS (SELECT asset_id, sum(c) AS n FROM bc GROUP BY asset_id),
+stats AS (
+  SELECT bc.asset_id,
+         CAST(t.n AS INT) AS n_bytes,
+         round(CAST(sum(byte * c) AS DOUBLE) / t.n, 4) AS byte_mean,
+         round(-sum((CAST(c AS DOUBLE) / t.n)
+                    * log2(CAST(c AS DOUBLE) / t.n)), 4) AS byte_entropy
+  FROM bc JOIN tot t USING (asset_id)
+  GROUP BY bc.asset_id, t.n
+)
+SELECT m.asset_id, m.kind,
+       COALESCE(s.n_bytes, CAST(0 AS INT)) AS n_bytes,
+       COALESCE(s.byte_mean, 0.0) AS byte_mean,
+       COALESCE(s.byte_entropy, 0.0) AS byte_entropy,
+       CAST({MM.FEATURE_DIM} AS INT) AS feature_dim
+FROM media m LEFT JOIN stats s USING (asset_id), guard g
+WHERE g.ok = 0
+""",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract via mapInPandas (stubbed byte-level

@@ -181,20 +181,168 @@ def _dedup_band_keys_udf():
     return _band_keys_udf(D_PLANES, D_BAND_BITS)
 
 
+# Recall gate shared by both ANN queries (VERDICT r4 "Next round #3"):
+# the declared output is the EXACT brute-force top-k (cross-hashed
+# value-for-value) annotated with the per-query ANN hit count and a
+# banded global recall boolean — and the oracle replays the ENTIRE ANN
+# pipeline (deterministic LCG hyperplanes / seeded k-means are plain
+# integer+double arithmetic), so the hit counts are measured
+# independently by both engines, not asserted by one.
+RECALL_BAND = 0.9
+
+
+def _exact_top5(e: DataFrame) -> DataFrame:
+    """Brute-force exact top-k (the cosine_topk_bruteforce plan) — the
+    ground truth the ANN hit counts are measured against."""
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), V.as_double("embedding").alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "cand_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+def _with_recall_gate(exact: DataFrame, ann_ids: DataFrame) -> DataFrame:
+    """exact top-k rows + per-query ANN hit count + global recall band."""
+    hits = (
+        exact.select("query_id", "cand_id")
+        .join(ann_ids, ["query_id", "cand_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    flag = hits.agg(
+        (
+            F.coalesce(F.sum("hits"), F.lit(0)).cast("double")
+            / F.lit(float(N_QUERIES * TOP_K))
+            >= RECALL_BAND
+        ).alias("recall_ok")
+    )
+    return (
+        exact.join(hits, "query_id", "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(flag))
+    )
+
+
+# DuckDB replay of the sign-LSH signatures: the ±1 plane signs are the
+# same LCG integers, the projection is a left-fold dot product (sign
+# agreement with numpy's BLAS matmul is robust — a flip needs
+# |proj| ≲ 1e-15 on O(1)-magnitude projections), the 4-bit code packs
+# sign bits, and Hamming-≤2 on codes within a table reproduces the
+# query-side multi-probe expansion exactly.
+_SQL_LSH_SIGN = (
+    "CASE WHEN ((1103515245 * ((t * 64 + p) * 64 + (i - 1) + 1) + 12345) "
+    "% 2147483648 >> 16) & 1 = 1 THEN 1.0 ELSE -1.0 END"
+)
+
+_SQL_EXACT_TOP5 = f"""
+exact AS (
+  SELECT query_id, cand_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rnk
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {V.SQL_DOT.format(a='q.e', b='c.e')}
+             / (sqrt({V.SQL_SUMSQ.format(a='q.e')}) * sqrt({V.SQL_SUMSQ.format(a='c.e')}))
+             AS cos_sim
+    FROM q, c
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos_sim DESC, cand_id) <= {TOP_K}
+)"""
+
+_SQL_RECALL_TAIL = f"""
+anntop AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, cand_id) AS rn
+    FROM annscored)
+  WHERE rn <= {TOP_K}
+),
+hits AS (
+  SELECT e.query_id, CAST(count(a.cand_id) AS BIGINT) AS hits
+  FROM exact e LEFT JOIN anntop a
+    ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+  GROUP BY e.query_id
+),
+band AS (
+  SELECT (CAST(sum(hits) AS DOUBLE) / {float(N_QUERIES * TOP_K)} >= {RECALL_BAND})
+           AS recall_ok
+  FROM hits
+)
+SELECT e.query_id, e.cand_id, e.cos_sim, e.rnk, h.hits, band.recall_ok
+FROM exact e JOIN hits h USING (query_id), band
+"""
+
+
 @register(
     "ann_lsh_topk",
     bench=True,
-    tags=("llm", "similarity", "ann", "lsh"),
-    # random-hyperplane bucketing is engine-internal; correctness is
-    # the recall assertion in tests → rows-only gate here.
-    oracle=None,
+    tags=("llm", "similarity", "ann", "lsh", "recall_band"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM v WHERE vec_id >= {N_QUERIES}),
+{_SQL_EXACT_TOP5},
+proj AS (
+  SELECT vec_id, t, p,
+         list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           i -> e[i] * ({_SQL_LSH_SIGN}))), (acc, x) -> acc + x) AS proj
+  FROM v, generate_series(0, {N_TABLES - 1}) AS gt(t),
+          generate_series(0, {N_PLANES - 1}) AS gp(p)
+),
+sig AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS cand_id
+  FROM sig qs JOIN sig cs
+    ON qs.t = cs.t AND bit_count(xor(qs.code, cs.code)) <= 2
+  WHERE qs.vec_id < {N_QUERIES} AND cs.vec_id >= {N_QUERIES}
+),
+annscored AS (
+  SELECT cand.query_id, cand.cand_id,
+         {V.SQL_DOT.format(a='q.e', b='c.e')}
+           / (sqrt({V.SQL_SUMSQ.format(a='q.e')}) * sqrt({V.SQL_SUMSQ.format(a='c.e')}))
+           AS cos_sim
+  FROM cand
+  JOIN q ON q.vec_id = cand.query_id
+  JOIN c ON c.vec_id = cand.cand_id
+),
+{_SQL_RECALL_TAIL}
+""",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: 8 tables × 4-bit sign
-    buckets; candidates = bucket match in ANY table (plus Hamming-1
+    buckets; candidates = bucket match in ANY table (plus Hamming-1/-2
     multi-probe on the query side), then exact cosine + top-k within
     candidates. At scale the (table, bucket) equi-join replaces the
-    full cross product; recall vs brute force is asserted in tests.
+    full cross product.
+
+    Declared output (oracle-gated since round 5, retiring the
+    rows-only entry): the exact brute-force top-5 per query — values
+    cross-hashed against the oracle — plus the per-query count of
+    those exact neighbors the ANN path found (``hits``) and the global
+    banded recall (``recall_ok``: recall@5 ≥ 0.9). The oracle replays
+    the WHOLE pipeline (the LCG hyperplane signs are portable integer
+    arithmetic; Hamming-≤2 code match ≡ the probe expansion), so both
+    engines measure hits independently. The exact side is the bounded
+    N_QUERIES-row verification workload, not a scale statement — the
+    production path at 100 TB is the candidate join alone; recall at
+    bench scale is additionally pinned in test_llm_ops.py.
 
     Signatures come from the shared numpy-matmul pandas UDF (the
     2048-literal fold expression this replaced cost Catalyst/codegen
@@ -202,7 +350,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY — the 64-double vectors are re-joined afterward by id, so the
     wide column never rides the candidate shuffle (same discipline as
     dedup_embedding_banded). Each int key is (table ≪ 4) | 4-bit code,
-    so Hamming-1 probes are plain xors on the low bits."""
+    so Hamming probes are plain xors on the low bits."""
     e = load_table(spark, sf_dir, "embeddings")
 
     v = e.select("vec_id", V.as_double("embedding").alias("v"))
@@ -251,10 +399,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+    ann_ids = (
+        pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id")
     )
+    return _with_recall_gate(_exact_top5(e), ann_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -513,10 +663,41 @@ def ivf_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    tags=("llm", "similarity", "ann", "ivf"),
-    # bucketed search path — recall vs brute force asserted in tests;
-    # rows-only gate (same policy as ann_lsh_topk).
-    oracle=None,
+    tags=("llm", "similarity", "ann", "ivf", "recall_band"),
+    # The oracle replays TRAINING + SEARCH: seeded k-means (the same
+    # bit-deterministic CTEs ivf_centroid_assignment is gated on),
+    # top-N_PROBES probe selection per query, candidate scoring within
+    # the probed lists, then the shared hits/recall-band tail. Both
+    # engines measure the per-query hit counts independently.
+    oracle=f"""
+WITH v0 AS (
+  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
+),
+v AS (SELECT * FROM v0 WHERE vec_id >= {N_QUERIES}),
+{KM.kmeans_sql_ctes('v', N_CENTROIDS, KM_ITERS, DIM, 'kfinal')},
+q AS (SELECT * FROM v0 WHERE vec_id < {N_QUERIES}),
+c AS (SELECT * FROM v),
+{_SQL_EXACT_TOP5},
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, cen.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {KM.SQL_L2SQ.format(a='q.e', b='cen.cv')},
+                                       cen.cid) AS rn
+    FROM q, kc{KM_ITERS} cen)
+  WHERE rn <= {N_PROBES}
+),
+annscored AS (
+  SELECT p.query_id, k.vec_id AS cand_id,
+         {V.SQL_DOT.format(a='q.e', b='k.e')}
+           / (sqrt({V.SQL_SUMSQ.format(a='q.e')}) * sqrt({V.SQL_SUMSQ.format(a='k.e')}))
+           AS cos_sim
+  FROM probes p
+  JOIN kfinal k USING (cid)
+  JOIN q ON q.vec_id = p.query_id
+),
+{_SQL_RECALL_TAIL}
+""",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over TRAINED centroids (seeded k-means, see
@@ -524,7 +705,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid's list; each query probes its N_PROBES nearest centroids
     and scores only those lists — the (cid) equi-join replaces the
     cross product at scale. Exact cosine + top-k within the probed
-    lists."""
+    lists.
+
+    Declared output (oracle-gated since round 5, same shape as
+    ann_lsh_topk): exact brute-force top-5 rows + per-query IVF hit
+    counts + the global recall@5 ≥ 0.9 band, with the oracle
+    re-training the quantizer and re-running the probed search
+    bit-identically."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _trained_centroids(spark, sf_dir)
     corpus = _assign_topk(_corpus(e), "v", cents, 1).select(
@@ -542,10 +729,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "cand_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+    ann_ids = (
+        pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id")
     )
+    return _with_recall_gate(_exact_top5(e), ann_ids)
 
 
 @register(

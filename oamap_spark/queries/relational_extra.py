@@ -14,6 +14,7 @@ from oamap_spark.sources.tables import load_table
 
 @register(
     "lateral_top3_orders_per_customer",
+    bench=True,
     tags=("join", "lateral", "correlated", "topk"),
     oracle="""
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
@@ -506,6 +507,7 @@ def zorder_write_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "batch_session_window_stats",
+    bench=True,
     tags=("session_window", "batch", "events"),
     oracle=f"""
 WITH seq AS (

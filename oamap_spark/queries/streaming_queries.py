@@ -378,6 +378,7 @@ def stream_daily_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "stream_foreachbatch_upsert_latest",
+    bench=True,
     tags=("streaming", "foreach_batch", "upsert", "sink"),
     oracle="""
 SELECT user_id, event_id AS last_event_id, event_type AS last_event_type

@@ -18,26 +18,36 @@ def queries():
     return entrymod.queries()
 
 
+def _recall_of(rows) -> float:
+    """Recall@5 from the round-5 ANN output shape: one exact-top-5 row
+    per (query, rank) carrying the per-query ANN hit count."""
+    per_query = {r["query_id"]: r["hits"] for r in rows}
+    return sum(per_query.values()) / len(rows)
+
+
 def test_ann_recall_vs_bruteforce(spark, queries):
-    """LSH ANN top-5 must recover most of the exact brute-force top-5
-    (multi-probe Hamming-1, 8 planes → recall is high but not 1.0)."""
+    """LSH ANN must recover most of the exact brute-force top-5, and
+    the declared exact rows must BE the brute-force rows (the oracle
+    cross-hashes them; this pins the in-engine agreement too)."""
     exact = queries["cosine_topk_bruteforce"](spark, SF_SMOKE).collect()
-    approx = queries["ann_lsh_topk"](spark, SF_SMOKE).collect()
-    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
-    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
+    out = queries["ann_lsh_topk"](spark, SF_SMOKE).collect()
+    assert {(r["query_id"], r["cand_id"]) for r in exact} == {
+        (r["query_id"], r["cand_id"]) for r in out
+    }
+    recall = _recall_of(out)
     assert recall >= 0.5, f"ANN recall {recall:.2f} too low vs brute force"
 
 
 def test_ivf_recall_vs_bruteforce(spark, queries):
-    """IVF (16 centroids, 8 probes) top-5 must recover most of the
-    exact top-5; with 8/16 buckets probed recall is high but not
+    """IVF (16 centroids, 8 probes) must recover most of the exact
+    top-5; with 8/16 buckets probed recall is high but not
     guaranteed 1.0."""
     exact = queries["cosine_topk_bruteforce"](spark, SF_SMOKE).collect()
-    approx = queries["ann_ivf_topk"](spark, SF_SMOKE).collect()
-    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
-    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
+    out = queries["ann_ivf_topk"](spark, SF_SMOKE).collect()
+    assert {(r["query_id"], r["cand_id"]) for r in exact} == {
+        (r["query_id"], r["cand_id"]) for r in out
+    }
+    recall = _recall_of(out)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low vs brute force"
 
 
@@ -152,12 +162,10 @@ def test_ann_recall_at_bench_scale(spark, queries, ann_query):
     scale the perf numbers are reported at."""
     from tests.conftest import SF_BENCH
 
-    exact = queries["cosine_topk_bruteforce"](spark, SF_BENCH).collect()
-    approx = queries[ann_query](spark, SF_BENCH).collect()
-    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
-    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
+    out = queries[ann_query](spark, SF_BENCH).collect()
+    recall = _recall_of(out)
     assert recall >= 0.9, f"{ann_query} recall@5 {recall:.3f} < 0.9 at sf0.1"
+    assert all(r["recall_ok"] for r in out)
 
 
 def test_all_pairs_guard_refuses_large_input(spark):

@@ -8,8 +8,12 @@ fingerprint of the code the driver actually ran:
 
 One-time seeding from the full r1..rN history (records each query's
 LATEST green round, with the current fingerprint — only valid while
-no query's code has changed since its last verdict; queries known to
-have changed must be edited or manually invalidated afterward):
+no query's code has changed since its last verdict). If the
+fingerprint ALGORITHM itself changed mid-round, seed against the
+sources the driver actually scored: `git worktree add <tmp> <round-end
+commit>`, copy the new fingerprints.py/registry.py/this tool into the
+worktree, run --seed there, and copy verdicts.json back (done this way
+for the round-5 reseed):
 
     python tools/update_verdicts.py --seed
 
