@@ -96,9 +96,12 @@ def heavy_hitters(
     greater than 1/(capacity+1) — the MG guarantee covers items with
     count > n/(capacity+1), so threshold = ⌈min_frac·n⌉ > n/(cap+1)
     must hold strictly or an item sitting exactly on the bound could
-    be evicted from every partition summary yet qualify. Asserted in
-    the plan via assert_true — a capacity too small for the requested
-    fraction fails the query rather than silently under-reporting.
+    be evicted from every partition summary yet qualify. The condition
+    involves only the two call-time constants, so it is checked with a
+    plain ``raise`` at plan-build time — an in-plan assert_true on the
+    output rows (the round-4 form) never evaluated when the candidate
+    set came back empty, which is exactly the silent-under-reporting
+    case the guard exists for.
     The total n rides the SAME MG pass (a null-item marker row per
     partition carries its row count), so the stream is scanned exactly
     twice: summary pass + exact verify. The tiny summary (≤ capacity·P
@@ -114,6 +117,11 @@ def heavy_hitters(
     items, i.e. the ``WHERE item IS NOT NULL`` form of the oracle."""
     if min_frac <= 0 or min_frac >= 1:
         raise ValueError(f"min_frac must be in (0, 1), got {min_frac}")
+    if min_frac <= 1.0 / (capacity + 1):
+        raise ValueError(
+            f"heavy_hitters: min_frac {min_frac} not strictly above the "
+            f"completeness bound 1/{capacity + 1}; raise capacity"
+        )
     src = items.select(F.col(item_col).cast("string").alias("item")).where(
         F.col(item_col).isNotNull()
     )
@@ -128,16 +136,8 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     thresh = F.ceil(F.lit(min_frac) * F.col("__n")).cast("long")
-    chk = F.assert_true(
-        F.lit(min_frac) > 1.0 / (capacity + 1),
-        F.lit(
-            f"heavy_hitters: min_frac {min_frac} not strictly above the "
-            f"completeness bound 1/{capacity + 1}; raise capacity"
-        ),
-    )
     return (
         counts.crossJoin(F.broadcast(bound))
-        .withColumn("__chk", chk)
-        .where(F.col("__chk").isNull() & (F.col("cnt") >= thresh))
+        .where(F.col("cnt") >= thresh)
         .select("item", "cnt")
     )

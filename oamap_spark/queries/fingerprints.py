@@ -33,6 +33,7 @@ anything the static closure misses within a few rounds.
 from __future__ import annotations
 
 import ast
+import functools
 import hashlib
 import importlib
 import inspect
@@ -91,7 +92,8 @@ def _append_source(key: tuple[str, str], obj, parts: list[str]) -> None:
     parts.append(f"## {key[0]}.{key[1]}\n{src}")
 
 
-def _local_import_targets(fn) -> list:
+@functools.lru_cache(maxsize=None)
+def _local_import_targets(fn) -> tuple:
     """Objects brought in by ``import``/``from … import`` statements
     INSIDE the function body (query bodies conventionally import their
     operators locally) — invisible to the globals-based walk, so they
@@ -99,7 +101,7 @@ def _local_import_targets(fn) -> list:
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
-        return []
+        return ()
     out = []
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(
@@ -119,7 +121,7 @@ def _local_import_targets(fn) -> list:
                         out.append(importlib.import_module(alias.name))
                     except ImportError:
                         pass
-    return out
+    return tuple(out)
 
 
 def _visit_fn(fn, seen: set, parts: list[str]) -> None:
@@ -188,13 +190,21 @@ def query_fingerprint(spec) -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
-def all_fingerprints() -> dict[str, str]:
-    from oamap_spark.queries import registry
+_ALL_FP_CACHE: dict[str, str] | None = None
 
-    return {
-        n: query_fingerprint(registry._REGISTRY[n])
-        for n in registry.registration_order()
-    }
+
+def all_fingerprints() -> dict[str, str]:
+    """Memoized per process — the registry is immutable after import,
+    and one full computation walks ~185 source closures (~1 s)."""
+    global _ALL_FP_CACHE
+    if _ALL_FP_CACHE is None:
+        from oamap_spark.queries import registry
+
+        _ALL_FP_CACHE = {
+            n: query_fingerprint(registry._REGISTRY[n])
+            for n in registry.registration_order()
+        }
+    return dict(_ALL_FP_CACHE)
 
 
 def load_verdicts() -> dict[str, dict]:

@@ -48,24 +48,11 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, then per-query top-k via window (window-group-limit
     keeps only k rows per partition). This is the exact baseline every
     ANN variant is measured against; at 100 TB the same plan holds
-    because the broadcast side is the query set, never the corpus."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("qv")
-    )
-    c = e.where(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), V.as_double("embedding").alias("cv")
-    )
-    pairs = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "cand_id",
-        V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= TOP_K)
-    )
+    because the broadcast side is the query set, never the corpus.
+    The body is the shared :func:`_exact_top5` helper — the SAME plan
+    the ANN recall gates declare as their exact rows, so the baseline
+    and the gates cannot silently desynchronize."""
+    return _exact_top5(load_table(spark, sf_dir, "embeddings"))
 
 
 # Deterministic ±1 hyperplane signs: component c of plane p in table t
@@ -211,12 +198,20 @@ def _exact_top5(e: DataFrame) -> DataFrame:
 
 
 def _with_recall_gate(exact: DataFrame, ann_ids: DataFrame) -> DataFrame:
-    """exact top-k rows + per-query ANN hit count + global recall band."""
+    """exact top-k rows + per-query ANN hit count + global recall band.
+
+    ``exact`` (the brute-force cross-join) feeds both the output rows
+    and the hit computation, and ``hits`` feeds both the per-query
+    column and the global band — both are persisted (tiny:
+    ≤ N_QUERIES·TOP_K rows) so the expensive subtrees execute once.
+    Lifetime is caller-owned, the LSH-signature-table convention."""
+    exact = exact.persist()
     hits = (
         exact.select("query_id", "cand_id")
         .join(ann_ids, ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
+        .persist()
     )
     flag = hits.agg(
         (

@@ -34,14 +34,25 @@ def test_fingerprints_are_deterministic_and_complete():
     assert all(len(v) == 64 for v in a.values())
 
 
+def _clean_sidecar():
+    """Synthetic sidecar where every query's recorded fingerprint
+    matches its CURRENT source (rounds kept from the real sidecar) —
+    the tests perturb this, so they hold mid-round too, when the real
+    sidecar legitimately lists changed queries."""
+    real = fp.load_verdicts()
+    fps = fp.all_fingerprints()
+    return {
+        n: {"round": real.get(n, {}).get("round", 1), "fingerprint": fps[n]}
+        for n in registry.registration_order()
+    }
+
+
 def test_changed_queries_lead_the_window(monkeypatch):
     """A query whose recorded fingerprint no longer matches its source
     must sort before every verified-unchanged query; the unchanged tail
     is oldest-verdict-first."""
-    real = fp.load_verdicts()
-    names = registry.registration_order()
-    victim = next(n for n in names if real[n]["round"] == 4)
-    fake = {k: dict(v) for k, v in real.items()}
+    fake = _clean_sidecar()
+    victim = next(n for n in fake if fake[n]["round"] == 4)
     fake[victim]["fingerprint"] = "stale" + fake[victim]["fingerprint"][5:]
     monkeypatch.setattr(fp, "load_verdicts", lambda: fake)
     pri = fp.compute_priority()
@@ -51,11 +62,9 @@ def test_changed_queries_lead_the_window(monkeypatch):
 
 
 def test_never_verified_round0_stub_is_prioritized(monkeypatch):
-    real = fp.load_verdicts()
-    names = registry.registration_order()
-    victim = names[-1]
-    fake = {k: dict(v) for k, v in real.items()}
-    fake[victim] = {"round": 0, "fingerprint": fp.all_fingerprints()[victim]}
+    fake = _clean_sidecar()
+    victim = registry.registration_order()[-1]
+    fake[victim]["round"] = 0
     monkeypatch.setattr(fp, "load_verdicts", lambda: fake)
     assert fp.compute_priority()[0] == victim
 

@@ -47,6 +47,10 @@ def _green(row: dict) -> bool:
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or (sys.argv[1] not in ("--seed", "--add-missing") and len(sys.argv) < 3):
+        print(__doc__)
+        raise SystemExit(2)
+
     import __spark_entry__  # noqa: F401 — populate the registry
 
     from oamap_spark.queries import fingerprints as fp
