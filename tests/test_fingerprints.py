@@ -111,6 +111,18 @@ def test_fingerprint_changes_when_transitive_helper_changes(tmp_path, monkeypatc
     assert fp.query_fingerprint(spec1) != fp.query_fingerprint(spec2)
 
 
+def test_bench_headline_set_covers_round4_plan_families():
+    """VERDICT r4 ask #8: the bench must time the window-group-limit,
+    session-window, and foreachBatch plan families."""
+    bench = set(registry.bench_queries())
+    for name in (
+        "lateral_top3_orders_per_customer",
+        "batch_session_window_stats",
+        "stream_foreachbatch_upsert_latest",
+    ):
+        assert name in bench, name
+
+
 def test_fingerprint_covers_oracle_sql(monkeypatch):
     name = registry.registration_order()[0]
     spec = registry._REGISTRY[name]
