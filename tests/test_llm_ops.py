@@ -111,6 +111,26 @@ def test_fingerprint_native_injective_on_separator_collisions(spark):
     assert len(set(fps)) == len(texts)
 
 
+def test_fingerprint_native_injective_on_adversarial_corpus(spark):
+    """Randomized variant: 300 distinct texts over an alphabet chosen
+    to stress the encoding (spaces, the old separator byte, ':' and
+    digits that could masquerade as length prefixes) must yield 300
+    distinct fingerprints — one Spark job, seeded generator."""
+    import random
+
+    from oamap_spark.functions.text import fingerprint_native
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", " ", "\x1f", ":", "1", "2", "12"]
+    texts = set()
+    while len(texts) < 300:
+        texts.add("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))))
+    texts = sorted(texts)
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    fps = [r[0] for r in df.select(fingerprint_native("text")).collect()]
+    assert len(set(fps)) == len(texts)
+
+
 def test_minhash_lsh_bucket_cap_degenerate_corpus(spark):
     """500 identical docs: every band bucket holds all 500 ids, so the
     uncapped join would build 500·499/2 ≈ 125k pairs on ONE reducer
