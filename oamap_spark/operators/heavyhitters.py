@@ -25,9 +25,10 @@ pattern as the LSH dedup family):
    are excluded up front — see :func:`heavy_hitters`), at a fraction
    of the shuffle.
 
-The soundness condition (threshold ≥ n/(capacity+1)) is asserted at
-runtime — a capacity too small for the requested threshold raises
-rather than silently under-reporting.
+The soundness condition (threshold ≥ n/(capacity+1)) is checked at
+plan-build time with a plain ``raise`` — a capacity too small for the
+requested threshold fails immediately rather than silently
+under-reporting (see :func:`heavy_hitters`).
 """
 
 from __future__ import annotations

@@ -194,16 +194,19 @@ _ALL_FP_CACHE: dict[str, str] | None = None
 
 
 def all_fingerprints() -> dict[str, str]:
-    """Memoized per process — the registry is immutable after import,
-    and one full computation walks ~185 source closures (~1 s)."""
+    """Memoized per process — one full computation walks ~185 source
+    closures (~1 s). The registry is append-only, so the cache extends
+    itself if names registered after the first call appear (a partial
+    import followed by the full __spark_entry__ import must not pin a
+    partial map for the process lifetime)."""
     global _ALL_FP_CACHE
-    if _ALL_FP_CACHE is None:
-        from oamap_spark.queries import registry
+    from oamap_spark.queries import registry
 
-        _ALL_FP_CACHE = {
-            n: query_fingerprint(registry._REGISTRY[n])
-            for n in registry.registration_order()
-        }
+    if _ALL_FP_CACHE is None:
+        _ALL_FP_CACHE = {}
+    for n in registry.registration_order():
+        if n not in _ALL_FP_CACHE:
+            _ALL_FP_CACHE[n] = query_fingerprint(registry._REGISTRY[n])
     return dict(_ALL_FP_CACHE)
 
 

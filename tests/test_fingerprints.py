@@ -52,7 +52,8 @@ def test_changed_queries_lead_the_window(monkeypatch):
     must sort before every verified-unchanged query; the unchanged tail
     is oldest-verdict-first."""
     fake = _clean_sidecar()
-    victim = next(n for n in fake if fake[n]["round"] == 4)
+    newest = max(v["round"] for v in fake.values())
+    victim = next(n for n in fake if fake[n]["round"] == newest)
     fake[victim]["fingerprint"] = "stale" + fake[victim]["fingerprint"][5:]
     monkeypatch.setattr(fp, "load_verdicts", lambda: fake)
     pri = fp.compute_priority()
