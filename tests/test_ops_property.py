@@ -51,6 +51,44 @@ def test_heavy_hitters_matches_exact_groupby(spark, items, frac_pct):
     assert got == want
 
 
+def test_heavy_hitters_exact_on_skewed_multipartition_corpus(spark):
+    """Batched-MG stress (round-5 vectorized form): a 60k-item Zipf-ish
+    corpus over 2000 distinct terms, spread over 7 partitions so each
+    partition triggers many prune events at capacity=32 (bound 1/33 ≈
+    3%), with NULLs mixed in — output must equal the exact
+    GROUP BY+HAVING over non-NULL items, and NULL must never surface."""
+    import math as _math
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+
+    rng = random.Random(5)
+    items = []
+    for _ in range(60_000):
+        if rng.random() < 0.02:
+            items.append(None)
+        elif rng.random() < 0.5:
+            items.append(f"hot{rng.randint(0, 4)}")  # ~10% each
+        else:
+            items.append(f"cold{rng.randint(0, 1999)}")
+    df = spark.createDataFrame(
+        [(i,) for i in items], ["item"]
+    ).repartition(7, F.rand(seed=5))
+    frac = 0.04
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "item", frac, capacity=32).collect()
+    }
+    nn = [i for i in items if i is not None]
+    thresh = _math.ceil(frac * len(nn))
+    want = {(k, v) for k, v in Counter(nn).items() if v >= thresh}
+    assert got == want and got
+    assert all(k is not None for k, _ in got)
+
+
 @settings(**_SETTINGS)
 @given(
     parents=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=60)
