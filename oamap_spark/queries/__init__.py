@@ -38,6 +38,7 @@ def _load_all() -> None:
         "oamap_spark.queries.sketches_suite",
         "oamap_spark.queries.observability",
         "oamap_spark.queries.relational_extra",
+        "oamap_spark.queries.sources_extra",
     ):
         try:
             importlib.import_module(mod)

@@ -42,7 +42,9 @@ def _clean_sidecar():
     real = fp.load_verdicts()
     fps = fp.all_fingerprints()
     return {
-        n: {"round": real.get(n, {}).get("round", 1), "fingerprint": fps[n]}
+        # `or 1`: never-verified round-0 stubs count as verified here —
+        # the synthetic baseline must contain NO prioritized entries
+        n: {"round": real.get(n, {}).get("round") or 1, "fingerprint": fps[n]}
         for n in registry.registration_order()
     }
 
