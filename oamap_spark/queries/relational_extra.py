@@ -282,15 +282,10 @@ def _staged(sf_dir: str, leaf: str) -> str:
     """Fresh staging dir per invocation: concurrent runs of the same
     query — driver scoring alongside a local replay, or pytest-xdist —
     can never race on a shared /tmp path; roots are swept at process
-    exit (sources/staging.py — ADVICE r4 #3 closed the leak). sf_dir
-    rides in the prefix only for debuggability."""
-    import os
+    exit (sources/staging.py — ADVICE r4 #3 closed the leak)."""
+    from oamap_spark.sources.staging import staged_for
 
-    from oamap_spark.sources.staging import staging_path
-
-    return staging_path(
-        f"oamap_fmt_{os.path.basename(sf_dir.rstrip('/'))}_", leaf
-    )
+    return staged_for(sf_dir, leaf)
 
 
 @register(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oamap_spark.queries.registry import register
-from oamap_spark.queries.relational_extra import _staged
+from oamap_spark.sources.staging import staged_for as _staged
 from oamap_spark.sources.tables import load_table
 
 
@@ -116,14 +116,15 @@ GROUP BY 1
 def npy_datasource_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The numpy-file DataSource V2 (the engine's custom-backend
     extension point — oamap's numpyfile/ROOT analog, sources/
-    npy_datasource.py) gated end-to-end: a bounded {NPY_SUBSET}-row
-    slice of embeddings is staged as the jagged offsets/content column
-    pair plus a flat id column (byte-for-byte the ROOT jagged-branch
-    layout), read back through ``spark.read.format("npy")`` in
-    parallel range partitions, and aggregated against the parquet
-    original. The fixture write collects a CONSTANT-size subset
-    (vec_id < {NPY_SUBSET} at every SF) — O(1) staging, not O(data);
-    the read path under test is the distributed mmap-slicing source."""
+    npy_datasource.py) gated end-to-end: a bounded NPY_SUBSET-row
+    (500) slice of embeddings is staged as the jagged offsets/content
+    column pair plus a flat id column (byte-for-byte the ROOT
+    jagged-branch layout), read back through
+    ``spark.read.format("npy")`` in parallel range partitions, and
+    aggregated against the parquet original. The fixture write
+    collects a CONSTANT-size subset (vec_id < NPY_SUBSET at every SF)
+    — O(1) staging, not O(data); the read path under test is the
+    distributed mmap-slicing source."""
     import numpy as np
 
     from oamap_spark.functions import vectors as V

@@ -37,3 +37,11 @@ def staging_path(prefix: str, leaf: str) -> str:
     base = tempfile.mkdtemp(prefix=prefix)
     _ROOTS.append(base)
     return os.path.join(base, leaf)
+
+
+def staged_for(sf_dir: str, leaf: str) -> str:
+    """Staging path for a format-gate query: per-invocation-unique,
+    with the sf tag in the prefix for debuggability only."""
+    return staging_path(
+        f"oamap_fmt_{os.path.basename(sf_dir.rstrip('/'))}_", leaf
+    )

@@ -76,7 +76,7 @@ def test_heavy_hitters_exact_on_skewed_multipartition_corpus(spark):
             items.append(f"cold{rng.randint(0, 1999)}")
     df = spark.createDataFrame(
         [(i,) for i in items], ["item"]
-    ).repartition(7, F.rand(seed=5))
+    ).repartition(7)  # round-robin: retry-safe, spreads duplicates
     frac = 0.04
     got = {
         (r["item"], r["cnt"])

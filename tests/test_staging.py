@@ -20,14 +20,21 @@ def test_staging_paths_unique_and_tracked():
 
 
 def test_cleanup_removes_all_roots():
-    p = staging.staging_path("oamap_test_", "leaf")
-    root = os.path.dirname(p)
-    os.makedirs(p)
-    with open(os.path.join(p, "data"), "w") as f:
-        f.write("x")
-    staging._cleanup()
-    assert not os.path.exists(root)
-    assert staging._ROOTS == []
-    # registry keeps working after a sweep (atexit may run after
-    # an explicit cleanup without error)
-    staging._cleanup()
+    # snapshot the process-global registry: other tests in this pytest
+    # process may still hold lazy readers over THEIR staged roots
+    others = staging._ROOTS[:]
+    staging._ROOTS.clear()
+    try:
+        p = staging.staging_path("oamap_test_", "leaf")
+        root = os.path.dirname(p)
+        os.makedirs(p)
+        with open(os.path.join(p, "data"), "w") as f:
+            f.write("x")
+        staging._cleanup()
+        assert not os.path.exists(root)
+        assert staging._ROOTS == []
+        # registry keeps working after a sweep (atexit may run after
+        # an explicit cleanup without error)
+        staging._cleanup()
+    finally:
+        staging._ROOTS.extend(others)
