@@ -1,0 +1,68 @@
+"""MIGRATION.md's LLM-pipeline cookbook, executed — the snippets in
+the doc are these, verbatim (modulo the `docs`/`events` fixtures), so
+the cookbook cannot drift from the code."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def test_snippet_minhash_lsh_pairs(spark):
+    from oamap_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        k=16, rows_per_band=2, threshold=0.8,
+        bucket_cap=50,
+    )
+    rows = pairs.collect()
+    assert {"id_a", "id_b"} <= set(pairs.columns)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_snippet_heavy_hitters(spark):
+    from oamap_spark.operators.heavyhitters import heavy_hitters
+
+    docs = _docs(spark)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item"))
+    hot = heavy_hitters(toks, "item", min_frac=0.002, capacity=512)
+    rows = hot.collect()
+    assert rows and all(r["cnt"] > 0 for r in rows)
+
+
+def test_snippet_hll_sketch_rollup(spark):
+    from oamap_spark.operators import sketches as SK
+
+    events = _events(spark)
+    daily = SK.group_sketches(events, ["event_type"], "user_id")
+    total = SK.rollup_estimate(daily, [])
+    est = total.collect()[0][0]
+    exact = events.select("user_id").distinct().count()
+    assert abs(est - exact) <= max(2, 0.05 * exact)
+
+
+def test_snippet_train_test_split(spark):
+    from oamap_spark.operators.sampling import train_test_split
+
+    docs = _docs(spark)
+    tagged = train_test_split(docs, "doc_id", test_fraction=0.1)
+    counts = {r["split"]: r["n"] for r in
+              tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "test"}
+    assert counts.get("train", 0) > counts.get("test", 0)
+    # determinism: same keys → same assignment on re-run
+    again = {r["split"]: r["n"] for r in
+             train_test_split(docs, "doc_id", test_fraction=0.1)
+             .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
