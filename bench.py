@@ -93,6 +93,84 @@ def main() -> None:
         all_runs[label] = runs
         skew_pairs[label] = rows
         print(f"# {label}: {min(runs):.3f}s ({rows} verified pairs)", file=sys.stderr)
+        # minhash_lsh_pairs persists caller-owned signature tables —
+        # sweep them like the main loop does (ADVICE r5 #3: persisted
+        # frames must not accumulate across a long benching process)
+        spark.catalog.clearCache()
+
+    # Skewed-JOIN micro-bench (the relational twin of skew_500dup):
+    # same Zipf construction as the declared `salted_join_skewed_events`
+    # query — 80% of events collapse onto hot key 42, dim carries ~100
+    # matches per key at sf0.1, so the hot key alone joins to ~8M
+    # pairs. Auto-broadcast is disabled for the pair (at sf0.1 the dim
+    # fits and Catalyst rightly broadcasts, which makes salting moot —
+    # the regime under test is the 100 TB big×big shuffle join).
+    # Like skew_500dup, the SIGNAL is not sf0.1 wall time (one 8M-pair
+    # codegen task still finishes in well under a second on this box) —
+    # it is `skew_join_max_reducer_pairs`: the pair count the hottest
+    # reducer key owns, which is what becomes the straggler task at
+    # scale. Salt=8 cuts it ~8× (80% of pairs on one key → ~10% per
+    # (key, salt) sub-key); the wall times just bound the salt's
+    # constant overhead (dim replicated salt-fold).
+    from oamap_spark.operators.partitioning import salted_join
+    from oamap_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
+        .otherwise(F.lit(42))
+        .alias("k"),
+        "value",
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 150).alias("k"), "c_acctbal"
+    )
+    dimc = dim.groupBy("k").agg(F.count(F.lit(1)).alias("dim_n"))
+    salted_ev = ev.withColumn("__salt", (F.rand(seed=7) * 8).cast("int"))
+    max_reducer_pairs: dict[str, int] = {}
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, join_fn, keyed in (
+            (
+                "skew_zipf_join_salted",
+                lambda: salted_join(ev, dim, "k", salt=8),
+                salted_ev.groupBy("k", "__salt").agg(
+                    F.count(F.lit(1)).alias("ev_n")
+                ),
+            ),
+            (
+                "skew_zipf_join_plain",
+                lambda: ev.join(dim, "k"),
+                ev.groupBy("k").agg(F.count(F.lit(1)).alias("ev_n")),
+            ),
+        ):
+            runs, rows = [], 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = (
+                    join_fn()
+                    .groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("value").alias("s"))
+                    .count()
+                )
+                runs.append(round(time.perf_counter() - t0, 4))
+            # pairs owned by the hottest reducer key: max over join-key
+            # groups of |ev rows| × |dim rows| — the straggler bound
+            max_reducer_pairs[label] = (
+                keyed.join(dimc, "k")
+                .select(F.max(F.col("ev_n") * F.col("dim_n")).alias("m"))
+                .collect()[0]["m"]
+            )
+            timings[label] = min(runs)
+            all_runs[label] = runs
+            print(
+                f"# {label}: {min(runs):.3f}s ({rows} key groups, "
+                f"max reducer pairs {max_reducer_pairs[label]})",
+                file=sys.stderr,
+            )
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -115,6 +193,10 @@ def main() -> None:
         # counts are the skew-guard signal (linear star vs s²/2 on one
         # reducer key — the gap is what explodes at boilerplate scale)
         "skew_microbench_pairs": skew_pairs,
+        # straggler bound for the Zipf join pair: pairs owned by the
+        # hottest reducer key, plain vs salted (the number that scales;
+        # sf0.1 wall time does not — one hot task still fits this box)
+        "skew_join_max_reducer_pairs": max_reducer_pairs,
     }
     print(json.dumps(out))
     spark.stop()

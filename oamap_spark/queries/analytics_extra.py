@@ -338,6 +338,7 @@ r{k} AS (
 
 @register(
     "pagerank_event_types",
+    bench=True,
     tags=("graph", "iterative", "pagerank"),
     oracle=(
         """

@@ -181,12 +181,29 @@ def _visit_fn(fn, seen: set, parts: list[str]) -> None:
                 parts.append(f"## const {key[0]}.{name} = {rep}")
 
 
+def _session_conf_salt() -> str:
+    """Every query runs under ``session.configure_session`` (the
+    registry ``_wrap`` applies it at call time), so the session conf
+    dict is part of every query's effective semantics — ANSI mode, the
+    session timezone, and nested-pruning flags all change results or
+    plans without touching any query source. Salting the fingerprint
+    with the conf (VERDICT r5 "Next round #7") makes a conf change
+    invalidate ALL recorded verdicts by design: every query re-enters
+    the changed-first window until the driver re-scores it under the
+    new conf."""
+    from oamap_spark.session import _RUNTIME_CONF
+
+    return json.dumps(dict(sorted(_RUNTIME_CONF.items())))
+
+
 def query_fingerprint(spec) -> str:
-    """Deterministic fingerprint of a QuerySpec's source closure."""
+    """Deterministic fingerprint of a QuerySpec's source closure,
+    salted with the session conf every query runs under."""
     parts: list[str] = []
     seen: set = set()
     _visit_fn(spec.raw_fn or spec.fn, seen, parts)
     parts.append("## oracle\n" + (spec.oracle if spec.oracle is not None else "<rows-only>"))
+    parts.append("## session_conf\n" + _session_conf_salt())
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 

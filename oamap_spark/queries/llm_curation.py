@@ -198,6 +198,7 @@ OVERLAP_N = 8  # 8-token grams, the usual contamination unit
 
 @register(
     "train_benchmark_overlap",
+    bench=True,
     tags=("llm", "curation", "contamination", "ngram"),
     oracle=f"""
 WITH tid AS (

@@ -296,6 +296,7 @@ def union_tagged_dispatch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "recursive_cte_subtree_stats",
+    bench=True,
     tags=("pointer", "recursive", "tree", "recursive_cte", "sql"),
     oracle="""
 WITH RECURSIVE walk AS (

@@ -549,3 +549,55 @@ def batch_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@register(
+    "salted_join_skewed_events",
+    tags=("join", "skew", "salted"),
+    oracle="""
+WITH ev AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN user_id ELSE 42 END AS k, value
+  FROM events
+), dim AS (
+  SELECT c_custkey % 150 AS k, c_acctbal FROM customer
+)
+SELECT ev.k AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(ev.value), 2) AS sum_value,
+       ROUND(SUM(dim.c_acctbal), 2) AS sum_acctbal
+FROM ev JOIN dim ON ev.k = dim.k
+GROUP BY ev.k
+""",
+)
+def salted_join_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big equi-join on a DELIBERATELY Zipf-skewed key through
+    ``salted_join`` (operators/partitioning.py): 80% of event rows are
+    collapsed onto one hot key (42), the dim side (customer, keyed
+    c_custkey % 150) carries real multiplicity, and the salt spreads
+    the hot key over 8 reducer sub-keys so no single task owns the
+    80%·|events| × |dim-matches| pair explosion. The result is
+    bit-identical to the plain join — the salt columns are internal —
+    which is exactly what the oracle checks. This is the relational
+    twin of the LSH `skew_500dup_*` microbench: AQE's skew-split is
+    the first-line fix for sort-merge joins, explicit salting is the
+    deterministic fallback that also covers hash joins and stateful
+    streaming joins where AQE can't re-plan. The bench pair
+    (`skew_zipf_join_salted/plain`, bench.py) records both wall
+    times at sf0.1 (~8M joined pairs on the hot key)."""
+    from oamap_spark.operators.partitioning import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
+        .otherwise(F.lit(42))
+        .alias("k"),
+        "value",
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 150).alias("k"), "c_acctbal"
+    )
+    j = salted_join(ev, dim, "k", salt=8)
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )

@@ -60,6 +60,7 @@ def hll_region_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "hll_weekly_users_from_daily_sketches",
+    bench=True,
     tags=("sketch", "hll", "approx_distinct", "reaggregation"),
     oracle="""
 SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,

@@ -24,7 +24,12 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 2) AS sum_value,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+       -- json_extract_STRING, not json_extract: for an explicit JSON
+       -- null ("k": null) DuckDB's json_extract returns a non-NULL
+       -- JSON 'null' value while Spark's get_json_object returns SQL
+       -- NULL; the _string form maps JSON null -> SQL NULL, matching
+       -- get_json_object (ADVICE r5 #1)
+       CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
 FROM events
 GROUP BY event_type
@@ -140,6 +145,13 @@ def npy_datasource_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sub.collect()  # bounded: NPY_SUBSET rows by construction
     import os
 
+    # exist_ok=False DELIBERATELY (ADVICE r5 #4): `stage` is a leaf of
+    # a per-invocation mkdtemp, so a pre-existing dir means two
+    # invocations collided on one staging root — fail loudly rather
+    # than overwrite fixture files under an in-flight read. If this
+    # query is ever reused outside the single-driver flow, also move
+    # the NpyDataSource registration below to module import time so a
+    # concurrent invocation never re-registers mid-read.
     os.makedirs(stage)
     np.save(
         os.path.join(stage, "vec_id.npy"),

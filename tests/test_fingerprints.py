@@ -133,3 +133,24 @@ def test_fingerprint_covers_oracle_sql(monkeypatch):
 
     altered = dataclasses.replace(spec, oracle=(spec.oracle or "") + " -- changed")
     assert fp.query_fingerprint(spec) != fp.query_fingerprint(altered)
+
+
+def test_fingerprint_salted_with_session_conf(monkeypatch):
+    """Every query runs under configure_session, so a conf change (ANSI
+    mode, timezone, pruning flags) changes effective semantics without
+    touching query source — it must flip EVERY fingerprint so all
+    verdicts are invalidated by design (VERDICT r5 "Next round #7")."""
+    from oamap_spark import session
+
+    before = fp.all_fingerprints()
+    monkeypatch.setitem(
+        session._RUNTIME_CONF, "spark.sql.ansi.enabled", "true"
+    )
+    after = {
+        n: fp.query_fingerprint(registry._REGISTRY[n])
+        for n in registry.registration_order()
+    }
+    flipped = [n for n in before if before[n] != after[n]]
+    assert len(flipped) == len(before), (
+        f"conf salt missed {sorted(set(before) - set(flipped))}"
+    )

@@ -445,3 +445,29 @@ def test_session_window_stays_single_stateless_batch_agg(spark, queries):
     plan = audit.plan_string(df)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
     assert "session_window" in plan.lower() or "SessionWindow" in plan, plan
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark, queries):
+    """The deliberately Zipf-hot key (80% of events on k=42) must not
+    land on a single reducer: every exchange feeding the salted join
+    hashes on (k, __salt), so the hot key fans out over the salt
+    domain — the no-single-task-straggler property, independent of
+    whether AQE's sort-merge skew split would have fired.
+
+    At SF_SMOKE the dim side fits under autoBroadcastJoinThreshold and
+    Catalyst (correctly) broadcasts it, which makes salting moot — so
+    the test disables auto-broadcast to surface the big×big shuffle
+    shape the operator exists for at 100 TB."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["salted_join_skewed_events"](spark, SF_SMOKE)
+        p = audit.plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    salted_exchanges = [
+        ln
+        for ln in p.splitlines()
+        if "hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert salted_exchanges, f"no (k, __salt) exchange in plan:\n{p}"

@@ -26,11 +26,66 @@ always prioritized as "changed"):
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), *args],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+
+
+def _fold_guard(corr_path: Path, force: bool) -> str:
+    """Refuse to fold when the working tree no longer matches the code
+    the driver scored (ADVICE r5 #2: fingerprints are computed from
+    the CURRENT tree, so folding after query edits would record a
+    changed query as verified-unchanged — silently stealing its window
+    priority, the exact failure class this sidecar exists to prevent).
+
+    Two tripwires, both overridable with --force:
+    - dirty tracked files under the fingerprinted surface
+      (oamap_spark/, __spark_entry__.py) — uncommitted edits;
+    - HEAD committed AFTER the CORRECTNESS file was written — edits
+      already committed since the driver scored.
+    Returns the HEAD hash, recorded in each folded entry for audit."""
+    head = _git("rev-parse", "HEAD")
+    problems = []
+    dirty = [
+        line
+        for line in _git("status", "--porcelain").splitlines()
+        if line[3:].startswith(("oamap_spark/", "__spark_entry__.py"))
+    ]
+    if dirty:
+        problems.append(
+            "uncommitted changes under the fingerprinted surface:\n  "
+            + "\n  ".join(dirty)
+        )
+    head_time = int(_git("log", "-1", "--format=%ct", "HEAD"))
+    corr_time = int(corr_path.stat().st_mtime)
+    if head_time > corr_time:
+        problems.append(
+            f"HEAD ({head[:12]}) was committed after {corr_path.name} was "
+            "written — the driver scored an older tree"
+        )
+    if problems and not force:
+        print(
+            "REFUSING to fold (use --force if you are certain the "
+            "fingerprinted sources match what the driver scored):"
+        )
+        for p in problems:
+            print(" -", p)
+        raise SystemExit(1)
+    if problems:
+        print("WARNING (--force): folding despite:", *problems, sep="\n - ")
+    return head
 
 
 def _green(row: dict) -> bool:
@@ -76,13 +131,19 @@ def main() -> None:
         print(f"added {added} never-verified stubs")
     else:
         path, rnd = Path(sys.argv[1]), int(sys.argv[2])
+        force = "--force" in sys.argv[3:]
+        head = _fold_guard(path, force)
         data = json.loads(path.read_text())
         n = 0
         for name, row in data.items():
             if name in fps and _green(row):
-                verdicts[name] = {"round": rnd, "fingerprint": fps[name]}
+                verdicts[name] = {
+                    "round": rnd,
+                    "fingerprint": fps[name],
+                    "commit": head,
+                }
                 n += 1
-        print(f"recorded {n} round-{rnd} verdicts from {path.name}")
+        print(f"recorded {n} round-{rnd} verdicts from {path.name} at {head[:12]}")
 
     fp.save_verdicts(verdicts)
 
