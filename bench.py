@@ -112,20 +112,14 @@ def main() -> None:
     # scale. Salt=8 cuts it ~8× (80% of pairs on one key → ~10% per
     # (key, salt) sub-key); the wall times just bound the salt's
     # constant overhead (dim replicated salt-fold).
-    from oamap_spark.operators.partitioning import salted_join
-    from oamap_spark.sources.tables import load_table
+    from oamap_spark.operators.partitioning import salt_column, salted_join
+    from oamap_spark.queries.relational_extra import zipf_skew_frames
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
-        .otherwise(F.lit(42))
-        .alias("k"),
-        "value",
-    )
-    dim = load_table(spark, sf_dir, "customer").select(
-        (F.col("c_custkey") % 150).alias("k"), "c_acctbal"
-    )
+    # same builders the declared query runs (r6 review: no copy-paste
+    # divergence between the verified shape and the benchmarked one)
+    ev, dim = zipf_skew_frames(spark, sf_dir)
     dimc = dim.groupBy("k").agg(F.count(F.lit(1)).alias("dim_n"))
-    salted_ev = ev.withColumn("__salt", (F.rand(seed=7) * 8).cast("int"))
+    salted_ev = ev.withColumn("__salt", salt_column(8))
     max_reducer_pairs: dict[str, int] = {}
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -26,6 +26,15 @@ def co_partition(dfs: Sequence[DataFrame], key: str, n: int) -> list[DataFrame]:
     on `key` downstream see matching outputPartitioning and add no
     further exchange (assert via plans.audit.shuffle_count)."""
     return [df.repartition(n, F.col(key)) for df in dfs]
+
+
+def salt_column(salt: int, seed: int = 7) -> Column:
+    """THE salt assignment :func:`salted_join` applies to its skewed
+    side — exposed (r6 review) so anything reasoning about the salted
+    layout (bench.py's max-reducer-pairs straggler bound) derives it
+    from the same expression the join executes, instead of re-deriving
+    a private implementation detail that could silently drift."""
+    return (F.rand(seed=seed) * salt).cast("int")
 
 
 def salted_join(
@@ -46,9 +55,7 @@ def salted_join(
     of `skewed`. rand() is seeded per-salt-row, not per-task, so the
     join stays correct under task retry (each row's salt is computed
     once, travels with the row)."""
-    salted_small = skewed.withColumn(
-        "__salt", (F.rand(seed=7) * salt).cast("int")
-    )
+    salted_small = skewed.withColumn("__salt", salt_column(salt))
     exploded_big = big.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

@@ -84,11 +84,35 @@ def _const_repr(obj) -> str | None:
     return None
 
 
-def _append_source(key: tuple[str, str], obj, parts: list[str]) -> None:
+def _strip_decorators(src: str) -> str:
+    """Source of a def with any decorator lines removed. Applied ONLY
+    to the root query function (whose sole decorator is ``@register``):
+    registration metadata — bench flag, tags — must not flip the
+    semantic fingerprint (r6 review: four bench=True one-liners spent
+    four changed-first window slots on zero behavior change). The
+    oracle is hashed separately, so stripping the decorator never hides
+    an oracle edit. Helpers reached by the closure walk keep their
+    decorators — a ``@pandas_udf`` return-type change IS semantic."""
+    try:
+        dedented = textwrap.dedent(src)
+        node = ast.parse(dedented).body[0]
+    except (SyntaxError, IndexError):
+        return src
+    if not getattr(node, "decorator_list", None):
+        return src
+    lines = dedented.splitlines(keepends=True)
+    return "".join(lines[node.lineno - 1 :])
+
+
+def _append_source(
+    key: tuple[str, str], obj, parts: list[str], *, strip_decorators: bool = False
+) -> None:
     try:
         src = inspect.getsource(obj)
     except (OSError, TypeError):
         src = "<no source>"
+    if strip_decorators:
+        src = _strip_decorators(src)
     parts.append(f"## {key[0]}.{key[1]}\n{src}")
 
 
@@ -124,7 +148,7 @@ def _local_import_targets(fn) -> tuple:
     return tuple(out)
 
 
-def _visit_fn(fn, seen: set, parts: list[str]) -> None:
+def _visit_fn(fn, seen: set, parts: list[str], *, root: bool = False) -> None:
     code = getattr(fn, "__code__", None)
     if code is None:
         return
@@ -132,7 +156,9 @@ def _visit_fn(fn, seen: set, parts: list[str]) -> None:
     if key in seen:
         return
     seen.add(key)
-    _append_source(key, fn, parts)
+    # root = the registered query fn: its @register decorator carries
+    # presentation metadata (bench, tags) that must not be semantic
+    _append_source(key, fn, parts, strip_decorators=root)
     g = dict(getattr(fn, "__globals__", {}))
     names = _code_names(code)
     for i, obj in enumerate(_local_import_targets(fn)):
@@ -201,13 +227,14 @@ def query_fingerprint(spec) -> str:
     salted with the session conf every query runs under."""
     parts: list[str] = []
     seen: set = set()
-    _visit_fn(spec.raw_fn or spec.fn, seen, parts)
+    _visit_fn(spec.raw_fn or spec.fn, seen, parts, root=True)
     parts.append("## oracle\n" + (spec.oracle if spec.oracle is not None else "<rows-only>"))
     parts.append("## session_conf\n" + _session_conf_salt())
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
 _ALL_FP_CACHE: dict[str, str] | None = None
+_ALL_FP_CACHE_SALT: str | None = None
 
 
 def all_fingerprints() -> dict[str, str]:
@@ -215,12 +242,17 @@ def all_fingerprints() -> dict[str, str]:
     closures (~1 s). The registry is append-only, so the cache extends
     itself if names registered after the first call appear (a partial
     import followed by the full __spark_entry__ import must not pin a
-    partial map for the process lifetime)."""
-    global _ALL_FP_CACHE
+    partial map for the process lifetime). The cache is KEYED on the
+    session-conf salt (r6 review): a mid-process ``_RUNTIME_CONF``
+    mutation must invalidate the memo, or the exact event the salt
+    exists to detect would be served stale from cache."""
+    global _ALL_FP_CACHE, _ALL_FP_CACHE_SALT
     from oamap_spark.queries import registry
 
-    if _ALL_FP_CACHE is None:
+    salt = _session_conf_salt()
+    if _ALL_FP_CACHE is None or _ALL_FP_CACHE_SALT != salt:
         _ALL_FP_CACHE = {}
+        _ALL_FP_CACHE_SALT = salt
     for n in registry.registration_order():
         if n not in _ALL_FP_CACHE:
             _ALL_FP_CACHE[n] = query_fingerprint(registry._REGISTRY[n])

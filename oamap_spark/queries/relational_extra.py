@@ -551,6 +551,26 @@ def batch_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_skew_frames(spark: SparkSession, sf_dir: str):
+    """The deliberately Zipf-skewed join inputs — shared (r6 review)
+    by the declared ``salted_join_skewed_events`` query and bench.py's
+    ``skew_zipf_join_*`` pair, so the benchmarked shape can never
+    silently diverge from the verified one. 80% of event rows collapse
+    onto hot key 42 (every user_id not divisible by 5); the dim side
+    (customer keyed ``c_custkey % 150``) carries real multiplicity
+    (~10 rows/key at sf0.01, ~100 at sf0.1)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
+        .otherwise(F.lit(42))
+        .alias("k"),
+        "value",
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 150).alias("k"), "c_acctbal"
+    )
+    return ev, dim
+
+
 @register(
     "salted_join_skewed_events",
     tags=("join", "skew", "salted"),
@@ -586,15 +606,7 @@ def salted_join_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     times at sf0.1 (~8M joined pairs on the hot key)."""
     from oamap_spark.operators.partitioning import salted_join
 
-    ev = load_table(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
-        .otherwise(F.lit(42))
-        .alias("k"),
-        "value",
-    )
-    dim = load_table(spark, sf_dir, "customer").select(
-        (F.col("c_custkey") % 150).alias("k"), "c_acctbal"
-    )
+    ev, dim = zipf_skew_frames(spark, sf_dir)
     j = salted_join(ev, dim, "k", salt=8)
     return j.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -146,11 +146,54 @@ def test_fingerprint_salted_with_session_conf(monkeypatch):
     monkeypatch.setitem(
         session._RUNTIME_CONF, "spark.sql.ansi.enabled", "true"
     )
-    after = {
-        n: fp.query_fingerprint(registry._REGISTRY[n])
-        for n in registry.registration_order()
-    }
+    # through the MEMOIZED path on purpose (r6 review: the cache must
+    # be keyed on the conf salt, not serve stale pre-change prints)
+    after = fp.all_fingerprints()
     flipped = [n for n in before if before[n] != after[n]]
     assert len(flipped) == len(before), (
         f"conf salt missed {sorted(set(before) - set(flipped))}"
     )
+
+
+def _mk_decorated_module(tmp_path, stem: str, deco_arg: str, body: str):
+    """Throwaway module (fixed name ``fpmod``) whose query fn carries a
+    register-like decorator — only the decorator ARG and body vary."""
+    src = textwrap.dedent(
+        f"""
+        def fake_register(**kw):
+            def deco(fn):
+                return fn
+            return deco
+
+        @fake_register(bench={deco_arg})
+        def query(spark, sf_dir):
+            {body}
+        """
+    )
+    p = tmp_path / f"{stem}.py"
+    p.write_text(src)
+    spec = importlib.util.spec_from_file_location("fpmod", p)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["fpmod"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registration_metadata_does_not_flip_fingerprint(tmp_path, monkeypatch):
+    """Decorator metadata (bench flag, tags) is presentation, not
+    semantics — an identical body under a different @register(...) arg
+    must fingerprint IDENTICALLY (r6 review: four bench=True one-liners
+    spent four changed-first window slots), while a body edit under the
+    same decorator must still flip."""
+    monkeypatch.setattr(
+        fp, "_is_ours", lambda obj: getattr(obj, "__module__", "").startswith("fpmod")
+    )
+    a = _mk_decorated_module(tmp_path, "deco_a", "False", "return 1")
+    b = _mk_decorated_module(tmp_path, "deco_b", "True", "return 1")
+    c = _mk_decorated_module(tmp_path, "deco_c", "False", "return 2")
+    specs = [
+        registry.QuerySpec(name="t", fn=m.query, raw_fn=m.query) for m in (a, b, c)
+    ]
+    fa, fb, fc = (fp.query_fingerprint(s) for s in specs)
+    assert fa == fb, "decorator-only change flipped the fingerprint"
+    assert fa != fc, "body change must still flip the fingerprint"

@@ -53,8 +53,16 @@ def _fold_guard(corr_path: Path, force: bool) -> str:
     Two tripwires, both overridable with --force:
     - dirty tracked files under the fingerprinted surface
       (oamap_spark/, __spark_entry__.py) — uncommitted edits;
-    - HEAD committed AFTER the CORRECTNESS file was written — edits
-      already committed since the driver scored.
+    - the fingerprinted surface DIFFERS between HEAD and the last
+      commit at/before the CORRECTNESS file's write time (the best
+      available stand-in for the scored commit — the driver records no
+      hash). Doc/tool commits after scoring pass; query-code commits
+      are named and refused.
+    Known limits (tripwire, not proof): a commit landing while the
+    driver run was in flight predates the file's mtime and passes; so
+    does any mtime refresh of the CORRECTNESS file (fresh clone, copy)
+    — under the documented fold-at-round-start-before-editing
+    discipline neither occurs.
     Returns the HEAD hash, recorded in each folded entry for audit."""
     head = _git("rev-parse", "HEAD")
     problems = []
@@ -68,13 +76,25 @@ def _fold_guard(corr_path: Path, force: bool) -> str:
             "uncommitted changes under the fingerprinted surface:\n  "
             + "\n  ".join(dirty)
         )
-    head_time = int(_git("log", "-1", "--format=%ct", "HEAD"))
     corr_time = int(corr_path.stat().st_mtime)
-    if head_time > corr_time:
-        problems.append(
-            f"HEAD ({head[:12]}) was committed after {corr_path.name} was "
-            "written — the driver scored an older tree"
+    scored = _git("rev-list", "-1", f"--before={corr_time}", "HEAD")
+    if scored and scored != head:
+        drifted = _git(
+            "diff",
+            "--name-only",
+            scored,
+            head,
+            "--",
+            "oamap_spark",
+            "__spark_entry__.py",
         )
+        if drifted:
+            problems.append(
+                f"fingerprinted surface changed between the scored tree "
+                f"({scored[:12]}, last commit before {corr_path.name} was "
+                f"written) and HEAD ({head[:12]}):\n  "
+                + "\n  ".join(drifted.splitlines())
+            )
     if problems and not force:
         print(
             "REFUSING to fold (use --force if you are certain the "
