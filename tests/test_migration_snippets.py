@@ -66,3 +66,30 @@ def test_snippet_train_test_split(spark):
              train_test_split(docs, "doc_id", test_fraction=0.1)
              .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == again
+
+
+def test_snippet_salted_join(spark):
+    from oamap_spark.operators.partitioning import salted_join
+
+    # stand-ins for the doc's events_by_domain / domain_stats: a hot
+    # "domain_key" carrying most rows, joined to a keyed stats table
+    events_by_domain = _events(spark).select(
+        F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
+        .otherwise(F.lit(42))
+        .alias("domain_key"),
+        "value",
+    )
+    domain_stats = (
+        _events(spark)
+        .select(
+            F.when(F.col("user_id") % 5 == 0, F.col("user_id"))
+            .otherwise(F.lit(42))
+            .alias("domain_key")
+        )
+        .groupBy("domain_key")
+        .count()
+    )
+    hits = salted_join(events_by_domain, domain_stats, "domain_key", salt=8)
+    plain = events_by_domain.join(domain_stats, "domain_key")
+    assert hits.count() == plain.count()
+    assert "__salt" not in hits.columns
