@@ -127,7 +127,7 @@ def main() -> None:
         for label, join_fn, keyed in (
             (
                 "skew_zipf_join_salted",
-                lambda: salted_join(ev, dim, "k", salt=8),
+                lambda: salted_join(dim, ev, "k", salt=8),
                 salted_ev.groupBy("k", "__salt").agg(
                     F.count(F.lit(1)).alias("ev_n")
                 ),

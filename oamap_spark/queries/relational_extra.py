@@ -607,7 +607,11 @@ def salted_join_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oamap_spark.operators.partitioning import salted_join
 
     ev, dim = zipf_skew_frames(spark, sf_dir)
-    j = salted_join(ev, dim, "k", salt=8)
+    # argument order matters (r6 review caught the inversion):
+    # salted_join(big, skewed) SALTS the second arg and REPLICATES the
+    # first — the hot events stream must be the salted side, the small
+    # dim the salt-fold-replicated side
+    j = salted_join(dim, ev, "k", salt=8)
     return j.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.sum("value"), 2).alias("sum_value"),

@@ -89,7 +89,7 @@ def test_snippet_salted_join(spark):
         .groupBy("domain_key")
         .count()
     )
-    hits = salted_join(events_by_domain, domain_stats, "domain_key", salt=8)
+    hits = salted_join(domain_stats, events_by_domain, "domain_key", salt=8)
     plain = events_by_domain.join(domain_stats, "domain_key")
     assert hits.count() == plain.count()
     assert "__salt" not in hits.columns

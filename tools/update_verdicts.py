@@ -78,7 +78,16 @@ def _fold_guard(corr_path: Path, force: bool) -> str:
         )
     corr_time = int(corr_path.stat().st_mtime)
     scored = _git("rev-list", "-1", f"--before={corr_time}", "HEAD")
-    if scored and scored != head:
+    if not scored:
+        # every commit postdates the CORRECTNESS file (amend/rebase
+        # reset committer dates, or the file's mtime is stale): there
+        # is no identifiable scored tree — refuse, don't assume
+        problems.append(
+            f"no commit predates {corr_path.name}'s write time — history "
+            "was rewritten or the file's mtime is unreliable; cannot "
+            "identify the tree the driver scored"
+        )
+    elif scored != head:
         drifted = _git(
             "diff",
             "--name-only",
