@@ -101,3 +101,32 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_join_salts_second_arg_replicates_first(spark):
+    """Orientation pin (r6 review caught an inverted call site): the
+    SECOND argument (`skewed`) must carry the rand salt and the FIRST
+    (`big`) the salt-domain explode — inverting them replicates the
+    big hot table salt-fold and leaves the hot key unmitigated."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.partitioning import salted_join
+    from oamap_spark.plans import audit
+
+    big = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("bigval"))
+    skewed = spark.range(100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("skewval")
+    )
+    j = salted_join(big, skewed, "k", salt=4)
+    plan = audit.plan_string(j).splitlines()
+    rand_lines = [
+        plan[i - 1] + plan[i] for i, ln in enumerate(plan) if "rand(" in ln
+    ]
+    assert rand_lines, "no rand salt projection in plan"
+    assert any("skewval" in ln for ln in rand_lines), (
+        "salt must be projected on the skewed (second) side:\n"
+        + "\n".join(rand_lines)
+    )
+    assert not any("bigval" in ln for ln in rand_lines), (
+        "salt landed on the big (first) side — arguments inverted"
+    )

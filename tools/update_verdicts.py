@@ -66,10 +66,15 @@ def _fold_guard(corr_path: Path, force: bool) -> str:
     Returns the HEAD hash, recorded in each folded entry for audit."""
     head = _git("rev-parse", "HEAD")
     problems = []
+    # substring match, not positional parse: _git() strips the output,
+    # which eats the first porcelain line's leading status space (found
+    # by tests/test_fold_guard.py) — and rename lines ("R  a -> b")
+    # put the path elsewhere anyway. Over-matching merely refuses a
+    # fold that --force can override; under-matching defeats the guard.
     dirty = [
         line
         for line in _git("status", "--porcelain").splitlines()
-        if line[3:].startswith(("oamap_spark/", "__spark_entry__.py"))
+        if "oamap_spark/" in line or "__spark_entry__.py" in line
     ]
     if dirty:
         problems.append(
