@@ -25,19 +25,28 @@ def _load_tool():
     return mod
 
 
-def _git(repo: Path, *args: str) -> str:
+def _git(repo: Path, *args: str, date: int | None = None) -> str:
+    env = {
+        **os.environ,
+        "GIT_AUTHOR_NAME": "t",
+        "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t",
+        "GIT_COMMITTER_EMAIL": "t@t",
+        # isolate from host git config (gpgsign, hooksPath would break
+        # the fixture commits on a configured machine)
+        "GIT_CONFIG_GLOBAL": "/dev/null",
+        "GIT_CONFIG_SYSTEM": "/dev/null",
+    }
+    if date is not None:
+        # pin commit time deterministically instead of sleeping past
+        # git's 1-second date granularity
+        env["GIT_AUTHOR_DATE"] = env["GIT_COMMITTER_DATE"] = f"{date} +0000"
     return subprocess.run(
         ["git", "-C", str(repo), *args],
         capture_output=True,
         text=True,
         check=True,
-        env={
-            **os.environ,
-            "GIT_AUTHOR_NAME": "t",
-            "GIT_AUTHOR_EMAIL": "t@t",
-            "GIT_COMMITTER_NAME": "t",
-            "GIT_COMMITTER_EMAIL": "t@t",
-        },
+        env=env,
     ).stdout.strip()
 
 
@@ -83,10 +92,10 @@ def test_dirty_fingerprinted_surface_refuses(repo):
 def test_query_commit_after_scoring_refuses(repo):
     r, mod = repo
     corr = _corr(r)
-    time.sleep(2.2)  # commit must postdate the file by > git's 1s date granularity
     (r / "oamap_spark" / "q.py").write_text("x = 3\n")
     _git(r, "add", "-A")
-    _git(r, "commit", "-qm", "edited after scoring")
+    _git(r, "commit", "-qm", "edited after scoring",
+         date=int(corr.stat().st_mtime) + 60)
     with pytest.raises(SystemExit):
         mod._fold_guard(corr, force=False)
 
@@ -94,10 +103,10 @@ def test_query_commit_after_scoring_refuses(repo):
 def test_doc_commit_after_scoring_passes(repo):
     r, mod = repo
     corr = _corr(r)
-    time.sleep(2.2)
     (r / "NOTES.md").write_text("docs only\n")
     _git(r, "add", "-A")
-    _git(r, "commit", "-qm", "docs after scoring")
+    _git(r, "commit", "-qm", "docs after scoring",
+         date=int(corr.stat().st_mtime) + 60)
     assert mod._fold_guard(corr, force=False)
 
 

@@ -119,9 +119,9 @@ def test_salted_join_salts_second_arg_replicates_first(spark):
     )
     j = salted_join(big, skewed, "k", salt=4)
     plan = audit.plan_string(j).splitlines()
-    rand_lines = [
-        plan[i - 1] + plan[i] for i, ln in enumerate(plan) if "rand(" in ln
-    ]
+    # the rand expression and its side's column aliases share one
+    # formatted-plan Output line, so a single-line match suffices
+    rand_lines = [ln for ln in plan if "rand(" in ln]
     assert rand_lines, "no rand salt projection in plan"
     assert any("skewval" in ln for ln in rand_lines), (
         "salt must be projected on the skewed (second) side:\n"
