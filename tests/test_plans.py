@@ -471,3 +471,79 @@ def test_salted_join_shuffles_on_key_plus_salt(spark, queries):
         if "hashpartitioning" in ln and "__salt" in ln
     ]
     assert salted_exchanges, f"no (k, __salt) exchange in plan:\n{p}"
+
+
+def test_aqe_skew_split_fires_and_its_limits(spark):
+    """The runtime half of the skew story (the salted_join tests pin
+    the deterministic half): AQE's skew-join split DOES fire for a
+    hot-key sort-merge join — and its documented limits are exactly
+    why the explicit salt operator exists. Three regimes, one hot-key
+    join (99% of 2M rows on one key, multi-mapper shuffle — the split
+    unit is a mapper range, so a single-mapper shuffle can never
+    split):
+    1. no downstream requirement  → split fires (skew=true);
+    2. groupBy on the join key    → split SUPPRESSED (it would break
+       the co-partitioning the agg reuses) — the join→agg-on-key
+       pattern every pipeline runs is precisely where AQE declines;
+    3. same, forceOptimizeSkewedJoin → fires again, paying an extra
+       shuffle for the agg.
+    Salting is independent of all three conditions."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.join.preferSortMergeJoin",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+
+        def hot_join():
+            left = spark.range(0, 2_000_000, 1, 8).select(
+                F.when(F.col("id") % 100 == 0, F.col("id") % 50)
+                .otherwise(F.lit(7))
+                .alias("k"),
+                F.col("id").alias("payload"),
+            )
+            right = spark.range(0, 50, 1, 4).select(
+                F.col("id").alias("k"), F.col("id").alias("r")
+            )
+            return left.join(right, "k")
+
+        def executed_plan(df):
+            df.foreachPartition(lambda it: None)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+        assert "skew=true" in executed_plan(hot_join()), (
+            "AQE skew split must fire for a downstream-free hot SMJ"
+        )
+        agg = hot_join().groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        assert "skew=true" not in executed_plan(agg), (
+            "split should be suppressed by the agg's partitioning requirement"
+        )
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        agg2 = hot_join().groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        assert "skew=true" in executed_plan(agg2), (
+            "forceOptimizeSkewedJoin must re-enable the split under the agg"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
