@@ -130,3 +130,34 @@ def test_salted_join_salts_second_arg_replicates_first(spark):
     assert not any("bigval" in ln for ln in rand_lines), (
         "salt landed on the big (first) side — arguments inverted"
     )
+
+
+def test_salt_cuts_hot_reducer_pair_count(spark):
+    """The straggler bound bench.py records, pinned as a property: on
+    the shared Zipf frames (80% of events on one hot key), salting the
+    events side over 8 sub-keys must cut the hottest reducer's joined
+    pair count by ~8× (≥ 4× asserted — rand() salting is uniform only
+    in expectation)."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.partitioning import salt_column
+    from oamap_spark.queries.relational_extra import zipf_skew_frames
+    from tests.conftest import SF_SMOKE
+
+    ev, dim = zipf_skew_frames(spark, SF_SMOKE)
+    dimc = dim.groupBy("k").agg(F.count(F.lit(1)).alias("dim_n"))
+
+    def max_pairs(keyed):
+        return (
+            keyed.join(dimc, "k")
+            .select(F.max(F.col("ev_n") * F.col("dim_n")).alias("m"))
+            .collect()[0]["m"]
+        )
+
+    plain = max_pairs(ev.groupBy("k").agg(F.count(F.lit(1)).alias("ev_n")))
+    salted = max_pairs(
+        ev.withColumn("__salt", salt_column(8))
+        .groupBy("k", "__salt")
+        .agg(F.count(F.lit(1)).alias("ev_n"))
+    )
+    assert salted * 4 <= plain, (plain, salted)
