@@ -136,8 +136,10 @@ def test_salt_cuts_hot_reducer_pair_count(spark):
     """The straggler bound bench.py records, pinned as a property: on
     the shared Zipf frames (80% of events on one hot key), salting the
     events side over 8 sub-keys must cut the hottest reducer's joined
-    pair count by ~8× (≥ 4× asserted — rand() salting is uniform only
-    in expectation)."""
+    pair count by ~8× (≥ 4× asserted: the salt is SEEDED rand, so the
+    ratio is a fixed deterministic property of this corpus — the slack
+    covers the hash's non-uniform spread across sub-keys, not
+    run-to-run noise)."""
     from pyspark.sql import functions as F
 
     from oamap_spark.operators.partitioning import salt_column

@@ -514,7 +514,13 @@ def test_aqe_skew_split_fires_and_its_limits(spark):
 
         def hot_join():
             left = spark.range(0, 2_000_000, 1, 8).select(
-                F.when(F.col("id") % 100 == 0, F.col("id") % 50)
+                # 99% of rows on hot key 7; the cold 1% spread over all
+                # 50 right-side keys (id/100 % 50, NOT id % 50 which is
+                # constantly 0 for multiples of 100 — r6 review)
+                F.when(
+                    F.col("id") % 100 == 0,
+                    (F.col("id") / 100).cast("long") % 50,
+                )
                 .otherwise(F.lit(7))
                 .alias("k"),
                 F.col("id").alias("payload"),
@@ -525,7 +531,11 @@ def test_aqe_skew_split_fires_and_its_limits(spark):
             return left.join(right, "k")
 
         def executed_plan(df):
-            df.foreachPartition(lambda it: None)
+            # JVM-only action on df's OWN QueryExecution: finalizes the
+            # adaptive plan without count()/collect() wrapping a new
+            # plan on top, and without piping 2M rows through Python
+            # workers (r6 review)
+            df._jdf.queryExecution().toRdd().count()
             return df._jdf.queryExecution().executedPlan().toString()
 
         spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
