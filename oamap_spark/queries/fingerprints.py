@@ -92,14 +92,20 @@ def _strip_decorators(src: str) -> str:
     four changed-first window slots on zero behavior change). The
     oracle is hashed separately, so stripping the decorator never hides
     an oracle edit. Helpers reached by the closure walk keep their
-    decorators — a ``@pandas_udf`` return-type change IS semantic."""
+    decorators — a ``@pandas_udf`` return-type change IS semantic.
+
+    Dedent happens UNCONDITIONALLY (ADVICE r6 #3): returning dedented
+    source on the stripped branch but raw source otherwise would hash
+    the same body differently depending on which branch ran. No-op for
+    today's root fns (module-level defs have no indent), so no
+    fingerprints move — pinned by test_fingerprints.py."""
+    dedented = textwrap.dedent(src)
     try:
-        dedented = textwrap.dedent(src)
         node = ast.parse(dedented).body[0]
     except (SyntaxError, IndexError):
-        return src
+        return dedented
     if not getattr(node, "decorator_list", None):
-        return src
+        return dedented
     lines = dedented.splitlines(keepends=True)
     return "".join(lines[node.lineno - 1 :])
 

@@ -197,3 +197,16 @@ def test_registration_metadata_does_not_flip_fingerprint(tmp_path, monkeypatch):
     fa, fb, fc = (fp.query_fingerprint(s) for s in specs)
     assert fa == fb, "decorator-only change flipped the fingerprint"
     assert fa != fc, "body change must still flip the fingerprint"
+
+
+def test_strip_decorators_dedents_both_branches():
+    """ADVICE r6 #3: the same (indented) body must normalize
+    identically whether or not a decorator is stripped — otherwise the
+    hash of a body depends on which branch ran."""
+    undecorated = "    def f():\n        return 1\n"
+    decorated = "    @deco\n" + undecorated
+    a = fp._strip_decorators(undecorated)
+    b = fp._strip_decorators(decorated)
+    assert a == b == "def f():\n    return 1\n"
+    # unparseable source still comes back dedented, not raw
+    assert fp._strip_decorators("    not python (") == "not python ("

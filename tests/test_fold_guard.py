@@ -118,3 +118,31 @@ def test_rewritten_history_refuses(repo):
     corr = _corr(r, mtime_offset=-3600)  # file predates every commit
     with pytest.raises(SystemExit):
         mod._fold_guard(corr, force=False)
+
+
+def test_parse_args_force_any_position():
+    """ADVICE r6 #4: --force must be recognized regardless of argument
+    order — the old positional slicing only saw it in argv[3:] and
+    would have parsed a leading '--force' as the PATH."""
+    mod = _load_tool()
+    for argv in (
+        ["--force", "CORRECTNESS_r06.json", "6"],
+        ["CORRECTNESS_r06.json", "--force", "6"],
+        ["CORRECTNESS_r06.json", "6", "--force"],
+    ):
+        args = mod._parse_args(argv)
+        assert args.force and args.path == "CORRECTNESS_r06.json" and args.round == 6
+
+
+def test_parse_args_rejects_bad_modes():
+    mod = _load_tool()
+    with pytest.raises(SystemExit):  # fold mode without round
+        mod._parse_args(["CORRECTNESS_r06.json"])
+    with pytest.raises(SystemExit):  # mutually exclusive modes
+        mod._parse_args(["--seed", "--add-missing"])
+    with pytest.raises(SystemExit):  # mode flags take no positionals
+        mod._parse_args(["--seed", "CORRECTNESS_r06.json", "6"])
+    with pytest.raises(SystemExit):  # no arguments at all
+        mod._parse_args([])
+    assert mod._parse_args(["--seed"]).seed
+    assert mod._parse_args(["--add-missing"]).add_missing

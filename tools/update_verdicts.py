@@ -135,10 +135,41 @@ def _green(row: dict) -> bool:
     )
 
 
-def main() -> None:
-    if len(sys.argv) < 2 or (sys.argv[1] not in ("--seed", "--add-missing") and len(sys.argv) < 3):
-        print(__doc__)
-        raise SystemExit(2)
+def _parse_args(argv: list[str]):
+    """argparse (ADVICE r6 #4): the old positional slicing recognized
+    --force only in argv[3:], so `--force path round` silently dropped
+    the flag AND parsed '--force' as the path. Flags now parse in any
+    position; the three modes are mutually exclusive."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="update_verdicts.py",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("path", nargs="?", help="CORRECTNESS_r0N.json to fold")
+    ap.add_argument("round", nargs="?", type=int, help="round number N")
+    ap.add_argument("--seed", action="store_true", help="reseed from full history")
+    ap.add_argument(
+        "--add-missing", action="store_true", help="stub never-verified queries"
+    )
+    ap.add_argument(
+        "--force", action="store_true", help="fold despite fold-guard problems"
+    )
+    # parse_intermixed_args: plain parse_args can't place an optional
+    # BETWEEN two nargs='?' positionals ("path --force round")
+    args = ap.parse_intermixed_args(argv)
+    if args.seed and args.add_missing:
+        ap.error("--seed and --add-missing are mutually exclusive")
+    if not (args.seed or args.add_missing) and (args.path is None or args.round is None):
+        ap.error("fold mode needs both PATH and ROUND (or use --seed/--add-missing)")
+    if (args.seed or args.add_missing) and args.path is not None:
+        ap.error("--seed/--add-missing take no positional arguments")
+    return args
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = _parse_args(sys.argv[1:] if argv is None else argv)
 
     import __spark_entry__  # noqa: F401 — populate the registry
 
@@ -147,7 +178,7 @@ def main() -> None:
     verdicts = fp.load_verdicts()
     fps = fp.all_fingerprints()
 
-    if sys.argv[1] == "--seed":
+    if args.seed:
         files = sorted(REPO.glob("CORRECTNESS_r*.json"))
         for f in files:
             rnd = int(f.stem.split("_r")[1])
@@ -156,7 +187,7 @@ def main() -> None:
                 if name in fps and _green(row):
                     verdicts[name] = {"round": rnd, "fingerprint": fps[name]}
         print(f"seeded {len(verdicts)} verdicts from {len(files)} files")
-    elif sys.argv[1] == "--add-missing":
+    elif args.add_missing:
         added = 0
         for name in fps:
             if name not in verdicts:
@@ -164,9 +195,8 @@ def main() -> None:
                 added += 1
         print(f"added {added} never-verified stubs")
     else:
-        path, rnd = Path(sys.argv[1]), int(sys.argv[2])
-        force = "--force" in sys.argv[3:]
-        head = _fold_guard(path, force)
+        path, rnd = Path(args.path), args.round
+        head = _fold_guard(path, args.force)
         data = json.loads(path.read_text())
         n = 0
         for name, row in data.items():
