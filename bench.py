@@ -112,14 +112,19 @@ def main() -> None:
     # scale. Salt=8 cuts it ~8× (80% of pairs on one key → ~10% per
     # (key, salt) sub-key); the wall times just bound the salt's
     # constant overhead (dim replicated salt-fold).
-    from oamap_spark.operators.partitioning import salt_column, salted_join
+    from oamap_spark.operators.partitioning import salted_frames, salted_join
     from oamap_spark.queries.relational_extra import zipf_skew_frames
 
     # same builders the declared query runs (r6 review: no copy-paste
     # divergence between the verified shape and the benchmarked one)
     ev, dim = zipf_skew_frames(spark, sf_dir)
     dimc = dim.groupBy("k").agg(F.count(F.lit(1)).alias("dim_n"))
-    salted_ev = ev.withColumn("__salt", salt_column(8))
+    # ADVICE r6 #2: the straggler bound must come from the join's OWN
+    # salted projection — salted_frames is the exact builder
+    # salted_join(dim, ev, ...) runs, so the recorded layout cannot
+    # drift from the executed one (pinned by
+    # test_partitioning.py::test_salted_frames_is_the_join_projection)
+    _, salted_ev = salted_frames(dim, ev, 8)
     max_reducer_pairs: dict[str, int] = {}
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

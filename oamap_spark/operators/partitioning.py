@@ -37,6 +37,14 @@ def salt_column(salt: int, seed: int = 7) -> Column:
     return (F.rand(seed=seed) * salt).cast("int")
 
 
+# join types where every output row is driven by the (salted-once)
+# skewed side, so salting cannot duplicate anything. Normalized form:
+# lowercase, underscores removed ("left_outer" → "leftouter").
+_SALT_SAFE_HOW = frozenset(
+    {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+)
+
+
 def salted_join(
     big: DataFrame,
     skewed: DataFrame,
@@ -48,19 +56,44 @@ def salted_join(
     `skewed` rows get a random salt in [0, salt); `big` is replicated
     across all salt values. The shuffle key becomes (key, salt), so a
     hot key spreads over `salt` reducers instead of one. Result equals
-    the plain join (salt columns are internal).
+    the plain join (salt columns are internal) — for the SUPPORTED
+    join types only: those that never emit an unmatched `big` row.
+    With how='right'/'full' an unmatched `big` row would surface once
+    per salt replica (salt-fold duplicates, nulls on the skewed side),
+    so outer joins preserving the `big` side raise ValueError
+    (ADVICE r6 #1). Joins preserving only the `skewed` side are fine:
+    each skewed row is salted exactly once.
 
     Cost model: replicates `big` salt-fold — use when `big` is the
     *smaller* big table or when a handful of keys carry a large share
     of `skewed`. rand() is seeded per-salt-row, not per-task, so the
     join stays correct under task retry (each row's salt is computed
     once, travels with the row)."""
+    if how.lower().replace("_", "") not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit unmatched `big` rows "
+            f"once per salt replica; supported: inner/left/left_semi/"
+            f"left_anti"
+        )
+    exploded_big, salted_small = salted_frames(big, skewed, salt)
+    out = salted_small.join(exploded_big, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_frames(
+    big: DataFrame, skewed: DataFrame, salt: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two pre-drop projections :func:`salted_join` executes —
+    (exploded `big`, salted `skewed`), each carrying ``__salt``.
+    Exposed (ADVICE r6 #2) so diagnostics reasoning about the salted
+    layout (bench.py's max-reducer-pairs straggler bound) are built by
+    the SAME code path as the executed join, instead of an independent
+    re-derivation that could silently drift from the real layout."""
     salted_small = skewed.withColumn("__salt", salt_column(salt))
     exploded_big = big.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = salted_small.join(exploded_big, on=[key, "__salt"], how=how)
-    return out.drop("__salt")
+    return exploded_big, salted_small
 
 
 def write_bucketed(

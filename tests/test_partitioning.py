@@ -163,3 +163,58 @@ def test_salt_cuts_hot_reducer_pair_count(spark):
         .agg(F.count(F.lit(1)).alias("ev_n"))
     )
     assert salted * 4 <= plain, (plain, salted)
+
+
+def test_salted_join_rejects_big_preserving_outer_joins(spark):
+    """ADVICE r6 #1: how='right'/'full' would emit each unmatched
+    `big` row once per salt replica — refuse instead of silently
+    duplicating."""
+    import pytest
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    for how in ("right", "right_outer", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="salt replica"):
+            salted_join(o, li, "l_orderkey", salt=4, how=how)
+    # skewed-side-preserving joins stay supported (left: unmatched
+    # skewed rows appear exactly once — they carry one salt each)
+    left = salted_join(o, li, "l_orderkey", salt=4, how="left")
+    plain = li.join(o, "l_orderkey", "left")
+    assert left.count() == plain.count()
+
+
+def test_salted_frames_is_the_join_projection(spark):
+    """bench.py derives the max-reducer-pairs bound from
+    salted_frames; pin that salted_join executes exactly those frames
+    (same salt assignment on the same lineage → per-key salt-group
+    sizes agree between the diagnostic projection and the join)."""
+    from oamap_spark.operators.partitioning import salted_frames
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    with _no_auto_broadcast(spark):
+        _, salted = salted_frames(o, li, 4)
+        diag = (
+            salted.groupBy("l_orderkey", "__salt")
+            .count()
+            .groupBy("l_orderkey")
+            .agg(F.sum("count").alias("n"), F.max("count").alias("mx"))
+        )
+        joined = (
+            salted_join(o, li, "l_orderkey", salt=4)
+            .groupBy("l_orderkey")
+            .count()
+        )
+        d = {r["l_orderkey"]: (r["n"], r["mx"]) for r in diag.collect()}
+        j = {r["l_orderkey"]: r["count"] for r in joined.collect()}
+    # every joined key's row count equals the diagnostic's total salted
+    # rows for that key (1 order row per key → join multiplicity ==
+    # lineitem row count), and the per-key max salt-group is a true
+    # upper bound component of the straggler metric
+    for k, n in j.items():
+        assert d[k][0] == n
+        assert d[k][1] <= n
