@@ -16,6 +16,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    from oamap_spark import cache
     from oamap_spark.queries import registry
     from oamap_spark.session import get_spark
 
@@ -62,7 +63,11 @@ def main() -> None:
         print(f"# {name}: {min(runs):.3f}s best of {runs} ({rows} rows)", file=sys.stderr)
         # the LSH/banded queries persist narrow signature tables whose
         # lifetime the CALLER owns (documented in the operators); a
-        # sweep that never clears them would accumulate cached copies
+        # sweep that never clears them would accumulate cached copies.
+        # cache.sweep() drops the tracked handles (ADVICE r5 #3);
+        # clearCache() additionally covers anything persisted outside
+        # the track() hook.
+        cache.sweep()
         spark.catalog.clearCache()
 
     # Skew micro-bench: 500 identical docs — the boilerplate-cluster
@@ -96,7 +101,65 @@ def main() -> None:
         # minhash_lsh_pairs persists caller-owned signature tables —
         # sweep them like the main loop does (ADVICE r5 #3: persisted
         # frames must not accumulate across a long benching process)
+        cache.sweep()
         spark.catalog.clearCache()
+
+    # Embedding twin of the skew micro-bench (VERDICT r6 "Next round
+    # #3"): 500 near-identical embeddings — every band bucket holds
+    # all 500 vectors, so the uncapped gram path hands one Python
+    # worker a 500×500 matrix and 124,750 verified pairs on single
+    # bucket keys, while the capped star emits 499 ids-only edges.
+    # Construction is deterministic (tiny per-component perturbation,
+    # pairwise cosine ≈ 1 ≥ 0.99) so the pair counts are exact.
+    from oamap_spark.queries.llm_similarity import _banded_neardup_pairs
+
+    emb_degen = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), c -> "
+            "1.0d + cast(c % 7 as double) * 1e-5)"
+        ).alias("embedding"),
+    )
+    for label, cap in (
+        ("skew_500emb_banded_capped", 50),
+        ("skew_500emb_banded_uncapped", None),
+    ):
+        runs, rows = [], 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = _banded_neardup_pairs(emb_degen, bucket_cap=cap).count()
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[label] = min(runs)
+        all_runs[label] = runs
+        skew_pairs[label] = rows
+        print(f"# {label}: {min(runs):.3f}s ({rows} verified pairs)", file=sys.stderr)
+        cache.sweep()
+        spark.catalog.clearCache()
+
+    # Production-ANN-path timing (VERDICT r6 "Next round #6"): the
+    # declared ann_lsh_topk's wall is dominated by its exact
+    # brute-force recall GATE (verification surface); this entry times
+    # the path that actually runs at 100 TB — signature → multi-probe
+    # → candidate join → exact rescoring of candidates → top-k — so
+    # the gate-vs-path split is recorded per round (see SCALE.md).
+    from oamap_spark.queries.llm_similarity import ann_production_topk_ids
+    from oamap_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = ann_production_topk_ids(emb).count()
+        runs.append(round(time.perf_counter() - t0, 4))
+    timings["ann_lsh_candidates_only"] = min(runs)
+    all_runs["ann_lsh_candidates_only"] = runs
+    print(
+        f"# ann_lsh_candidates_only: {min(runs):.3f}s best of {runs} "
+        f"({rows} topk rows)",
+        file=sys.stderr,
+    )
+    cache.sweep()
+    spark.catalog.clearCache()
 
     # Skewed-JOIN micro-bench (the relational twin of skew_500dup):
     # same Zipf construction as the declared `salted_join_skewed_events`

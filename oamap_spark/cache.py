@@ -1,0 +1,63 @@
+"""Caller-owned persist() tracking (ADVICE r5 #3 / VERDICT r6 #5).
+
+Several operators persist narrow intermediates whose lifetime the
+CALLER must own — the returned DataFrame is lazy, so unpersisting
+inside the operator would defeat the reuse the persist exists for
+(the minhash/simhash signature tables, the Misra–Gries summary, the
+ANN recall-gate's exact/hits frames). In a long-lived process that
+invokes these repeatedly (a bench sweep, the driver's scoring loop, a
+notebook), the cache entries accumulate: each entry is bounded in
+size but the COUNT is unbounded.
+
+:func:`track` is the one-line hook those operators now route their
+persists through; :func:`sweep` unpersists everything tracked since
+the last sweep. Callers that consume a returned DataFrame and are
+done with it call ``sweep()`` (bench.py does, between queries, on top
+of ``spark.catalog.clearCache()``); callers that want the reuse
+across several actions simply sweep later. Thread-safety: the
+registry is a plain list guarded by a lock — track/sweep may be
+called from parallel test workers sharing one session.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_LOCK = threading.Lock()
+_TRACKED: list[DataFrame] = []
+
+
+def track(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """persist ``df`` at ``level`` and register it for :func:`sweep`.
+    Returns ``df`` (persisted) so call sites stay one-line."""
+    df.persist(level)
+    with _LOCK:
+        _TRACKED.append(df)
+    return df
+
+
+def sweep(blocking: bool = False) -> int:
+    """Unpersist every tracked frame; returns how many were swept.
+    Safe to call with no session activity in flight; frames already
+    unpersisted elsewhere (clearCache) unpersist as a no-op."""
+    with _LOCK:
+        frames, _TRACKED[:] = list(_TRACKED), []
+    n = 0
+    for df in frames:
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            # session already stopped — nothing left to free
+            pass
+    return n
+
+
+def tracked_count() -> int:
+    with _LOCK:
+        return len(_TRACKED)

@@ -155,12 +155,11 @@ def minhash_lsh_pairs(
     # boundaries: inlining `tids` into the shingle lambda or `ids`
     # into the k minhash expressions re-evaluates the hash subtree per
     # reference (measured 12–14× slower).
-    from pyspark import StorageLevel
+    from oamap_spark.cache import track
 
-    ids_df = (
+    ids_df = track(
         df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
         .select("id", combine_shingle_ids(F.col("tids"), n).alias("ids"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig_df = ids_df.select("id", minhash_signature(F.col("ids"), k).alias("sig"))
 

@@ -126,9 +126,11 @@ def heavy_hitters(
     src = items.select(F.col(item_col).cast("string").alias("item")).where(
         F.col(item_col).isNotNull()
     )
-    summary = src.mapInPandas(
-        _mg_summary(capacity), "item string, pcount long"
-    ).persist()
+    from oamap_spark.cache import track
+
+    summary = track(
+        src.mapInPandas(_mg_summary(capacity), "item string, pcount long")
+    )
     cands = summary.where(F.col("item").isNotNull()).select("item").distinct()
     bound = summary.agg(F.sum("pcount").alias("__n"))
     counts = (

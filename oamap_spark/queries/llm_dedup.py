@@ -234,13 +234,12 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anyway — they're 4 orders of magnitude narrower than the text.
     # Cache lifetime is caller-owned (the result is lazy, so an
     # unpersist here would defeat the reuse); long-lived sessions
-    # should clearCache() between sweeps — bench.py does.
-    from pyspark import StorageLevel
+    # reclaim via oamap_spark.cache.sweep() — bench.py does.
+    from oamap_spark.cache import track
 
-    sh = (
+    sh = track(
         d.select("doc_id", X.token_ids("text").alias("ids"))
         .select("doc_id", X.simhash32(F.col("ids")).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = sh.select(
         "doc_id",

@@ -208,6 +208,7 @@ def test_no_python_eval_outside_udf_surface(spark):
         "ann_ivf_topk",
         "ivf_centroid_assignment",
         "dedup_embedding_banded",
+        "dedup_embedding_banded_capped",  # same Arrow gram path, cap-guarded
         "dedup_embedding_cosine",
         "multimodal_frame_sample",
         "multimodal_resize_metadata",
