@@ -239,10 +239,22 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # headline total = registry bench set ONLY (r7 review finding #4:
+    # folding the ad-hoc microbench walls into `value` would read as a
+    # multi-second regression on unchanged query code every time a
+    # microbench is added). Ad-hoc entries stay in `queries`/`runs`
+    # per-name and get their own subtotal. NOTE for cross-round
+    # comparison: r1–r6 `value` included the then-existing microbench
+    # labels (skew_500dup_* from r5, skew_zipf_* from r6, ~3.3 s at
+    # r6); from r7 on, compare per-query or use value + value_microbench.
+    headline = {n: t for n, t in timings.items() if n in bench}
+    microbench = {n: t for n, t in timings.items() if n not in bench}
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(headline.values()), 4),
         "unit": "sec",
+        "value_microbench": round(sum(microbench.values()), 4),
+        "microbench_names": sorted(microbench),
         "queries": timings,
         # noise forensics: every raw run per query + 1-min load average
         # sampled after each query. High spread / high load ⇒ machine

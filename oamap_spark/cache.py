@@ -26,8 +26,22 @@ import threading
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_LOCK = threading.Lock()
-_TRACKED: list[DataFrame] = []
+
+class _Tracker:
+    """Holder object for the registry. Deliberately NOT a module-level
+    list: the fingerprint closure walk (queries/fingerprints.py) reprs
+    module-level containers of scalars — an empty list would hash as
+    '[]' in a fresh process but be skipped once it holds DataFrames,
+    making every tracked query's fingerprint depend on runtime cache
+    state (r7 review finding #1, confirmed by repro). An object
+    instance is invisible to the const walk in every state."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.frames: list[DataFrame] = []
+
+
+_T = _Tracker()
 
 
 def track(
@@ -36,28 +50,35 @@ def track(
     """persist ``df`` at ``level`` and register it for :func:`sweep`.
     Returns ``df`` (persisted) so call sites stay one-line."""
     df.persist(level)
-    with _LOCK:
-        _TRACKED.append(df)
+    with _T.lock:
+        _T.frames.append(df)
     return df
 
 
 def sweep(blocking: bool = False) -> int:
     """Unpersist every tracked frame; returns how many were swept.
     Safe to call with no session activity in flight; frames already
-    unpersisted elsewhere (clearCache) unpersist as a no-op."""
-    with _LOCK:
-        frames, _TRACKED[:] = list(_TRACKED), []
+    unpersisted elsewhere (clearCache) unpersist as a no-op. Only the
+    stopped-session failure is swallowed — a real unpersist error on a
+    live session propagates (r7 review finding #5: silently
+    under-sweeping reintroduces the accumulation this module fixes)."""
+    with _T.lock:
+        frames, _T.frames[:] = list(_T.frames), []
     n = 0
     for df in frames:
         try:
             df.unpersist(blocking)
             n += 1
         except Exception:
-            # session already stopped — nothing left to free
-            pass
+            try:
+                alive = not df.sparkSession.sparkContext._jsc.sc().isStopped()
+            except Exception:
+                alive = False
+            if alive:
+                raise
     return n
 
 
 def tracked_count() -> int:
-    with _LOCK:
-        return len(_TRACKED)
+    with _T.lock:
+        return len(_T.frames)

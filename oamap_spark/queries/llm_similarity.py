@@ -115,20 +115,49 @@ def _bucket_neardup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _partition_neardup_pairs(batches):
-    """mapInPandas body: one hash-partition of (bk, vec_id, embedding)
-    rows → prefiltered pairs for EVERY bucket in the partition via one
-    pandas groupby. One Python call per partition instead of one per
-    bucket (applyInPandas measured ~2s of per-group overhead on 4k
-    buckets at sf0.1)."""
-    chunks = list(batches)
-    if not chunks:
-        return
-    pdf = pd.concat(chunks, ignore_index=True)
-    if pdf.empty:
-        return
-    out = [_bucket_neardup_pairs(grp) for _, grp in pdf.groupby("bk", sort=False)]
-    yield pd.concat(out, ignore_index=True)
+def _partition_neardup_pairs(bucket_cap: int | None = None):
+    """mapInPandas body factory: one hash-partition of (bk, vec_id,
+    embedding) rows → prefiltered pairs for EVERY bucket in the
+    partition via one pandas groupby. One Python call per partition
+    instead of one per bucket (applyInPandas measured ~2s of per-group
+    overhead on 4k buckets at sf0.1).
+
+    ``bucket_cap`` routes IN-WORKER (r7 review finding #3): the bucket
+    is already wholly co-located here, so cnt/bucket-min are free —
+    a Spark-side window would add a second wide shuffle AND duplicate
+    the signature-UDF subtree across the small/star plan branches.
+    Oversized buckets skip the s×s gram matrix and emit the linear
+    star (bucket-min → member) instead; their rows ride the one
+    shuffle and Arrow transfer once (linear — the same reducer
+    co-location any bucketing scheme pays), but the quadratic compute
+    and memory never materialize."""
+
+    def body(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        out = []
+        for _, grp in pdf.groupby("bk", sort=False):
+            if bucket_cap is not None and len(grp) > bucket_cap:
+                ids = grp["vec_id"].to_numpy()
+                m = ids.min()
+                others = ids[ids != m]  # vec_ids are unique per bucket
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.full(len(others), m, dtype=np.int64),
+                            "id_b": others.astype(np.int64),
+                        }
+                    )
+                )
+            else:
+                out.append(_bucket_neardup_pairs(grp))
+        yield pd.concat(out, ignore_index=True)
+
+    return body
 
 
 def _band_keys_udf(n_planes: int, band_bits: int):
@@ -574,13 +603,14 @@ def _banded_neardup_pairs(e: DataFrame, bucket_cap: int | None = None) -> DataFr
     near-identical embedding cluster landing in one bucket — would
     hand ONE Python worker an s×s gram matrix (quadratic compute AND
     memory on an unsplittable key). Capped buckets instead emit a
-    linear star (bucket-min id → member, ids ONLY — the 64-double
-    vectors never enter the Python path for oversized buckets), which
-    keeps every near-dup cluster connected for downstream
-    connected-components clustering while bounding per-bucket work;
-    the star edges still pass through the exact-cosine ≥ 0.99 verify,
-    exactly like the minhash star passes exact Jaccard
-    (operators/dedup.py:minhash_lsh_pairs)."""
+    linear star (bucket-min id → member): the s×s gram never forms,
+    the bucket costs O(s), and every near-dup cluster stays connected
+    for downstream connected-components clustering; the star edges
+    still pass through the exact-cosine ≥ 0.99 verify, exactly like
+    the minhash star passes exact Jaccard
+    (operators/dedup.py:minhash_lsh_pairs). Routing happens in-worker
+    where bucket membership is already co-located — one wide shuffle
+    total, same plan shape as uncapped."""
     v = e.select("vec_id", F.col("embedding").alias("v"))
     band_keys = _dedup_band_keys_udf()
     sig = e.select(
@@ -588,27 +618,19 @@ def _banded_neardup_pairs(e: DataFrame, bucket_cap: int | None = None) -> DataFr
         "embedding",
         F.explode(band_keys(F.col("embedding"))).alias("bk"),
     )
-    star = None
-    if bucket_cap is not None:
-        w = Window.partitionBy("bk")
-        annot = sig.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
-            "bmin", F.min("vec_id").over(w)
-        )
-        sig = annot.where(F.col("cnt") <= bucket_cap).select(
-            "vec_id", "embedding", "bk"
-        )
-        # bmin < vec_id always (bmin is the bucket minimum and the
-        # member != bmin), so star edges respect the id_a < id_b
-        # orientation the gram path emits
-        star = annot.where(
-            (F.col("cnt") > bucket_cap) & (F.col("vec_id") != F.col("bmin"))
-        ).select(F.col("bmin").alias("id_a"), F.col("vec_id").alias("id_b"))
-    cand = sig.repartition(F.col("bk")).mapInPandas(
-        _partition_neardup_pairs, "id_a long, id_b long"
+    # ONE wide shuffle for both variants: the cap routes inside the
+    # Python worker (see _partition_neardup_pairs), where the bucket
+    # is already co-located — a Spark-side window/star-union variant
+    # measured TWO evaluations of the signature UDF and two wide
+    # exchanges (the union's branches each inlined the window subtree;
+    # r7 review finding #3). Star edges emerge from the same
+    # mapInPandas, already (bucket-min, member)-oriented, and pass
+    # through the same exact-cosine verify as gram pairs.
+    cand = (
+        sig.repartition(F.col("bk"))
+        .mapInPandas(_partition_neardup_pairs(bucket_cap), "id_a long, id_b long")
+        .distinct()  # a pair may surface in several tables/bands
     )
-    if star is not None:
-        cand = cand.unionByName(star)
-    cand = cand.distinct()  # a pair may surface in several tables/bands
     pairs = cand.join(
         v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
     ).join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
