@@ -273,3 +273,73 @@ def ngram_window_overlap(
             ).alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 64,
+) -> DataFrame:
+    """Near-INCLUSION dedup: pairs whose smaller shingle set is mostly
+    inside the other's — containment C = |A∩B| / min(|A|, |B|) ≥
+    ``threshold``. This is the doc-in-doc duplication Jaccard
+    structurally misses: a document quoted whole inside a 10× longer
+    one has J = |A∩B|/|A∪B| ≤ |A|/|B| ≈ 0.1 (no minhash band ever
+    fires) but C ≈ 1.0.
+
+    Candidates come from a DF-capped inverted index instead of minhash
+    bands (bands estimate Jaccard, the wrong similarity here):
+
+    narrow:    shingle-id sets per doc (shared md5 token machinery)
+    shuffle 1: posting list (sid, id) — ids only, never text
+    shuffle 2: document frequency per sid; postings with df > df_cap
+               are DROPPED — the 100 TB skew guard. A boilerplate
+               shingle shared by millions of docs would otherwise
+               contribute df² candidate pairs on one key; dropping it
+               loses only pairs whose ENTIRE overlap is boilerplate —
+               exactly the pairs containment dedup exists to ignore.
+    shuffle 3: posting self-join on kept sids (pair volume bounded by
+               df_cap · |postings|) → distinct candidate ids
+    verify:    exact containment over the cached shingle sets, only on
+               candidates.
+
+    Recall caveat (documented, deliberate): a true containment pair
+    sharing ONLY df-capped shingles is missed. Completeness within the
+    guard: any pair sharing ≥ 1 sub-cap shingle is a candidate, and
+    the exact verify decides — so unlike minhash there is no
+    probabilistic miss on candidate pairs."""
+    from oamap_spark.cache import track
+
+    ids_df = track(
+        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
+        .select("id", combine_shingle_ids(F.col("tids"), n).alias("ids"))
+    )
+    post = ids_df.select("id", F.explode("ids").alias("sid"))
+    dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
+    cand = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.sid") == F.col("y.sid")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ids_df.select("id", F.col("ids").alias("s"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    cont = inter.cast("double") / F.least(F.size("s_a"), F.size("s_b"))
+    return (
+        cand.join(
+            sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a"
+        )
+        .join(
+            sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b"
+        )
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )

@@ -82,3 +82,47 @@ def stratified_quota_sample(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, epoch: int) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    dense position (0-based) in an order derived from
+    md5(epoch ‖ ':' ‖ key) — a different but REPRODUCIBLE permutation
+    per epoch, identical on any engine, partitioning, or retry (unlike
+    orderBy(rand()), whose layout-dependent draws are retry-unsafe —
+    the repartition(rand()) pitfall, operators/partitioning.py).
+
+    The dense positions are computed DISTRIBUTED — never a global
+    single-task window (`Window.orderBy` with no partition key is the
+    classic 100 TB bottleneck). Standard two-pass dense-rank:
+
+    1. bucket = first hex byte of the hash (256 buckets); per-bucket
+       row_number windows run in parallel, and because the bucket is a
+       PREFIX of the sort key, bucket-major order ≡ global (h, key)
+       order;
+    2. a 256-row bucket-count table → running-sum offsets (tiny model
+       state, like k-means centroids) broadcast back; position =
+       bucket offset + within-bucket rank.
+
+    A training pipeline materializing an epoch would instead
+    repartitionByRange(h).sortWithinPartitions(h) and write shards
+    (positions implicit in shard order); the explicit dense position
+    here is the oracle-checkable verification surface of the same
+    order. md5 ties are broken by the key itself, so the order is
+    total."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(int(epoch)).cast("string"), F.col(key_col).cast("string"))
+    )
+    wb = Window.partitionBy("__b").orderBy("__h", F.col(key_col))
+    keyed = df.withColumn("__h", h).withColumn("__b", F.substring("__h", 1, 2))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(wo), F.lit(0)).cast("long").alias("__off")
+    )
+    return (
+        keyed.withColumn("__r", F.row_number().over(wb).cast("long"))
+        .join(F.broadcast(offsets), "__b")
+        .withColumn("epoch_pos", F.col("__off") + F.col("__r") - F.lit(1).cast("long"))
+        .drop("__b", "__h", "__r", "__off")
+    )

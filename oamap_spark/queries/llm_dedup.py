@@ -501,3 +501,45 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_new"),
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    tags=("llm", "dedup", "containment", "inverted_index"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
+), base AS (
+  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM t
+), post AS (
+  SELECT doc_id, unnest(ids) AS sid FROM base
+), dfreq AS (
+  SELECT sid, count(*) AS df FROM post GROUP BY sid
+), kept AS (
+  SELECT p.doc_id, p.sid FROM post p JOIN dfreq USING (sid) WHERE df <= 64
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM kept x JOIN kept y ON x.sid = y.sid AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
+             / least(len(a.ids), len(b.ids)), 6) AS containment
+FROM cand c
+JOIN base a ON a.doc_id = c.id_a
+JOIN base b ON b.doc_id = c.id_b
+WHERE CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
+      / least(len(a.ids), len(b.ids)) >= 0.8
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-INCLUSION dedup: pairs whose smaller 3-shingle set is ≥ 80%
+    contained in the other's — the doc-in-doc duplication Jaccard
+    structurally misses (a short doc quoted inside a 10× longer one
+    has J ≤ 0.1, below every minhash band, but containment ≈ 1.0).
+    Candidates come from a DF-capped inverted index on shingle ids
+    (df_cap = 64 is the boilerplate-shingle skew guard — see
+    operators/dedup.py:containment_pairs for the 100 TB cost model);
+    verification is exact set containment on candidates only. The
+    oracle replays the identical index, cap, and arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8, df_cap=64)

@@ -252,3 +252,31 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("k")
     )
+
+
+@register(
+    "epoch_shuffle_positions",
+    tags=("llm", "sampling", "epoch_shuffle", "deterministic"),
+    oracle="""
+WITH ordered AS (
+  SELECT doc_id, lang,
+         md5('1:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS epoch_pos
+FROM ordered
+""",
+)
+def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training-order shuffle of the corpus:
+    positions follow md5('1:' ‖ doc_id) — a reproducible permutation
+    that changes per epoch (different seed prefix) but never with
+    partitioning, cluster size, task retry, or engine. The scale form
+    keeps only the range-partitioned sort and writes shards (see
+    operators/sampling.py:epoch_shuffle); the dense positions here are
+    the oracle-checkable verification surface."""
+    from oamap_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return epoch_shuffle(d, "doc_id", epoch=1)

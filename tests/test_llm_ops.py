@@ -428,3 +428,61 @@ def test_embedding_banded_cap_keeps_giant_bucket_out_of_python(spark):
     rows = _banded_neardup_pairs(df, bucket_cap=1).collect()
     assert len(rows) == 49
     assert all(r["id_a"] == 0 for r in rows)
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted whole inside
+    a much longer one has Jaccard ≈ |A|/|B| (below every minhash
+    band) but containment ≈ 1.0."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.dedup import all_pairs_jaccard, containment_pairs
+
+    short = " ".join(f"tok{i}" for i in range(30))
+    long_ = short + " " + " ".join(f"pad{i}" for i in range(270))
+    other = " ".join(f"oth{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], ["doc_id", "text"]
+    )
+    cont = containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] >= 0.9
+    jac = all_pairs_jaccard(df, "doc_id", "text", 0.9).collect()
+    assert jac == []  # jaccard(1,2) ≈ 30/300 — invisible to minhash
+
+
+def test_containment_df_cap_drops_boilerplate_only_overlap(spark):
+    """Two docs overlapping ONLY via a shingle present in every doc
+    (df > cap) must not become a candidate pair — that is the skew
+    guard's semantic: boilerplate-only overlap is noise, and at scale
+    its posting list is the quadratic key."""
+    from oamap_spark.operators.dedup import containment_pairs
+
+    boiler = "this page is boilerplate footer text"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c " + boiler) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # every pair overlaps ONLY on boilerplate shingles (df = 10 > 5)
+    out = containment_pairs(df, "doc_id", "text", threshold=0.5, df_cap=5).collect()
+    assert out == []
+    # raising the cap above n admits the candidates; exact verify then
+    # decides (the boilerplate tail is most of each tiny doc → pairs)
+    out2 = containment_pairs(df, "doc_id", "text", threshold=0.5, df_cap=20).collect()
+    assert len(out2) == 45
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    """Positions are a dense 0..n-1 permutation, invariant to input
+    partitioning (retry/layout-safe), and differ between epochs."""
+    from oamap_spark.operators.sampling import epoch_shuffle
+    from oamap_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    e1 = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(d, "doc_id", 1).collect()}
+    e1b = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(d.repartition(13), "doc_id", 1).collect()
+    }
+    e2 = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(d, "doc_id", 2).collect()}
+    assert e1 == e1b
+    assert sorted(e1.values()) == list(range(len(e1)))
+    assert e1 != e2 and sorted(e2.values()) == sorted(e1.values())
