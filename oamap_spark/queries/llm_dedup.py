@@ -516,15 +516,29 @@ WITH t AS (
 ), dfreq AS (
   SELECT sid, count(*) AS df FROM post GROUP BY sid
 ), kept AS (
-  SELECT p.doc_id, p.sid FROM post p JOIN dfreq USING (sid) WHERE df <= 64
+  SELECT p.doc_id, p.sid FROM post p JOIN dfreq USING (sid) WHERE df <= 16
+), stats AS (
+  SELECT b.doc_id, len(b.ids) AS sz,
+         len(b.ids) - coalesce(k.kc, 0) AS capped
+  FROM base b LEFT JOIN (
+    SELECT doc_id, count(*) AS kc FROM kept GROUP BY doc_id
+  ) k ON k.doc_id = b.doc_id
 ), cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared_kept
   FROM kept x JOIN kept y ON x.sid = y.sid AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), pruned AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN stats sa ON sa.doc_id = c.id_a
+  JOIN stats sb ON sb.doc_id = c.id_b
+  WHERE CAST(c.shared_kept + least(sa.capped, sb.capped) AS DOUBLE)
+        / least(sa.sz, sb.sz) >= 0.8
 )
 SELECT c.id_a, c.id_b,
        round(CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
              / least(len(a.ids), len(b.ids)), 6) AS containment
-FROM cand c
+FROM pruned c
 JOIN base a ON a.doc_id = c.id_a
 JOIN base b ON b.doc_id = c.id_b
 WHERE CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
@@ -537,9 +551,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally misses (a short doc quoted inside a 10× longer one
     has J ≤ 0.1, below every minhash band, but containment ≈ 1.0).
     Candidates come from a DF-capped inverted index on shingle ids
-    (df_cap = 64 is the boilerplate-shingle skew guard — see
+    (df_cap = 16 is the boilerplate-shingle skew guard — see
     operators/dedup.py:containment_pairs for the 100 TB cost model);
     verification is exact set containment on candidates only. The
     oracle replays the identical index, cap, and arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    return D.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8, df_cap=64)
+    return D.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8, df_cap=16)
