@@ -65,17 +65,28 @@ def sweep(blocking: bool = False) -> int:
     with _T.lock:
         frames, _T.frames[:] = list(_T.frames), []
     n = 0
+    first_err: Exception | None = None
     for df in frames:
         try:
             df.unpersist(blocking)
             n += 1
-        except Exception:
+        except Exception as ex:
             try:
                 alive = not df.sparkSession.sparkContext._jsc.sc().isStopped()
             except Exception:
                 alive = False
             if alive:
-                raise
+                # finish the loop first: raising mid-loop would leak
+                # the unswept tail (already removed from the registry,
+                # so unreachable forever — r7 review finding); every
+                # live-session failure re-enters the registry so a
+                # later sweep can retry it
+                with _T.lock:
+                    _T.frames.append(df)
+                if first_err is None:
+                    first_err = ex
+    if first_err is not None:
+        raise first_err
     return n
 
 

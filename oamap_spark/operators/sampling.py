@@ -109,7 +109,20 @@ def epoch_shuffle(df: DataFrame, key_col: str, epoch: int) -> DataFrame:
     (positions implicit in shard order); the explicit dense position
     here is the oracle-checkable verification surface of the same
     order. md5 ties are broken by the key itself, so the order is
-    total."""
+    total — PROVIDED ``key_col`` is a unique non-null key (r7 review:
+    duplicate keys share a hash AND a tie-break, making their relative
+    positions layout-dependent; null keys all collapse to one hash
+    because concat_ws skips nulls). Both preconditions are enforced
+    in-plan at ~zero cost: a per-row assert on null keys, and a
+    duplicate probe on the sort order itself (duplicates of a key are
+    ADJACENT in the per-bucket (h, key) sort, so lag(key) == key
+    catches every one — no extra shuffle, it rides the rank window).
+
+    Cost note: the bucket-count pass re-reads the input, but Catalyst
+    column-prunes it to ``key_col`` alone (narrow parquet scan + md5);
+    persisting the full corpus to save a key-column scan would be the
+    wrong trade at 100 TB — this is the same sample-then-sort shape as
+    Spark's own range partitioner."""
     h = F.md5(
         F.concat_ws(":", F.lit(int(epoch)).cast("string"), F.col(key_col).cast("string"))
     )
@@ -120,9 +133,28 @@ def epoch_shuffle(df: DataFrame, key_col: str, epoch: int) -> DataFrame:
     offsets = counts.select(
         "__b", F.coalesce(F.sum("__n").over(wo), F.lit(0)).cast("long").alias("__off")
     )
+    # guards live INSIDE the epoch_pos expression (a dropped assert
+    # column would be pruned by Catalyst); __dup rides the same window
+    # pass as the rank, so both checks are free
+    ranked = keyed.select(
+        "*",
+        F.row_number().over(wb).cast("long").alias("__r"),
+        (F.lag(key_col).over(wb) == F.col(key_col)).alias("__dup"),
+    )
+    pos = F.col("__off") + F.col("__r") - F.lit(1).cast("long")
+    guarded = (
+        F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(F.lit(f"epoch_shuffle: null {key_col}")).cast("long"),
+        )
+        .when(
+            F.coalesce(F.col("__dup"), F.lit(False)),
+            F.raise_error(F.lit(f"epoch_shuffle: duplicate {key_col}")).cast("long"),
+        )
+        .otherwise(pos)
+    )
     return (
-        keyed.withColumn("__r", F.row_number().over(wb).cast("long"))
-        .join(F.broadcast(offsets), "__b")
-        .withColumn("epoch_pos", F.col("__off") + F.col("__r") - F.lit(1).cast("long"))
-        .drop("__b", "__h", "__r", "__off")
+        ranked.join(F.broadcast(offsets), "__b")
+        .withColumn("epoch_pos", guarded)
+        .drop("__b", "__h", "__r", "__off", "__dup")
     )

@@ -115,47 +115,78 @@ def _bucket_neardup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _star_pairs(ids: "np.ndarray") -> pd.DataFrame:
+    """Linear star for an oversized bucket: (bucket-min → member)."""
+    m = ids.min()
+    others = ids[ids != m]  # vec_ids are unique per bucket
+    return pd.DataFrame(
+        {
+            "id_a": np.full(len(others), m, dtype=np.int64),
+            "id_b": others.astype(np.int64),
+        }
+    )
+
+
 def _partition_neardup_pairs(bucket_cap: int | None = None):
-    """mapInPandas body factory: one hash-partition of (bk, vec_id,
-    embedding) rows → prefiltered pairs for EVERY bucket in the
-    partition via one pandas groupby. One Python call per partition
-    instead of one per bucket (applyInPandas measured ~2s of per-group
-    overhead on 4k buckets at sf0.1).
+    """mapInPandas body factory: one hash-partition of bk-SORTED
+    (bk, vec_id, embedding) rows → prefiltered pairs per bucket,
+    STREAMED batch by batch. One Python call per partition instead of
+    one per bucket (applyInPandas measured ~2s of per-group overhead
+    on 4k buckets at sf0.1); the caller sorts within partitions on bk
+    (JVM sort — spillable) so buckets arrive contiguous and the body
+    holds only the in-flight bucket, never the whole partition.
 
     ``bucket_cap`` routes IN-WORKER (r7 review finding #3): the bucket
-    is already wholly co-located here, so cnt/bucket-min are free —
-    a Spark-side window would add a second wide shuffle AND duplicate
-    the signature-UDF subtree across the small/star plan branches.
-    Oversized buckets skip the s×s gram matrix and emit the linear
-    star (bucket-min → member) instead; their rows ride the one
-    shuffle and Arrow transfer once (linear — the same reducer
-    co-location any bucketing scheme pays), but the quadratic compute
-    and memory never materialize."""
+    is already wholly co-located here, so the count/bucket-min are
+    free — a Spark-side window would add a second wide shuffle AND
+    duplicate the signature-UDF subtree across the small/star plan
+    branches. The memory contract under the cap (r7 review finding on
+    the first in-worker version, which concat'ed the whole partition):
+    while a bucket is ≤ cap its embedding rows buffer; the moment it
+    exceeds the cap the buffered embeddings are DROPPED and only the
+    int64 ids accumulate — so Python memory is bounded by
+    cap · dim · 8 bytes of embeddings per in-flight bucket plus
+    8 bytes/row of ids for a giant bucket (a 10M-row boilerplate
+    cluster costs ~80 MB of ids, not ~5 GB of vectors), and the s×s
+    gram matrix never forms. Uncapped (None, the oracle-exact form)
+    buffers whole buckets by necessity — the gram needs every vector —
+    but still never the whole partition."""
+
+    def flush(emb_chunks, ids_chunks):
+        if ids_chunks is not None:  # over-cap → star on ids alone
+            return _star_pairs(np.concatenate(ids_chunks))
+        grp = pd.concat(emb_chunks, ignore_index=True)
+        return _bucket_neardup_pairs(grp)
 
     def body(batches):
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        if pdf.empty:
-            return
-        out = []
-        for _, grp in pdf.groupby("bk", sort=False):
-            if bucket_cap is not None and len(grp) > bucket_cap:
-                ids = grp["vec_id"].to_numpy()
-                m = ids.min()
-                others = ids[ids != m]  # vec_ids are unique per bucket
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": np.full(len(others), m, dtype=np.int64),
-                            "id_b": others.astype(np.int64),
-                        }
-                    )
-                )
-            else:
-                out.append(_bucket_neardup_pairs(grp))
-        yield pd.concat(out, ignore_index=True)
+        cur_bk = None
+        emb_chunks: list[pd.DataFrame] = []  # buffered rows (≤ cap mode)
+        ids_chunks = None  # list of int64 id arrays once over cap
+        n_rows = 0
+        out: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for bk, grp in pdf.groupby("bk", sort=False):
+                if bk != cur_bk:
+                    if cur_bk is not None:
+                        out.append(flush(emb_chunks, ids_chunks))
+                    cur_bk, emb_chunks, ids_chunks, n_rows = bk, [], None, 0
+                n_rows += len(grp)
+                if ids_chunks is not None:
+                    ids_chunks.append(grp["vec_id"].to_numpy())
+                elif bucket_cap is not None and n_rows > bucket_cap:
+                    # cap crossed: drop buffered embeddings, keep ids
+                    ids_chunks = [c["vec_id"].to_numpy() for c in emb_chunks]
+                    ids_chunks.append(grp["vec_id"].to_numpy())
+                    emb_chunks = []
+                else:
+                    emb_chunks.append(grp)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+                out = []
+        if cur_bk is not None:
+            yield flush(emb_chunks, ids_chunks)
 
     return body
 
@@ -623,11 +654,15 @@ def _banded_neardup_pairs(e: DataFrame, bucket_cap: int | None = None) -> DataFr
     # is already co-located — a Spark-side window/star-union variant
     # measured TWO evaluations of the signature UDF and two wide
     # exchanges (the union's branches each inlined the window subtree;
-    # r7 review finding #3). Star edges emerge from the same
-    # mapInPandas, already (bucket-min, member)-oriented, and pass
-    # through the same exact-cosine verify as gram pairs.
+    # r7 review finding #3). sortWithinPartitions(bk) is a JVM-side
+    # (spillable) sort that makes buckets arrive contiguous, so the
+    # Python body streams one bucket at a time instead of buffering
+    # the partition. Star edges emerge from the same mapInPandas,
+    # already (bucket-min, member)-oriented, and pass through the same
+    # exact-cosine verify as gram pairs.
     cand = (
         sig.repartition(F.col("bk"))
+        .sortWithinPartitions("bk")
         .mapInPandas(_partition_neardup_pairs(bucket_cap), "id_a long, id_b long")
         .distinct()  # a pair may surface in several tables/bands
     )

@@ -408,12 +408,14 @@ def test_embedding_banded_bucket_cap_noop_below_cap(spark):
     assert base == capped
 
 
-def test_embedding_banded_cap_keeps_giant_bucket_out_of_python(spark):
-    """The point of the guard: oversized buckets must not reach the
-    mapInPandas gram path at all — their rows leave as ids-only star
-    edges. Pin it by plan: with a cap of 1 on the degenerate corpus,
-    the Python stage's input is empty (0 gram pairs), yet the star
-    still connects the cluster."""
+def test_embedding_banded_cap_giant_bucket_takes_star_not_gram(spark):
+    """The point of the guard: an oversized bucket must resolve to the
+    linear ids-only star, never the s×s gram — with a cap of 1 on the
+    degenerate corpus every bucket is oversized, so the output is
+    exactly the 49 star edges through vec 0 (a gram path would emit
+    all 1225 pairs). The memory contract (embeddings buffered only up
+    to cap rows per in-flight bucket, then dropped for ids) is pinned
+    unit-level in test_streaming_cap_body_drops_embeddings_over_cap."""
     from pyspark.sql import functions as F
 
     from oamap_spark.queries.llm_similarity import _banded_neardup_pairs
@@ -428,6 +430,47 @@ def test_embedding_banded_cap_keeps_giant_bucket_out_of_python(spark):
     rows = _banded_neardup_pairs(df, bucket_cap=1).collect()
     assert len(rows) == 49
     assert all(r["id_a"] == 0 for r in rows)
+
+
+def test_streaming_cap_body_drops_embeddings_over_cap():
+    """Unit pin of the r7 streaming memory contract (no Spark): feed
+    the mapInPandas body a bucket spanning several Arrow batches and
+    assert (a) pairs are correct across batch boundaries, (b) once the
+    cap is crossed the body's buffered state holds ids only — the
+    embedding buffer is empty from that point on."""
+    import numpy as np
+    import pandas as pd
+
+    from oamap_spark.queries.llm_similarity import _partition_neardup_pairs
+
+    def batch(bk, ids, emb=True):
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(ids, dtype=np.int64),
+                # poison pill: rows arriving after the cap is crossed
+                # carry None embeddings — np.stack would crash if the
+                # body ever tried to gram them, proving the buffered
+                # vectors are dropped, not used
+                "embedding": [np.ones(64) if emb else None for _ in ids],
+                "bk": np.full(len(ids), bk, dtype=np.int32),
+            }
+        )
+
+    # bucket 7 spans three batches (9 rows > cap 3); bucket 9 is small
+    batches = [batch(7, [0, 1, 2]), batch(7, [3, 4, 5], emb=False),
+               batch(7, [6, 7, 8], emb=False), batch(9, [20, 21])]
+    out = pd.concat(list(_partition_neardup_pairs(3)(iter(batches))),
+                    ignore_index=True)
+    star = out[out.id_a == 0]
+    assert sorted(star.id_b) == list(range(1, 9))  # star across batches
+    assert ((out.id_a == 20) & (out.id_b == 21)).any()  # small gram pair
+    assert len(out) == 8 + 1
+    # uncapped twin (clean embeddings): full gram for bucket 7
+    clean = [batch(7, [0, 1, 2]), batch(7, [3, 4, 5]),
+             batch(7, [6, 7, 8]), batch(9, [20, 21])]
+    out2 = pd.concat(list(_partition_neardup_pairs(None)(iter(clean))),
+                     ignore_index=True)
+    assert len(out2) == 9 * 8 // 2 + 1
 
 
 def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
@@ -486,3 +529,20 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
     assert e1 == e1b
     assert sorted(e1.values()) == list(range(len(e1)))
     assert e1 != e2 and sorted(e2.values()) == sorted(e1.values())
+
+
+def test_epoch_shuffle_rejects_null_and_duplicate_keys(spark):
+    """The determinism contract needs a unique non-null key (r7
+    review); both violations must raise, not silently produce
+    layout-dependent positions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.sampling import epoch_shuffle
+
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    with pytest.raises(Exception, match="duplicate k"):
+        epoch_shuffle(dup, "k", 1).collect()
+    nul = spark.createDataFrame([(1, "a"), (None, "b")], ["k", "v"])
+    with pytest.raises(Exception, match="null k"):
+        epoch_shuffle(nul, "k", 1).collect()
