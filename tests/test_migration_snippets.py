@@ -93,3 +93,22 @@ def test_snippet_salted_join(spark):
     plain = events_by_domain.join(domain_stats, "domain_key")
     assert hits.count() == plain.count()
     assert "__salt" not in hits.columns
+
+
+def test_snippet_containment_pairs(spark):
+    from oamap_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark)
+    quoted = containment_pairs(docs, "doc_id", "text", threshold=0.8)
+    rows = quoted.collect()
+    assert {"id_a", "id_b", "containment"} <= set(quoted.columns)
+    assert all(r["containment"] >= 0.8 for r in rows)
+
+
+def test_snippet_epoch_shuffle(spark):
+    from oamap_spark.operators.sampling import epoch_shuffle
+
+    docs = _docs(spark)
+    ordered = epoch_shuffle(docs, "doc_id", epoch=1)
+    pos = [r["epoch_pos"] for r in ordered.collect()]
+    assert sorted(pos) == list(range(len(pos)))
