@@ -252,6 +252,11 @@ def main() -> None:
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(headline.values()), 4),
+        # machine-readable schema marker (ADVICE r7): r1–r6 `value`
+        # also folded the then-existing microbench walls in; from r7
+        # on it is the registry bench set only. Tooling diffing
+        # `value` across rounds must check this field first.
+        "value_semantics": "headline_only_r7+",
         "unit": "sec",
         "value_microbench": round(sum(microbench.values()), 4),
         "microbench_names": sorted(microbench),
