@@ -136,6 +136,96 @@ def main() -> None:
         cache.sweep()
         spark.catalog.clearCache()
 
+    # Containment-dedup twin of the skew micro-bench (VERDICT r7
+    # "Next round #6"): a boilerplate-heavy corpus — every one of 500
+    # docs opens with the same 12-token header, so each of its ~10
+    # header shingles has df = 500; 10 docs additionally have their
+    # unique tail quoted whole inside a longer doc (true doc-in-doc
+    # pairs, df = 2 shingles). The SIGNAL is candidate pair-sid
+    # incidences Σ_sid C(df_kept, 2) — what the posting self-join
+    # actually shuffles: uncapped, each hot shingle alone contributes
+    # 500·499/2 ≈ 125k incidences (quadratic in cluster size; at 1M
+    # boilerplate docs that is 5·10¹¹ per shingle on one key); capped
+    # (df_cap=16, the production knob) drops the hot postings and
+    # keeps ONLY the df=2 quoted-tail shingles — linear, and the 10
+    # genuine pairs still verify at containment 1.0 in BOTH arms
+    # (recall loss from the cap: zero here, boilerplate-only pairs by
+    # design elsewhere).
+    from oamap_spark.operators.dedup import (
+        combine_shingle_ids,
+        containment_pairs,
+        token_id_array,
+    )
+
+    header = "terms of service apply to this document version two revision final "
+    contain_degen = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(header),
+            # unique tail: 12 tokens derived from the doc id
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}tok"), (F.col("id") * 12 + j).cast("string"))
+                    for j in range(12)
+                ],
+            ),
+            # docs 100-109 additionally quote doc (id-100)'s tail whole
+            F.when(
+                (F.col("id") >= 100) & (F.col("id") < 110),
+                F.concat(
+                    F.lit(" "),
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.concat(
+                                F.lit(f"w{j}tok"),
+                                ((F.col("id") - 100) * 12 + j).cast("string"),
+                            )
+                            for j in range(12)
+                        ],
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    contain_incidences: dict[str, int] = {}
+    kept_post = (
+        contain_degen.select(
+            F.col("doc_id"), token_id_array("text").alias("tids")
+        )
+        .select("doc_id", F.explode(combine_shingle_ids(F.col("tids"), 3)).alias("sid"))
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    for label, cap in (
+        ("skew_500contain_capped", 16),
+        ("skew_500contain_uncapped", 1_000_000_000),
+    ):
+        runs, rows = [], 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = containment_pairs(
+                contain_degen, "doc_id", "text", n=3, threshold=0.8, df_cap=cap
+            ).count()
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[label] = min(runs)
+        all_runs[label] = runs
+        skew_pairs[label] = rows
+        # what the posting self-join shuffles under this cap
+        contain_incidences[label] = int(
+            kept_post.where(F.col("df") <= cap)
+            .select(F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long").alias("i"))
+            .collect()[0]["i"]
+        )
+        print(
+            f"# {label}: {min(runs):.3f}s ({rows} verified pairs, "
+            f"{contain_incidences[label]} candidate incidences)",
+            file=sys.stderr,
+        )
+        cache.sweep()
+        spark.catalog.clearCache()
+
     # Production-ANN-path timing (VERDICT r6 "Next round #6"): the
     # declared ann_lsh_topk's wall is dominated by its exact
     # brute-force recall GATE (verification surface); this entry times
@@ -272,6 +362,10 @@ def main() -> None:
         # counts are the skew-guard signal (linear star vs s²/2 on one
         # reducer key — the gap is what explodes at boilerplate scale)
         "skew_microbench_pairs": skew_pairs,
+        # what the containment posting self-join shuffles under each
+        # df_cap: Σ_sid C(df_kept, 2) — quadratic per boilerplate
+        # shingle uncapped, linear capped (VERDICT r7 #6)
+        "skew_contain_candidate_incidences": contain_incidences,
         # straggler bound for the Zipf join pair: pairs owned by the
         # hottest reducer key, plain vs salted (the number that scales;
         # sf0.1 wall time does not — one hot task still fits this box)
