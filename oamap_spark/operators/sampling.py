@@ -186,3 +186,54 @@ def epoch_shuffle(
         .withColumn("epoch_pos", guarded)
         .drop("__b", "__h", "__r", "__off", "__dup")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame, key_col: str, group_col: str, target_frac: float
+) -> DataFrame:
+    """Deterministic temperature-flattened mixture sampling — the
+    data-mixing step of a training pipeline: sources are drawn with
+    probability ∝ sqrt(count) (temperature α = 0.5) instead of raw
+    count, so giant sources are down-weighted and small sources
+    over-represented relative to natural frequency, with a global
+    budget of ``target_frac`` of the corpus.
+
+    Per group g: rate_g = min(1, N·p_g / n_g) with p_g =
+    sqrt(n_g) / Σ sqrt(n_h) and N = target_frac · Σ n_h; a row is kept
+    iff its 32-bit md5(key) integer < floor(rate_g · 2³²) — membership
+    is a pure function of (corpus counts, key), so the same corpus
+    always yields the same sample on any engine or partitioning.
+
+    Engine-exactness discipline (what makes this oracle-checkable):
+    α is FIXED at 0.5 because IEEE sqrt is correctly rounded on every
+    engine while pow(x, α) is not; Σ sqrt(n) is accumulated in sorted
+    group order via a running window (not a hash-agg whose float
+    addition order is nondeterministic); the keep test compares
+    integers. Plan shape: two tiny aggregates over the group domain, a
+    broadcast of the per-group threshold table, one narrow filter —
+    no extra shuffle of the corpus itself at any scale."""
+    n = F.count(F.lit(1)).alias("n")
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(n)
+    wg = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("__cumw", F.sum(F.sqrt("n")).over(wg))
+    tot = cum.agg(
+        F.sum("n").cast("double").alias("__total"), F.max("__cumw").alias("__sumw")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_frac)) * F.col("__total"))
+        * (F.sqrt("n") / F.col("__sumw"))
+        / F.col("n"),
+    )
+    thr = cum.crossJoin(F.broadcast(tot)).select(
+        "__g",
+        F.floor(rate * F.lit(4294967296.0)).cast("long").alias("__thr"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        df.join(F.broadcast(thr), df[group_col] == F.col("__g"))
+        .where(h32 < F.col("__thr"))
+        .drop("__g", "__thr")
+    )

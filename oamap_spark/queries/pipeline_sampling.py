@@ -450,3 +450,100 @@ def dedup_clusters_all_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
         (F.col("n") - F.coalesce(F.col("kept"), F.lit(0))).cast("long").alias("dropped"),
     )
+
+
+@register(
+    "pack_sequences_slots",
+    tags=("llm", "packing", "training", "applyinpandas"),
+    oracle="""
+WITH RECURSIVE pbase AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), pordered AS (
+  SELECT doc_id, t, h, substr(h, 1, 1) AS bucket,
+         row_number() OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id) AS rn
+  FROM pbase
+), packed AS (
+  SELECT bucket, rn, doc_id, t,
+         CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_off, t AS fill
+  FROM pordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.t,
+         CASE WHEN p.fill + o.t <= 2048 THEN p.seq_idx ELSE p.seq_idx + 1 END,
+         CASE WHEN p.fill + o.t <= 2048 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + o.t <= 2048 THEN p.fill + o.t ELSE o.t END
+  FROM packed p JOIN pordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, seq_idx, seq_off FROM packed
+""",
+)
+def pack_sequences_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of the corpus into 2048-token training
+    sequences: every document gets a deterministic (bucket, seq_idx,
+    seq_off) slot — md5-ordered greedy first-fit per hash-prefix
+    bucket (operators/packing.py; the batching step between dedup/
+    sampling and the trainer). The oracle replays the identical greedy
+    scan as a per-bucket recursive CTE — sequential by nature, which
+    is exactly why the engine side buckets first and scans per bucket
+    in parallel."""
+    from oamap_spark.operators.packing import pack_sequences_greedy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_sequences_greedy(d, "doc_id", "n_tok", capacity=2048, bucket_hex=1)
+
+
+@register(
+    "mixture_temperature_counts",
+    tags=("llm", "sampling", "mixture", "deterministic"),
+    oracle="""
+WITH mcounts AS (
+  SELECT source AS g, count(*) AS n FROM documents GROUP BY source
+), mcum AS (
+  SELECT g, n,
+         sum(sqrt(n)) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumw
+  FROM mcounts
+), mtot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total, max(cumw) AS sumw FROM mcum
+), mthr AS (
+  SELECT g, n,
+         CAST(floor(least(1.0, (0.25 * total) * (sqrt(n) / sumw) / n)
+                    * 4294967296.0) AS BIGINT) AS thr
+  FROM mcum, mtot
+), msamp AS (
+  SELECT d.source AS g, count(*) AS n_sampled
+  FROM documents d JOIN mthr ON mthr.g = d.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < mthr.thr
+  GROUP BY d.source
+)
+SELECT t.g AS source,
+       CAST(t.n AS BIGINT) AS n_docs,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM mthr t LEFT JOIN msamp s ON s.g = t.g
+""",
+)
+def mixture_temperature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened data mixing (α = 0.5, 25% token budget):
+    each source is sampled at rate min(1, N·p_g/n_g) with p_g ∝
+    sqrt(n_g) — giant sources down-weighted, small sources
+    over-represented, membership a pure hash function of doc_id
+    (operators/sampling.py:temperature_mixture_sample). Output is the
+    per-source before/after census a pipeline records as its mixing
+    manifest. The oracle replays the rate arithmetic bit-for-bit
+    (sqrt is correctly rounded everywhere; the weight sum runs in
+    sorted group order; the keep test compares integers)."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = S.temperature_mixture_sample(d, "doc_id", "source", 0.25)
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    samp = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    return tot.join(samp, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+    )

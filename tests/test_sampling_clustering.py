@@ -117,3 +117,84 @@ def test_components_compose_with_lsh_pairs(spark):
     # every cluster id is a member of its own cluster (root present)
     nodes = {r["node"] for r in rows}
     assert {r["cluster_id"] for r in rows} <= nodes
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """Packing slots are a pure function of (ids, token counts):
+    partitioning-invariant; seq indices dense per bucket; no sequence
+    overflows capacity unless it holds a single oversized doc; offsets
+    are the running fill."""
+    from collections import defaultdict
+
+    from oamap_spark.operators.packing import pack_sequences_greedy
+
+    d = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # mixed sizes incl. two oversized (> capacity) docs
+        F.when(F.col("id") == 7, F.lit(5000))
+        .when(F.col("id") == 8, F.lit(9000))
+        .otherwise((F.col("id") % 37) * 31 + 40)
+        .alias("n_tok"),
+    )
+    out = pack_sequences_greedy(d, "doc_id", "n_tok", capacity=2048).collect()
+    again = pack_sequences_greedy(
+        d.repartition(17), "doc_id", "n_tok", capacity=2048
+    ).collect()
+    key = lambda r: (r["doc_id"], r["bucket"], r["seq_idx"], r["seq_off"])
+    assert sorted(map(key, out)) == sorted(map(key, again))
+    assert len(out) == 300
+
+    toks = {r["doc_id"]: r["n_tok"] for r in d.collect()}
+    seqs = defaultdict(list)
+    for r in out:
+        seqs[(r["bucket"], r["seq_idx"])].append(r)
+    for (_, _), members in seqs.items():
+        members.sort(key=lambda r: r["seq_off"])
+        fill = 0
+        for m in members:
+            assert m["seq_off"] == fill
+            fill += toks[m["doc_id"]]
+        if fill > 2048:  # only a lone oversized doc may overflow
+            assert len(members) == 1 and toks[members[0]["doc_id"]] > 2048
+    # dense seq_idx per bucket
+    by_bucket = defaultdict(set)
+    for r in out:
+        by_bucket[r["bucket"]].add(r["seq_idx"])
+    for b, idxs in by_bucket.items():
+        assert idxs == set(range(len(idxs))), b
+
+
+def test_pack_sequences_greedy_fail_fast(spark):
+    import pytest as _pytest
+
+    from oamap_spark.operators.packing import pack_sequences_greedy
+
+    d = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(10).alias("n_tok"))
+    with _pytest.raises(ValueError, match="capacity"):
+        pack_sequences_greedy(d, "doc_id", "n_tok", capacity=0)
+    with _pytest.raises(ValueError, match="bucket_hex"):
+        pack_sequences_greedy(d, "doc_id", "n_tok", capacity=10, bucket_hex=0)
+    with _pytest.raises(ValueError, match="reserved"):
+        pack_sequences_greedy(
+            d.withColumn("seq_idx", F.lit(1)), "doc_id", "n_tok", capacity=10
+        )
+
+
+def test_temperature_mixture_sample_flattening(spark):
+    """α=0.5 mixing: the small source's sampling rate must exceed the
+    big source's (that's the flattening), membership is deterministic
+    under repartitioning, and no group exceeds rate 1."""
+    d = spark.range(2200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, F.lit("big")).otherwise(F.lit("small")).alias("src"),
+    )
+    got = S.temperature_mixture_sample(d, "doc_id", "src", 0.25)
+    rows = got.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    n = {r["src"]: r["n"] for r in rows}
+    # expected rates: w_big=sqrt(2000)=44.7, w_small=14.1; N=550
+    # r_big = 550*0.76/2000 ≈ 0.209, r_small = 550*0.24/200 ≈ 0.66
+    assert n["small"] / 200 > n["big"] / 2000
+    assert n["big"] <= 2000 and n["small"] <= 200
+    again = S.temperature_mixture_sample(d.repartition(13), "doc_id", "src", 0.25)
+    assert got.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").exceptAll(got.select("doc_id")).count() == 0
