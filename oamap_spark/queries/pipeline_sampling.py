@@ -487,7 +487,10 @@ def pack_sequences_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling and the trainer). The oracle replays the identical greedy
     scan as a per-bucket recursive CTE — sequential by nature, which
     is exactly why the engine side buckets first and scans per bucket
-    in parallel."""
+    in parallel. Complements `pack_sequences_greedy` (llm_curation),
+    which counts sequences/padding per language via a native fold:
+    that query answers "how many sequences will this cost", this one
+    emits the actual per-document slot table a loader consumes."""
     from oamap_spark.operators.packing import pack_sequences_greedy
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -533,7 +536,10 @@ def mixture_temperature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-represented, membership a pure hash function of doc_id
     (operators/sampling.py:temperature_mixture_sample). Output is the
     per-source before/after census a pipeline records as its mixing
-    manifest. The oracle replays the rate arithmetic bit-for-bit
+    manifest. Complements `corpus_mixture_weighted` (llm_curation),
+    whose per-source weights are FIXED config — here the rates are
+    DERIVED from the corpus census itself, the usual way mixtures are
+    actually set. The oracle replays the rate arithmetic bit-for-bit
     (sqrt is correctly rounded everywhere; the weight sum runs in
     sorted group order; the keep test compares integers)."""
     d = load_table(spark, sf_dir, "documents")
