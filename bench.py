@@ -138,17 +138,19 @@ def main() -> None:
 
     # Containment-dedup twin of the skew micro-bench (VERDICT r7
     # "Next round #6"): a boilerplate-heavy corpus — every one of 500
-    # docs opens with the same 12-token header, so each of its ~10
-    # header shingles has df = 500; 10 docs additionally have their
-    # unique tail quoted whole inside a longer doc (true doc-in-doc
-    # pairs, df = 2 shingles). The SIGNAL is candidate pair-sid
+    # docs opens with the same 11-token header, so each of its 9
+    # all-header shingles has df = 500; 10 docs additionally have
+    # their unique tail quoted whole inside a longer doc (true
+    # doc-in-doc pairs: ~10 shared df=2 tail shingles each, verified
+    # containment 19/21 ≈ 0.905 — the two header→tail boundary
+    # shingles differ). The SIGNAL is candidate pair-sid
     # incidences Σ_sid C(df_kept, 2) — what the posting self-join
     # actually shuffles: uncapped, each hot shingle alone contributes
     # 500·499/2 ≈ 125k incidences (quadratic in cluster size; at 1M
     # boilerplate docs that is 5·10¹¹ per shingle on one key); capped
     # (df_cap=16, the production knob) drops the hot postings and
     # keeps ONLY the df=2 quoted-tail shingles — linear, and the 10
-    # genuine pairs still verify at containment 1.0 in BOTH arms
+    # genuine pairs still verify (at ≈ 0.905 ≥ 0.8) in BOTH arms
     # (recall loss from the cap: zero here, boilerplate-only pairs by
     # design elsewhere).
     from oamap_spark.operators.dedup import (

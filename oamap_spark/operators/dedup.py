@@ -107,6 +107,26 @@ def all_pairs_jaccard(
     )
 
 
+def shingle_ids_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """The shared narrow (id, shingle-ids) table every shingle-based
+    dedup detector starts from — tokenize (one md5 per token), combine
+    into n-shingle ids, persist via cache.track (caller-owned
+    lifetime). Build it ONCE per corpus snapshot and pass it to
+    ``minhash_lsh_pairs`` / ``containment_pairs`` via ``ids_df`` when
+    running several detectors over the same corpus (the all-signals
+    composition) — otherwise each detector re-scans and re-tokenizes
+    the corpus and caches its own identical copy. At 100 TB the
+    equivalent move is materializing this table to storage once."""
+    from oamap_spark.cache import track
+
+    return track(
+        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
+        .select("id", combine_shingle_ids(F.col("tids"), n).alias("ids"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -116,6 +136,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     n: int = 3,
     bucket_cap: int | None = None,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over n-token shingles, verified with
     exact shingle Jaccard.
@@ -138,6 +159,10 @@ def minhash_lsh_pairs(
     the same groups), at the cost of no longer listing every pairwise
     edge inside the giant bucket. None (default) = exact pair list,
     the oracle-checkable form.
+
+    ``ids_df``: optionally pass a precomputed :func:`shingle_ids_table`
+    (MUST be built with the same ``n``) so multi-detector pipelines
+    tokenize the corpus once instead of once per detector.
     """
     n_bands = k // rows_per_band
     # One narrow, persisted shingle-id table feeds everything: the md5
@@ -155,12 +180,8 @@ def minhash_lsh_pairs(
     # boundaries: inlining `tids` into the shingle lambda or `ids`
     # into the k minhash expressions re-evaluates the hash subtree per
     # reference (measured 12–14× slower).
-    from oamap_spark.cache import track
-
-    ids_df = track(
-        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
-        .select("id", combine_shingle_ids(F.col("tids"), n).alias("ids"))
-    )
+    if ids_df is None:
+        ids_df = shingle_ids_table(df, id_col, text_col, n)
     sig_df = ids_df.select("id", minhash_signature(F.col("ids"), k).alias("sig"))
 
     bands = sig_df.select(
@@ -282,6 +303,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int = 16,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-INCLUSION dedup: pairs whose smaller shingle set is mostly
     inside the other's — containment C = |A∩B| / min(|A|, |B|) ≥
@@ -310,13 +332,13 @@ def containment_pairs(
     sharing ONLY df-capped shingles is missed. Completeness within the
     guard: any pair sharing ≥ 1 sub-cap shingle is a candidate, and
     the exact verify decides — so unlike minhash there is no
-    probabilistic miss on candidate pairs."""
-    from oamap_spark.cache import track
+    probabilistic miss on candidate pairs.
 
-    ids_df = track(
-        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
-        .select("id", combine_shingle_ids(F.col("tids"), n).alias("ids"))
-    )
+    ``ids_df``: optionally pass a precomputed :func:`shingle_ids_table`
+    (MUST be built with the same ``n``) so multi-detector pipelines
+    tokenize the corpus once instead of once per detector."""
+    if ids_df is None:
+        ids_df = shingle_ids_table(df, id_col, text_col, n)
     post = ids_df.select("id", F.explode("ids").alias("sid"))
     dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")

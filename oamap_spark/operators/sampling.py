@@ -211,7 +211,18 @@ def temperature_mixture_sample(
     addition order is nondeterministic); the keep test compares
     integers. Plan shape: two tiny aggregates over the group domain, a
     broadcast of the per-group threshold table, one narrow filter —
-    no extra shuffle of the corpus itself at any scale."""
+    no extra shuffle of the corpus itself at any scale.
+
+    Rows with a NULL group form their own stratum (null-safe join), so
+    no row silently vanishes from the mixture; rows with a NULL key
+    hash to NULL and are never sampled -- keys follow the same
+    unique-non-null contract as every hash-sampling op here."""
+    reserved = {"__g", "__thr"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "temperature_mixture_sample: reserved column name(s) in use "
+            f"{sorted(reserved)}"
+        )
     n = F.count(F.lit(1)).alias("n")
     counts = df.groupBy(F.col(group_col).alias("__g")).agg(n)
     wg = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -233,7 +244,7 @@ def temperature_mixture_sample(
         "long"
     )
     return (
-        df.join(F.broadcast(thr), df[group_col] == F.col("__g"))
+        df.join(F.broadcast(thr), df[group_col].eqNullSafe(F.col("__g")))
         .where(h32 < F.col("__thr"))
         .drop("__g", "__thr")
     )

@@ -15,6 +15,91 @@ _IDS = X.SQL_TOKEN_IDS.format(col="text")
 _SHINGLES = X.SQL_SHINGLES.format(tk="tk")
 
 
+def minhash_pairs_ctes(p: str = "") -> str:
+    """DuckDB CTE chain replaying the full MinHash(16)+LSH(8x2)
+    pipeline, ending in ``{p}mh_pairs`` (id_a, id_b, jaccard >= 0.9).
+    ONE source of truth: the ``dedup_minhash_lsh`` oracle and the
+    all-signals composition (queries/pipeline_sampling.py) both build
+    from it, so a fix here reaches every consumer (r8 review: the
+    composed oracle used to be a hand-edited copy). ``p`` prefixes
+    every CTE name so several families coexist in one WITH."""
+    return f"""{p}t AS (
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
+), {p}base AS (
+  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM {p}t
+), {p}sig AS (
+  SELECT doc_id, ids AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM {p}base
+), {p}bands AS (
+  SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
+  FROM (
+    SELECT doc_id,
+           unnest([{{'band_idx': i,
+                     'band_key': CAST(sg[2*i + 1] AS VARCHAR) || '_' || CAST(sg[2*i + 2] AS VARCHAR)}}
+                   for i in range(0, 8)]) AS u
+    FROM {p}sig
+  )
+), {p}cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM {p}bands x JOIN {p}bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), {p}mh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+  FROM {p}cand c
+  JOIN {p}sig sa ON sa.doc_id = c.id_a
+  JOIN {p}sig sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.9
+)"""
+
+
+def containment_pairs_ctes(p: str = "") -> str:
+    """DuckDB CTE chain replaying the df-capped (16) inverted-index
+    containment pipeline incl. the upper-bound prune, ending in
+    ``{p}ct_pairs`` (id_a, id_b, containment >= 0.8). Shared by the
+    ``dedup_containment_pairs`` oracle and the all-signals composition
+    (one source of truth, r8 review)."""
+    return f"""{p}ctt AS (
+  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
+), {p}ctbase AS (
+  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM {p}ctt
+), {p}post AS (
+  SELECT doc_id, unnest(ids) AS sid FROM {p}ctbase
+), {p}dfreq AS (
+  SELECT sid, count(*) AS df FROM {p}post GROUP BY sid
+), {p}kept AS (
+  SELECT pp.doc_id, pp.sid FROM {p}post pp JOIN {p}dfreq USING (sid) WHERE df <= 16
+), {p}stats AS (
+  SELECT b.doc_id, len(b.ids) AS sz,
+         len(b.ids) - coalesce(k.kc, 0) AS capped
+  FROM {p}ctbase b LEFT JOIN (
+    SELECT doc_id, count(*) AS kc FROM {p}kept GROUP BY doc_id
+  ) k ON k.doc_id = b.doc_id
+), {p}ctcand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared_kept
+  FROM {p}kept x JOIN {p}kept y ON x.sid = y.sid AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), {p}pruned AS (
+  SELECT c.id_a, c.id_b
+  FROM {p}ctcand c
+  JOIN {p}stats sa ON sa.doc_id = c.id_a
+  JOIN {p}stats sb ON sb.doc_id = c.id_b
+  WHERE CAST(c.shared_kept + least(sa.capped, sb.capped) AS DOUBLE)
+        / least(sa.sz, sb.sz) >= 0.8
+), {p}ct_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
+               / least(len(a.ids), len(b.ids)), 6) AS containment
+  FROM {p}pruned c
+  JOIN {p}ctbase a ON a.doc_id = c.id_a
+  JOIN {p}ctbase b ON b.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
+        / least(len(a.ids), len(b.ids)) >= 0.8
+)"""
+
+
 @register(
     "dedup_exact_canonical",
     tags=("llm", "dedup", "exact"),
@@ -68,35 +153,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash", "lsh"),
     bench=True,
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
-), base AS (
-  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM t
-), sig AS (
-  SELECT doc_id, ids AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM base
-), bands AS (
-  SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
-  FROM (
-    SELECT doc_id,
-           unnest([{{'band_idx': i,
-                     'band_key': CAST(sg[2*i + 1] AS VARCHAR) || '_' || CAST(sg[2*i + 2] AS VARCHAR)}}
-                   for i in range(0, 8)]) AS u
-    FROM sig
-  )
-), cand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM bands x JOIN bands y
-    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id
-)
-SELECT c.id_a, c.id_b,
-       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
-FROM cand c
-JOIN sig sa ON sa.doc_id = c.id_a
-JOIN sig sb ON sb.doc_id = c.id_b
-WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.9
+WITH {minhash_pairs_ctes()}
+SELECT id_a, id_b, jaccard FROM mh_pairs
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,42 +565,8 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_pairs",
     tags=("llm", "dedup", "containment", "inverted_index"),
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
-), base AS (
-  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM t
-), post AS (
-  SELECT doc_id, unnest(ids) AS sid FROM base
-), dfreq AS (
-  SELECT sid, count(*) AS df FROM post GROUP BY sid
-), kept AS (
-  SELECT p.doc_id, p.sid FROM post p JOIN dfreq USING (sid) WHERE df <= 16
-), stats AS (
-  SELECT b.doc_id, len(b.ids) AS sz,
-         len(b.ids) - coalesce(k.kc, 0) AS capped
-  FROM base b LEFT JOIN (
-    SELECT doc_id, count(*) AS kc FROM kept GROUP BY doc_id
-  ) k ON k.doc_id = b.doc_id
-), cand AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared_kept
-  FROM kept x JOIN kept y ON x.sid = y.sid AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-), pruned AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c
-  JOIN stats sa ON sa.doc_id = c.id_a
-  JOIN stats sb ON sb.doc_id = c.id_b
-  WHERE CAST(c.shared_kept + least(sa.capped, sb.capped) AS DOUBLE)
-        / least(sa.sz, sb.sz) >= 0.8
-)
-SELECT c.id_a, c.id_b,
-       round(CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
-             / least(len(a.ids), len(b.ids)), 6) AS containment
-FROM pruned c
-JOIN base a ON a.doc_id = c.id_a
-JOIN base b ON b.doc_id = c.id_b
-WHERE CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
-      / least(len(a.ids), len(b.ids)) >= 0.8
+WITH {containment_pairs_ctes()}
+SELECT id_a, id_b, containment FROM ct_pairs
 """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

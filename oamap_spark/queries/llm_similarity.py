@@ -516,31 +516,51 @@ def _dedup_corpus(e: DataFrame) -> DataFrame:
 # DuckDB twin of _dedup_corpus: identical int-mod + double arithmetic
 # (CAST(0.0005 AS DOUBLE) forces int×double, matching Spark's fold;
 # DuckDB lambda index i is 1-based → (i - 1)).
-_SQL_DEDUP_CORPUS = f"""
-base AS (
+def dedup_corpus_ctes(p: str = "") -> str:
+    """DuckDB CTE chain building the clone-augmented dedup corpus,
+    ending in ``{p}v`` (vec_id, e). Single source of truth for every
+    oracle that replays _dedup_corpus (r8 review: the all-signals
+    composition used to hand-copy it); ``p`` prefixes the CTE names so
+    several families coexist in one WITH."""
+    return f"""
+{p}base AS (
   SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
 ),
-clones AS (
+{p}clones AS (
   SELECT vec_id + {CLONE_OFFSET} AS vec_id,
          list_transform(e, (x, i) -> x + (((i - 1) % 7) - 3) * CAST({_PERTURB} AS DOUBLE)) AS e
-  FROM base WHERE vec_id < {N_CLONES}
+  FROM {p}base WHERE vec_id < {N_CLONES}
 ),
-v AS (SELECT * FROM base UNION ALL SELECT * FROM clones)
+{p}v AS (SELECT * FROM {p}base UNION ALL SELECT * FROM {p}clones)
 """
+
+
+_SQL_DEDUP_CORPUS = dedup_corpus_ctes()
+
+
+def neardup_pairs_ctes(p: str = "") -> str:
+    """Corpus + exact all-pairs cosine >= 0.99, ending in
+    ``{p}emb_pairs`` (id_a, id_b, cos_sim). Shared by the
+    dedup_embedding_cosine / dedup_embedding_banded oracles and the
+    all-signals composition (queries/pipeline_sampling.py)."""
+    return f"""{dedup_corpus_ctes(p).strip()},
+{p}emb_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({V.SQL_DOT.format(a='a.e', b='b.e')}
+           / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
+           AS cos_sim
+  FROM {p}v a JOIN {p}v b ON a.vec_id < b.vec_id
+  WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
+        / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+)"""
 
 
 @register(
     "dedup_embedding_cosine",
     tags=("llm", "dedup", "embedding", "cosine", "sf_bounded_oracle_twin"),
     oracle=f"""
-WITH {_SQL_DEDUP_CORPUS}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({V.SQL_DOT.format(a='a.e', b='b.e')}
-         / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
-         AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
-      / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+WITH {neardup_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM emb_pairs
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,14 +603,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_simhash_banded is gated against its pairs twin) — and with
     # the clones present the match is over ≥ N_CLONES real pairs, not ∅.
     oracle=f"""
-WITH {_SQL_DEDUP_CORPUS}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({V.SQL_DOT.format(a='a.e', b='b.e')}
-         / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
-         AS cos_sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
-      / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+WITH {neardup_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM emb_pairs
 """,
 )
 def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -290,89 +290,26 @@ def epoch_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 from oamap_spark.functions import vectors as V  # noqa: E402
 from oamap_spark.queries import llm_similarity as SIM  # noqa: E402
 
-# DuckDB replay of all three pair pipelines (each replay already
-# exists verbatim on its own query — this is composition): MinHash LSH
-# (dedup_minhash_lsh), df-capped shingle containment
-# (dedup_containment_pairs), embedding cosine over the clone-augmented
-# corpus (dedup_embedding_banded's recall-complete all-pairs twin).
-# CTE names are prefixed (m/c/e) to coexist in one WITH RECURSIVE.
-_ALL_SIGNALS_CTES = f"""
-mt AS (
-  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
-), mbase AS (
-  SELECT doc_id, {X.SQL_COMBINE_SHINGLE_IDS.format(tids='tids')} AS ids FROM mt
-), msig AS (
-  SELECT doc_id, ids AS s, {X.sql_minhash_signature('ids', 16)} AS sg FROM mbase
-), mbands AS (
-  SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
-  FROM (
-    SELECT doc_id,
-           unnest([{{'band_idx': i,
-                     'band_key': CAST(sg[2*i + 1] AS VARCHAR) || '_' || CAST(sg[2*i + 2] AS VARCHAR)}}
-                   for i in range(0, 8)]) AS u
-    FROM msig
-  )
-), mcand AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM mbands x JOIN mbands y
-    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id
-), mh_pairs AS (
-  SELECT c.id_a, c.id_b
-  FROM mcand c
-  JOIN msig sa ON sa.doc_id = c.id_a
-  JOIN msig sb ON sb.doc_id = c.id_b
-  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.9
-), cpost AS (
-  SELECT doc_id, unnest(ids) AS sid FROM mbase
-), cdfreq AS (
-  SELECT sid, count(*) AS df FROM cpost GROUP BY sid
-), ckept AS (
-  SELECT p.doc_id, p.sid FROM cpost p JOIN cdfreq USING (sid) WHERE df <= 16
-), cstats AS (
-  SELECT b.doc_id, len(b.ids) AS sz,
-         len(b.ids) - coalesce(k.kc, 0) AS capped
-  FROM mbase b LEFT JOIN (
-    SELECT doc_id, count(*) AS kc FROM ckept GROUP BY doc_id
-  ) k ON k.doc_id = b.doc_id
-), ccand AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS shared_kept
-  FROM ckept x JOIN ckept y ON x.sid = y.sid AND x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-), cpruned AS (
-  SELECT c.id_a, c.id_b
-  FROM ccand c
-  JOIN cstats sa ON sa.doc_id = c.id_a
-  JOIN cstats sb ON sb.doc_id = c.id_b
-  WHERE CAST(c.shared_kept + least(sa.capped, sb.capped) AS DOUBLE)
-        / least(sa.sz, sb.sz) >= 0.8
-), ct_pairs AS (
-  SELECT c.id_a, c.id_b
-  FROM cpruned c
-  JOIN mbase a ON a.doc_id = c.id_a
-  JOIN mbase b ON b.doc_id = c.id_b
-  WHERE CAST(len(list_intersect(a.ids, b.ids)) AS DOUBLE)
-        / least(len(a.ids), len(b.ids)) >= 0.8
-), ebase AS (
-  SELECT vec_id, {V.SQL_AS_DOUBLE.format(col='embedding')} AS e FROM embeddings
-), eclones AS (
-  SELECT vec_id + {SIM.CLONE_OFFSET} AS vec_id,
-         list_transform(e, (x, i) -> x + (((i - 1) % 7) - 3) * CAST({SIM._PERTURB} AS DOUBLE)) AS e
-  FROM ebase WHERE vec_id < {SIM.N_CLONES}
-), ev AS (
-  SELECT * FROM ebase UNION ALL SELECT * FROM eclones
-), emb_pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-  WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
-        / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
-), sig_pairs AS (
-  SELECT id_a, id_b FROM mh_pairs
+# DuckDB replay of all three pair pipelines, assembled from the SAME
+# prefix-parameterized CTE builders the standalone oracles use
+# (minhash_pairs_ctes / containment_pairs_ctes in llm_dedup,
+# neardup_pairs_ctes in llm_similarity) — one source of truth per
+# family, so a pipeline fix automatically reaches this composition
+# (r8 review: this block used to be a hand-edited 90-line copy).
+from oamap_spark.queries.llm_dedup import (  # noqa: E402
+    containment_pairs_ctes,
+    minhash_pairs_ctes,
+)
+
+_ALL_SIGNALS_CTES = f"""{minhash_pairs_ctes('m')},
+{containment_pairs_ctes('c')},
+{SIM.neardup_pairs_ctes('e')},
+sig_pairs AS (
+  SELECT id_a, id_b FROM mmh_pairs
   UNION
-  SELECT id_a, id_b FROM ct_pairs
+  SELECT id_a, id_b FROM cct_pairs
   UNION
-  SELECT id_a, id_b FROM emb_pairs
+  SELECT id_a, id_b FROM eemb_pairs
 ), sedges AS (
   SELECT id_a AS src, id_b AS dst FROM sig_pairs
   UNION
@@ -417,8 +354,12 @@ def dedup_clusters_all_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     A to C. Embedding ids share the document id space (vec_id k is
     doc k's embedding); the deterministic clone ids (≥ CLONE_OFFSET,
     see llm_similarity._dedup_corpus) join the graph but are not
-    documents, so they can never alter a document's keeper status —
-    each clone clusters under its original's (smaller) id.
+    documents: a clone can never BE a keeper (its id exceeds every
+    document id, so it is never a cluster's min), though like any
+    graph node it can transitively bridge two documents whose direct
+    cosine sits just under the threshold — that is near-dup edge
+    semantics working as intended, and the oracle replays the same
+    clones so both engines see the identical graph.
 
     Scale shape: each pair family keeps its own candidate-generation
     discipline (band keys / df-capped postings / LSH buckets — ids
@@ -430,11 +371,15 @@ def dedup_clusters_all_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification-SF only."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
+    # ONE tokenize+shingle pass feeds both lexical detectors (r8
+    # review: each otherwise re-scans the corpus and caches its own
+    # identical shingle table)
+    sids = D.shingle_ids_table(d, "doc_id", "text", n=3)
     mh = D.minhash_lsh_pairs(
-        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9
+        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9, ids_df=sids
     ).select("id_a", "id_b")
     ct = D.containment_pairs(
-        d, "doc_id", "text", n=3, threshold=0.8, df_cap=16
+        d, "doc_id", "text", n=3, threshold=0.8, df_cap=16, ids_df=sids
     ).select("id_a", "id_b")
     emb = SIM._banded_neardup_pairs(SIM._dedup_corpus(e)).select("id_a", "id_b")
     pairs = mh.unionByName(ct).unionByName(emb).distinct()
@@ -491,12 +436,12 @@ def pack_sequences_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     which counts sequences/padding per language via a native fold:
     that query answers "how many sequences will this cost", this one
     emits the actual per-document slot table a loader consumes."""
-    from oamap_spark.operators.packing import pack_sequences_greedy
+    from oamap_spark.operators.packing import greedy_pack_slots
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tok")
     )
-    return pack_sequences_greedy(d, "doc_id", "n_tok", capacity=2048, bucket_hex=1)
+    return greedy_pack_slots(d, "doc_id", "n_tok", capacity=2048, bucket_hex=1)
 
 
 @register(
@@ -519,7 +464,7 @@ WITH mcounts AS (
   FROM mcum, mtot
 ), msamp AS (
   SELECT d.source AS g, count(*) AS n_sampled
-  FROM documents d JOIN mthr ON mthr.g = d.source
+  FROM documents d JOIN mthr ON mthr.g IS NOT DISTINCT FROM d.source
   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < mthr.thr
   GROUP BY d.source
 )

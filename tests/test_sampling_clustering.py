@@ -119,14 +119,14 @@ def test_components_compose_with_lsh_pairs(spark):
     assert {r["cluster_id"] for r in rows} <= nodes
 
 
-def test_pack_sequences_greedy_invariants(spark):
+def test_greedy_pack_slots_invariants(spark):
     """Packing slots are a pure function of (ids, token counts):
     partitioning-invariant; seq indices dense per bucket; no sequence
     overflows capacity unless it holds a single oversized doc; offsets
     are the running fill."""
     from collections import defaultdict
 
-    from oamap_spark.operators.packing import pack_sequences_greedy
+    from oamap_spark.operators.packing import greedy_pack_slots
 
     d = spark.range(300).select(
         F.col("id").alias("doc_id"),
@@ -136,8 +136,8 @@ def test_pack_sequences_greedy_invariants(spark):
         .otherwise((F.col("id") % 37) * 31 + 40)
         .alias("n_tok"),
     )
-    out = pack_sequences_greedy(d, "doc_id", "n_tok", capacity=2048).collect()
-    again = pack_sequences_greedy(
+    out = greedy_pack_slots(d, "doc_id", "n_tok", capacity=2048).collect()
+    again = greedy_pack_slots(
         d.repartition(17), "doc_id", "n_tok", capacity=2048
     ).collect()
     key = lambda r: (r["doc_id"], r["bucket"], r["seq_idx"], r["seq_off"])
@@ -164,18 +164,18 @@ def test_pack_sequences_greedy_invariants(spark):
         assert idxs == set(range(len(idxs))), b
 
 
-def test_pack_sequences_greedy_fail_fast(spark):
+def test_greedy_pack_slots_fail_fast(spark):
     import pytest as _pytest
 
-    from oamap_spark.operators.packing import pack_sequences_greedy
+    from oamap_spark.operators.packing import greedy_pack_slots
 
     d = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(10).alias("n_tok"))
     with _pytest.raises(ValueError, match="capacity"):
-        pack_sequences_greedy(d, "doc_id", "n_tok", capacity=0)
+        greedy_pack_slots(d, "doc_id", "n_tok", capacity=0)
     with _pytest.raises(ValueError, match="bucket_hex"):
-        pack_sequences_greedy(d, "doc_id", "n_tok", capacity=10, bucket_hex=0)
+        greedy_pack_slots(d, "doc_id", "n_tok", capacity=10, bucket_hex=0)
     with _pytest.raises(ValueError, match="reserved"):
-        pack_sequences_greedy(
+        greedy_pack_slots(
             d.withColumn("seq_idx", F.lit(1)), "doc_id", "n_tok", capacity=10
         )
 
@@ -198,3 +198,21 @@ def test_temperature_mixture_sample_flattening(spark):
     again = S.temperature_mixture_sample(d.repartition(13), "doc_id", "src", 0.25)
     assert got.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
     assert again.select("doc_id").exceptAll(got.select("doc_id")).count() == 0
+
+
+def test_greedy_pack_slots_enforces_preconditions(spark):
+    """Null token counts / null ids / duplicate ids must FAIL the job,
+    not silently corrupt the slot table (a NaN fill would quietly turn
+    the rest of the bucket into one-doc-per-sequence)."""
+    from oamap_spark.operators.packing import greedy_pack_slots
+
+    base = [(1, 10), (2, 20), (3, 30)]
+    dup = spark.createDataFrame(base + [(2, 5)], ["doc_id", "n_tok"])
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        greedy_pack_slots(dup, "doc_id", "n_tok", capacity=100).collect()
+    nul_t = spark.createDataFrame([(1, 10), (2, None)], "doc_id long, n_tok long")
+    with pytest.raises(Exception, match="null n_tok"):
+        greedy_pack_slots(nul_t, "doc_id", "n_tok", capacity=100).collect()
+    nul_id = spark.createDataFrame([(1, 10), (None, 5)], "doc_id long, n_tok long")
+    with pytest.raises(Exception, match="null doc_id"):
+        greedy_pack_slots(nul_id, "doc_id", "n_tok", capacity=100).collect()
