@@ -112,3 +112,45 @@ def test_snippet_epoch_shuffle(spark):
     ordered = epoch_shuffle(docs, "doc_id", epoch=1)
     pos = [r["epoch_pos"] for r in ordered.collect()]
     assert sorted(pos) == list(range(len(pos)))
+
+
+def test_snippet_greedy_pack_slots(spark):
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.packing import greedy_pack_slots
+
+    docs = _docs(spark)
+    slots = greedy_pack_slots(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id", "n_tok", capacity=2048)
+    rows = slots.collect()
+    assert len(rows) == docs.count()
+    assert {"doc_id", "bucket", "seq_idx", "seq_off"} == set(slots.columns)
+
+
+def test_snippet_temperature_mixture(spark):
+    from oamap_spark.operators.sampling import temperature_mixture_sample
+
+    docs = _docs(spark)
+    mixed = temperature_mixture_sample(docs, "doc_id", "source", 0.25)
+    n, total = mixed.count(), docs.count()
+    assert 0 < n < total
+
+
+def test_snippet_all_signals_dedup(spark):
+    from oamap_spark.operators.clustering import (connected_components_min_id,
+                                                  dedup_keepers)
+    from oamap_spark.operators.dedup import (containment_pairs,
+                                             minhash_lsh_pairs,
+                                             shingle_ids_table)
+
+    docs = _docs(spark)
+    sids = shingle_ids_table(docs, "doc_id", "text")
+    edges = (minhash_lsh_pairs(docs, "doc_id", "text", ids_df=sids)
+             .select("id_a", "id_b")
+             .unionByName(containment_pairs(docs, "doc_id", "text",
+                                            ids_df=sids)
+                          .select("id_a", "id_b"))
+             .distinct())
+    kept = dedup_keepers(docs, "doc_id", connected_components_min_id(edges))
+    assert 0 < kept.count() <= docs.count()
