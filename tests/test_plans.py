@@ -560,3 +560,36 @@ def test_aqe_skew_split_fires_and_its_limits(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mixture_broadcasts_thresholds_no_corpus_shuffle(spark, queries):
+    """mixture_temperature_counts: the per-group threshold table must
+    reach the corpus via a broadcast join — the corpus rows themselves
+    never shuffle for the sampling step (the whole point of deriving
+    rates from two tiny group-domain aggregates)."""
+    from oamap_spark.operators.sampling import temperature_mixture_sample
+    from oamap_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    plan = audit.plan_string(temperature_mixture_sample(d, "doc_id", "source", 0.25))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pack_slots_single_bucket_shuffle(spark):
+    """greedy_pack_slots: exactly ONE exchange (the bucket hash
+    partitioning feeding the per-bucket pandas scan) — the corpus is
+    not re-shuffled for ordering; the scan sorts within buckets."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.packing import greedy_pack_slots
+    from oamap_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    df = greedy_pack_slots(d, "doc_id", "n_tok", capacity=2048)
+    plan = audit.plan_string(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert audit.shuffle_count(df) == 1, plan
