@@ -127,6 +127,37 @@ def shingle_ids_table(
     )
 
 
+def _explode_bands(sig_df: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature table into one row per LSH band. Every
+    column except ``sig`` is carried through unchanged, plus
+    (band_idx, band_key). Band keys are string "sig_i ∘ sig_{i+1}"
+    concatenations (no modular-combine overflow, portable to SQL) —
+    the single source of the band layout shared by the batch and
+    incremental pair builders, so the oracle replay stays in lockstep
+    with both."""
+    keep = [c for c in sig_df.columns if c != "sig"]
+    return sig_df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig").getItem(i * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(*keep, "band.band_idx", "band.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -184,26 +215,7 @@ def minhash_lsh_pairs(
         ids_df = shingle_ids_table(df, id_col, text_col, n)
     sig_df = ids_df.select("id", minhash_signature(F.col("ids"), k).alias("sig"))
 
-    bands = sig_df.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig").getItem(i * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_key")
+    bands = _explode_bands(sig_df, n_bands, rows_per_band)
 
     if bucket_cap is not None:
         from pyspark.sql import Window
@@ -246,6 +258,89 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def minhash_lsh_pairs_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str,
+    k: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.9,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental MinHash+LSH: near-dup pairs that involve AT LEAST
+    ONE new document — the continuous-ingestion shape, where an
+    arrival batch is deduped against the accumulated corpus WITHOUT
+    ever forming a corpus×corpus candidate.
+
+    The band join is asymmetric: the left side keeps only arrival
+    bands (``new_col`` true), the right side is the full band table,
+    so a bucket with s members and m arrivals costs m·s candidate
+    rows instead of s²/2 — and with |arrivals| ≪ |corpus| (the steady
+    state) the whole run is linear in corpus size. At 100 TB the
+    corpus half of the band table comes from the persisted signature
+    index (built once per corpus snapshot, cf. shingle_ids_table);
+    only arrival signatures are new work per batch. The boolean flag
+    rides the narrow tokenize→shingle→signature pipeline, so there is
+    no extra join or shuffle versus the batch form.
+
+    Output pairs are normalized (id_a < id_b) and verified with exact
+    shingle Jaccard, identical to :func:`minhash_lsh_pairs`: the
+    result equals the batch pair list filtered to pairs touching an
+    arrival (restriction commutes with banding — a pair's band
+    collision does not depend on which pipeline found it), which is
+    exactly what the SQL oracle replays.
+
+    Boilerplate-cluster skew: an over-sized band bucket costs m·s
+    here — linear in corpus bucket size, not quadratic. If the
+    arrivals THEMSELVES form giant clusters, run the bucket_cap star
+    of :func:`minhash_lsh_pairs` over the arrivals-only sub-table
+    first and feed survivors here.
+    """
+    from oamap_spark.cache import track
+
+    n_bands = k // rows_per_band
+    ids_df = track(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(new_col).cast("boolean").alias("is_new"),
+            token_id_array(text_col).alias("tids"),
+        ).select("id", "is_new", combine_shingle_ids(F.col("tids"), n).alias("ids"))
+    )
+    sig_df = ids_df.select(
+        "id", "is_new", minhash_signature(F.col("ids"), k).alias("sig")
+    )
+    bands = _explode_bands(sig_df, n_bands, rows_per_band)
+    cand = (
+        bands.where(F.col("is_new"))
+        .select("id", "band_idx", "band_key")
+        .alias("x")
+        .join(
+            bands.select("id", "band_idx", "band_key").alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = ids_df.select("id", F.col("ids").alias("s"))
+    return (
+        cand.join(
+            sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a"
+        )
+        .join(
+            sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b"
+        )
+        .withColumn("jaccard", jaccard_set(F.col("s_a"), F.col("s_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_window_overlap(

@@ -562,6 +562,43 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    tags=("llm", "dedup", "minhash", "lsh", "incremental"),
+    oracle=f"""
+WITH {minhash_pairs_ctes()},
+arrivals AS (
+  SELECT doc_id FROM documents WHERE CAST(substring(source, 4) AS INT) >= 10
+)
+SELECT p.id_a, p.id_b, p.jaccard
+FROM mh_pairs p
+WHERE p.id_a IN (SELECT doc_id FROM arrivals)
+   OR p.id_b IN (SELECT doc_id FROM arrivals)
+""",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: MinHash(16)+LSH(8×2) pairs touching an
+    arrival batch (sources src10+) against the accumulated corpus
+    (src0–src9) — the asymmetric band join never forms a
+    corpus×corpus candidate, so a daily batch is linear in corpus
+    size (see operators/dedup.py:minhash_lsh_pairs_incremental). The
+    oracle replays the full batch pipeline and filters to
+    arrival-touching pairs — equivalent because restriction commutes
+    with banding. Companion to ``dedup_incremental_vs_corpus`` (the
+    exact-digest form of the same continuous-ingestion shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    return D.minhash_lsh_pairs_incremental(
+        d.withColumn("__arrival", is_new),
+        "doc_id",
+        "text",
+        "__arrival",
+        k=16,
+        rows_per_band=2,
+        threshold=0.9,
+    )
+
+
+@register(
     "dedup_containment_pairs",
     tags=("llm", "dedup", "containment", "inverted_index"),
     oracle=f"""

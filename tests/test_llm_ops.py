@@ -250,6 +250,54 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, queries):
         assert recall >= 0.3, f"LSH recall {recall:.2f} vs exact jaccard pairs"
 
 
+def test_minhash_incremental_equals_filtered_batch(spark, queries):
+    """The incremental pair list must equal the batch pair list
+    restricted to pairs touching an arrival doc — the operator's
+    correctness contract (restriction commutes with banding), and the
+    exact equivalence the SQL oracle relies on."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    inc = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            d.withColumn("nw", is_new), "doc_id", "text", "nw"
+        ).collect()
+    }
+    arrivals = {
+        r["doc_id"] for r in d.where(is_new).select("doc_id").collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in queries["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    expected = {
+        p for p in batch if p[0] in arrivals or p[1] in arrivals
+    }
+    assert inc == expected
+    assert all(a in arrivals or b in arrivals for a, b, _ in inc)
+
+
+def test_minhash_incremental_never_pairs_corpus_with_corpus(spark):
+    """3 identical corpus docs + 1 identical arrival: the batch form
+    would emit all 6 pairwise edges; the incremental form must emit
+    exactly the 3 edges touching the arrival — corpus×corpus work is
+    skipped by construction, not filtered after the fact."""
+    from oamap_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    rows = [(i, "identical boilerplate text shared by every doc", i == 3)
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, nw boolean")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(df, "doc_id", "text", "nw").collect()
+    }
+    assert pairs == {(0, 3), (1, 3), (2, 3)}
+
+
 def test_ngram_window_overlap_detects_shared_substring(spark):
     from oamap_spark.operators.dedup import ngram_window_overlap
 

@@ -154,3 +154,17 @@ def test_snippet_all_signals_dedup(spark):
              .distinct())
     kept = dedup_keepers(docs, "doc_id", connected_components_min_id(edges))
     assert 0 < kept.count() <= docs.count()
+
+
+def test_snippet_minhash_incremental(spark):
+    from oamap_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = _docs(spark)
+    flagged = docs.withColumn(
+        "is_new", F.substring("source", 4, 10).cast("int") >= 10)
+    new_dups = minhash_lsh_pairs_incremental(
+        flagged, "doc_id", "text", "is_new", threshold=0.8)
+    arrivals = {r["doc_id"]
+                for r in flagged.where("is_new").select("doc_id").collect()}
+    rows = new_dups.collect()
+    assert all(r["id_a"] in arrivals or r["id_b"] in arrivals for r in rows)

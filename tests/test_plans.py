@@ -593,3 +593,30 @@ def test_pack_slots_single_bucket_shuffle(spark):
     plan = audit.plan_string(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert audit.shuffle_count(df) == 1, plan
+
+
+def test_minhash_incremental_probe_filter_below_band_join(spark):
+    """minhash_lsh_pairs_incremental: the arrival filter must sit
+    UNDER the band join (the probe side is pre-filtered, so
+    corpus×corpus candidates are never generated) — not above it as a
+    post-join pair filter, which would be the quadratic batch join
+    wearing an incremental hat. And the whole pipeline stays JVM-side."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from oamap_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "nw", F.substring("source", 4, 10).cast("int") >= 10
+    )
+    df = minhash_lsh_pairs_incremental(d, "doc_id", "text", "nw")
+    plan = audit.plan_string(df, mode="simple")
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+    lines = plan.splitlines()
+    join_rows = [i for i, l in enumerate(lines) if "Join" in l and "band_key" in l]
+    filt_rows = [i for i, l in enumerate(lines) if "Filter" in l and "is_new" in l]
+    assert join_rows and filt_rows, plan
+    band_join = min(join_rows)
+    assert all(i > band_join for i in filt_rows), (
+        "arrival filter printed above the band join — post-join filtering\n" + plan
+    )
