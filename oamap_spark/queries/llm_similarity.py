@@ -115,6 +115,33 @@ def _bucket_neardup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _bucket_neardup_pairs_vs_new(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One LSH bucket → candidate pairs touching at least one NEW
+    row: RECTANGULAR gram (m_new × s) instead of the batch body's s×s
+    — old×old similarities are never computed, which is the whole
+    point of the incremental form (m ≪ s at steady state). Pairs are
+    normalized (id_a < id_b); new×new pairs surface from both
+    directions and the downstream distinct dedups them."""
+    ids = pdf["vec_id"].to_numpy()
+    nw = pdf["is_new"].to_numpy().astype(bool)
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                          "id_b": np.array([], dtype=np.int64)})
+    if len(ids) < 2 or not nw.any():
+        return empty
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+    Mn, idn, nn = M[nw], ids[nw], nrm[nw]
+    sim = (Mn @ M.T) / np.outer(nn, nrm)
+    ii, jj = np.nonzero(sim >= 0.99 - 1e-9)
+    a, b = idn[ii], ids[jj]
+    keep = a != b
+    a, b = a[keep], b[keep]
+    return pd.DataFrame(
+        {"id_a": np.minimum(a, b).astype(np.int64),
+         "id_b": np.maximum(a, b).astype(np.int64)}
+    )
+
+
 def _star_pairs(ids: "np.ndarray") -> pd.DataFrame:
     """Linear star for an oversized bucket: (bucket-min → member)."""
     m = ids.min()
@@ -187,6 +214,41 @@ def _partition_neardup_pairs(bucket_cap: int | None = None):
                 out = []
         if cur_bk is not None:
             yield flush(emb_chunks, ids_chunks)
+
+    return body
+
+
+def _partition_neardup_pairs_incremental():
+    """mapInPandas body factory, incremental twin of
+    :func:`_partition_neardup_pairs`: streams bk-sorted buckets and
+    hands each to the rectangular new×all gram. Buckets buffer whole
+    (like the uncapped batch body — the gram needs every corpus
+    vector in the bucket) but never the partition; a bucket with no
+    arrival rows costs a boolean any() and is dropped without
+    touching its embeddings."""
+
+    def body(batches):
+        cur_bk = None
+        chunks: list[pd.DataFrame] = []
+        out: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for bk, grp in pdf.groupby("bk", sort=False):
+                if bk != cur_bk:
+                    if cur_bk is not None:
+                        out.append(
+                            _bucket_neardup_pairs_vs_new(
+                                pd.concat(chunks, ignore_index=True)
+                            )
+                        )
+                    cur_bk, chunks = bk, []
+                chunks.append(grp)
+            if out:
+                yield pd.concat(out, ignore_index=True)
+                out = []
+        if cur_bk is not None:
+            yield _bucket_neardup_pairs_vs_new(pd.concat(chunks, ignore_index=True))
 
     return body
 
@@ -768,6 +830,72 @@ def dedup_embedding_banded_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     return _banded_neardup_pairs(
         _dedup_corpus(load_table(spark, sf_dir, "embeddings")),
         bucket_cap=EMB_BUCKET_CAP,
+    )
+
+
+def _banded_neardup_pairs_incremental(e: DataFrame, new_col: str) -> DataFrame:
+    """Incremental twin of :func:`_banded_neardup_pairs`: same ONE
+    wide shuffle on the band key, same streamed per-bucket Python
+    body, but each bucket runs the RECTANGULAR new×all gram — old×old
+    similarities never form, so an arrival batch of m docs against an
+    s-member bucket costs m·s multiplies instead of s²/2 (cf. the
+    lexical twin, operators/dedup.py:minhash_lsh_pairs_incremental).
+    The verify (exact fold cosine ≥ 0.99 over candidate ids) is
+    byte-identical to the batch path, so the output equals the batch
+    pair list restricted to arrival-touching pairs."""
+    v = e.select("vec_id", F.col("embedding").alias("v"))
+    band_keys = _dedup_band_keys_udf()
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        F.col(new_col).cast("boolean").alias("is_new"),
+        F.explode(band_keys(F.col("embedding"))).alias("bk"),
+    )
+    cand = (
+        sig.repartition(F.col("bk"))
+        .sortWithinPartitions("bk")
+        .mapInPandas(_partition_neardup_pairs_incremental(), "id_a long, id_b long")
+        .distinct()
+    )
+    pairs = cand.join(
+        v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    scored = pairs.withColumn("cos", V.cosine(F.col("va"), F.col("vb")))
+    return scored.where(F.col("cos") >= 0.99).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+@register(
+    "dedup_embedding_incremental",
+    tags=("llm", "dedup", "embedding", "lsh", "banded", "incremental"),
+    # Oracle = the exact all-pairs SQL over the same clone-augmented
+    # corpus, restricted to arrival-touching pairs. Valid because the
+    # banded path is recall-complete at verification SF (the uncapped
+    # twin's oracle asserts banded == exact) and restriction commutes
+    # with banding: a pair's bucket membership does not depend on
+    # which side of it is new. CLONE_OFFSET % 5 == 0, so a clone is
+    # an arrival iff its source is — both-new clone pairs keep the
+    # result non-empty at every SF.
+    oracle=f"""
+WITH {neardup_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM emb_pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+""",
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic near-dedup: embedding pairs (cosine ≥
+    0.99) touching the arrival slice (vec_id ≡ 0 mod 5 — a stand-in
+    for the daily batch flag) against the accumulated corpus. The
+    per-bucket gram is rectangular new×all, so steady-state cost is
+    linear in corpus size; corpus×corpus similarities are never
+    computed (see _banded_neardup_pairs_incremental /
+    _bucket_neardup_pairs_vs_new). Completes the incremental family:
+    exact digests (dedup_incremental_vs_corpus), lexical minhash
+    (dedup_minhash_incremental), and semantic embeddings (this)."""
+    e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
+    return _banded_neardup_pairs_incremental(
+        e.withColumn("__arr", (F.col("vec_id") % 5) == 0), "__arr"
     )
 
 

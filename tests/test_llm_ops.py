@@ -618,3 +618,43 @@ def test_epoch_shuffle_bucket_width_and_reserved_columns(spark):
         epoch_shuffle(d.withColumn("__h", d.doc_id), "doc_id", 1)
     with pytest.raises(ValueError, match="bucket_hex"):
         epoch_shuffle(d, "doc_id", 1, bucket_hex=0)
+
+
+def test_embedding_incremental_equals_filtered_batch(spark, queries):
+    """dedup_embedding_incremental == the batch banded pair list
+    restricted to arrival-touching pairs (vec_id % 5 == 0), and
+    non-empty — the operator's contract and the oracle's premise."""
+    inc = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in queries["dedup_embedding_incremental"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in queries["dedup_embedding_banded"](spark, SF_SMOKE).collect()
+    }
+    expected = {p for p in batch if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == expected
+    assert inc, "arrival slice produced no pairs — vacuous gate"
+
+
+def test_embedding_incremental_body_never_grams_corpus_only():
+    """The rectangular-gram bucket body: a bucket of identical
+    corpus-only vectors emits NOTHING (the batch body would emit the
+    pair) — old×old work is skipped inside the worker, not filtered
+    downstream — while a new member pairs against every old one."""
+    import numpy as np
+    import pandas as pd
+
+    from oamap_spark.queries.llm_similarity import _bucket_neardup_pairs_vs_new
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    old_only = pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [vec, vec], "is_new": [False, False]}
+    )
+    assert _bucket_neardup_pairs_vs_new(old_only).empty
+    with_new = pd.DataFrame(
+        {"vec_id": [1, 2, 3], "embedding": [vec, vec, vec],
+         "is_new": [False, False, True]}
+    )
+    out = _bucket_neardup_pairs_vs_new(with_new)
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 3), (2, 3)}
