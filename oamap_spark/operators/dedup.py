@@ -437,22 +437,6 @@ def containment_pairs(
     post = ids_df.select("id", F.explode("ids").alias("sid"))
     dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
-    # Upper-bound prune BEFORE the array verify (zero recall loss):
-    # containment = (shared_kept + shared_capped) / min(|A|, |B|) and
-    # shared_capped ≤ min(capped_A, capped_B), so any pair whose BOUND
-    # (shared_kept + min(capped)) / min(size) is below the threshold
-    # can be dropped on integer columns alone — the candidate
-    # self-join's groupBy count gives shared_kept for free, and the
-    # wide shingle arrays only ship for survivors. On a small-vocab
-    # corpus where docs share shingles by chance this prunes ~all of
-    # the candidate mass (sf0.1: 1.16M pair-sid incidences → a handful
-    # of verified pairs); on a real heavy-tailed corpus it is the same
-    # prune prefix-filter joins use.
-    stats = ids_df.select("id", F.size("ids").alias("sz")).join(
-        kept.groupBy("id").agg(F.count(F.lit(1)).alias("kc")), "id", "left"
-    ).select(
-        "id", "sz", (F.col("sz") - F.coalesce("kc", F.lit(0))).alias("capped")
-    )
     cand = (
         kept.alias("x")
         .join(
@@ -461,6 +445,31 @@ def containment_pairs(
         )
         .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_kept"))
+    )
+    return _containment_prune_verify(cand, ids_df, kept, threshold)
+
+
+def _containment_prune_verify(
+    cand: DataFrame, ids_df: DataFrame, kept: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of the containment builders: integer upper-bound
+    prune, then exact array verify on survivors only.
+
+    Upper-bound prune BEFORE the array verify (zero recall loss):
+    containment = (shared_kept + shared_capped) / min(|A|, |B|) and
+    shared_capped ≤ min(capped_A, capped_B), so any pair whose BOUND
+    (shared_kept + min(capped)) / min(size) is below the threshold
+    can be dropped on integer columns alone — the candidate
+    self-join's groupBy count gives shared_kept for free, and the
+    wide shingle arrays only ship for survivors. On a small-vocab
+    corpus where docs share shingles by chance this prunes ~all of
+    the candidate mass (sf0.1: 1.16M pair-sid incidences → a handful
+    of verified pairs); on a real heavy-tailed corpus it is the same
+    prune prefix-filter joins use."""
+    stats = ids_df.select("id", F.size("ids").alias("sz")).join(
+        kept.groupBy("id").agg(F.count(F.lit(1)).alias("kc")), "id", "left"
+    ).select(
+        "id", "sz", (F.col("sz") - F.coalesce("kc", F.lit(0))).alias("capped")
     )
     bound = (
         F.col("shared_kept") + F.least("capped_a", "capped_b")
@@ -498,4 +507,61 @@ def containment_pairs(
         .withColumn("containment", cont)
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+def containment_pairs_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 16,
+) -> DataFrame:
+    """Incremental containment dedup: doc-in-doc pairs touching at
+    least one new document. The posting join is asymmetric — the
+    probe side keeps only ARRIVAL postings, so a sub-cap shingle with
+    df members and m arrival postings contributes m·df candidate
+    incidences instead of df²/2, and corpus×corpus candidates never
+    form (linear in corpus size at steady state, like
+    :func:`minhash_lsh_pairs_incremental`).
+
+    Pair-direction discipline: a (new, old) pair can only surface
+    from its new side, so any ordering is allowed there; a
+    (new, new) pair would surface from BOTH sides, so the probe keeps
+    only the id_a < id_b direction — this keeps ``shared_kept`` an
+    exact per-pair count (double-counting would inflate the
+    upper-bound prune, not just waste work). Prune + verify are the
+    shared batch tail, so the output equals the batch pair list
+    restricted to arrival-touching pairs — what the SQL oracle
+    replays."""
+    from oamap_spark.cache import track
+
+    ids_df = track(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(new_col).cast("boolean").alias("is_new"),
+            token_id_array(text_col).alias("tids"),
+        ).select("id", "is_new", combine_shingle_ids(F.col("tids"), n).alias("ids"))
+    )
+    post = ids_df.select("id", "is_new", F.explode("ids").alias("sid"))
+    dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
+    probe = kept.where(F.col("is_new")).select("id", "sid")
+    build = kept.select("id", "is_new", "sid")
+    once = F.when(
+        F.col("y.is_new"), F.col("x.id") < F.col("y.id")
+    ).otherwise(F.col("x.id") != F.col("y.id"))
+    cand = (
+        probe.alias("x")
+        .join(build.alias("y"), (F.col("x.sid") == F.col("y.sid")) & once)
+        .groupBy(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_kept"))
+    )
+    return _containment_prune_verify(
+        cand, ids_df.select("id", "ids"), kept.select("id", "sid"), threshold
     )

@@ -599,6 +599,46 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_incremental",
+    tags=("llm", "dedup", "containment", "incremental"),
+    oracle=f"""
+WITH {containment_pairs_ctes()},
+ct_arrivals AS (
+  SELECT doc_id FROM documents WHERE CAST(substring(source, 4) AS INT) >= 10
+)
+SELECT p.id_a, p.id_b, p.containment
+FROM ct_pairs p
+WHERE p.id_a IN (SELECT doc_id FROM ct_arrivals)
+   OR p.id_b IN (SELECT doc_id FROM ct_arrivals)
+""",
+)
+def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental doc-in-doc dedup: containment pairs touching the
+    arrival batch (sources src10+) against the accumulated corpus —
+    the asymmetric posting join keeps only arrival postings on the
+    probe side, so each sub-cap shingle costs m·df instead of df²/2
+    and corpus×corpus candidates never form (see
+    operators/dedup.py:containment_pairs_incremental). With this the
+    whole detector family has incremental twins: exact digests,
+    minhash bands, embedding buckets, containment postings — one per
+    candidate-generation structure. Oracle = batch replay filtered to
+    arrival-touching pairs (restriction commutes with the inverted
+    index: a pair's posting collisions don't depend on which side is
+    new)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    return D.containment_pairs_incremental(
+        d.withColumn("__arrival", is_new),
+        "doc_id",
+        "text",
+        "__arrival",
+        n=3,
+        threshold=0.8,
+        df_cap=16,
+    )
+
+
+@register(
     "dedup_containment_pairs",
     tags=("llm", "dedup", "containment", "inverted_index"),
     oracle=f"""

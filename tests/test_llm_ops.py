@@ -658,3 +658,50 @@ def test_embedding_incremental_body_never_grams_corpus_only():
     )
     out = _bucket_neardup_pairs_vs_new(with_new)
     assert set(zip(out["id_a"], out["id_b"])) == {(1, 3), (2, 3)}
+
+
+def test_containment_incremental_equals_filtered_batch(spark, queries):
+    """dedup_containment_incremental == the batch containment pair
+    list restricted to arrival-touching pairs (the oracle's premise).
+    Covers both new×old and new×new directions on the real corpus."""
+    inc = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in queries["dedup_containment_incremental"](spark, SF_SMOKE).collect()
+    }
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    arrivals = {
+        r["doc_id"]
+        for r in d.where(
+            F.substring("source", 4, 10).cast("int") >= 10
+        ).select("doc_id").collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in queries["dedup_containment_pairs"](spark, SF_SMOKE).collect()
+    }
+    expected = {p for p in batch if p[0] in arrivals or p[1] in arrivals}
+    assert inc == expected
+
+
+def test_containment_incremental_finds_new_quoted_in_old_only(spark):
+    """A NEW doc quoted whole inside an OLD longer doc is found; an
+    identical OLD×OLD quoted pair is not (corpus×corpus skipped)."""
+    from oamap_spark.operators.dedup import containment_pairs_incremental
+
+    tail = " ".join(f"uniq{i}" for i in range(12))
+    tail2 = " ".join(f"other{i}" for i in range(12))
+    rows = [
+        (1, tail, True),                              # new short doc
+        (2, "filler words around the quote " + tail, False),   # old host
+        (3, tail2, False),                            # old short doc
+        (4, "more filler then " + tail2, False),      # old host of old
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, nw boolean")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_incremental(
+            df, "doc_id", "text", "nw", threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
