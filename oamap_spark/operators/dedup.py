@@ -127,6 +127,73 @@ def shingle_ids_table(
     )
 
 
+def flagged_shingle_ids_table(
+    df: DataFrame, id_col: str, text_col: str, new_col: str, n: int = 3
+) -> DataFrame:
+    """(id, is_new, ids) — :func:`shingle_ids_table` with the arrival
+    flag riding the narrow tokenize pass (no extra join or shuffle).
+    Build ONCE per arrival batch and pass to BOTH incremental lexical
+    detectors via ``ids_df`` so the corpus is tokenized once, not once
+    per detector — at 100 TB the (id, ids) half is the persisted
+    signature index and only arrival rows are new work per batch.
+
+    A null flag fails loudly in-plan (the guard rides the is_new
+    expression, which the probe filter / pair-direction predicate
+    evaluate on every row): a silently-null flag would demote an
+    arrival to corpus status and quietly skip its dedup — the same
+    fail-loud convention as epoch_shuffle's key guards."""
+    from oamap_spark.cache import track
+
+    is_new = F.when(
+        F.col(new_col).isNull(),
+        F.raise_error(
+            F.lit(f"incremental dedup: null {new_col} arrival flag")
+        ).cast("boolean"),
+    ).otherwise(F.col(new_col).cast("boolean"))
+    return track(
+        df.select(
+            F.col(id_col).alias("id"),
+            is_new.alias("is_new"),
+            token_id_array(text_col).alias("tids"),
+        ).select("id", "is_new", combine_shingle_ids(F.col("tids"), n).alias("ids"))
+    )
+
+
+def pair_once_from_probe() -> Column:
+    """Join predicate fragment ensuring each arrival-touching pair is
+    generated exactly ONCE from the probe side: a (new, old) pair can
+    only surface from its new member (any ordering allowed); a
+    (new, new) pair would surface from both members, so only the
+    id_a < id_b direction is kept. Exactness matters beyond wasted
+    work where the pair row carries a count (containment's
+    shared_kept feeds the upper-bound prune; double counting would
+    weaken the prune and re-admit the candidate mass it exists to
+    drop). Expects the join to use aliases ``x`` (probe, new rows
+    only) and ``y`` (full table with ``is_new``)."""
+    return F.when(
+        F.col("y.is_new"), F.col("x.id") < F.col("y.id")
+    ).otherwise(F.col("x.id") != F.col("y.id"))
+
+
+def _jaccard_verify(cand: DataFrame, ids_df: DataFrame, threshold: float) -> DataFrame:
+    """Shared exact-Jaccard verify tail of the minhash pair builders:
+    join candidate ids back to the cached shingle-id sets (id-set
+    Jaccard == string-set Jaccard modulo 2⁻³¹ hash collisions; the
+    oracle replays the identical ids) and keep pairs ≥ threshold."""
+    sets = ids_df.select("id", F.col("ids").alias("s"))
+    return (
+        cand.join(
+            sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a"
+        )
+        .join(
+            sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b"
+        )
+        .withColumn("jaccard", jaccard_set(F.col("s_a"), F.col("s_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _explode_bands(sig_df: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
     """Explode a signature table into one row per LSH band. Every
     column except ``sig`` is carried through unchanged, plus
@@ -244,20 +311,7 @@ def minhash_lsh_pairs(
     )
     if star is not None:
         cand = cand.unionByName(star)
-    cand = cand.distinct()
-
-    # Verification runs exact Jaccard over the same cached shingle-id
-    # arrays (id-set Jaccard == string-set Jaccard modulo 2⁻³¹ hash
-    # collisions; the oracle replays the identical ids).
-    sets = ids_df.select("id", F.col("ids").alias("s"))
-    verified = (
-        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b")
-        .withColumn("jaccard", jaccard_set(F.col("s_a"), F.col("s_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    return _jaccard_verify(cand.distinct(), ids_df, threshold)
 
 
 def minhash_lsh_pairs_incremental(
@@ -269,6 +323,7 @@ def minhash_lsh_pairs_incremental(
     rows_per_band: int = 2,
     threshold: float = 0.9,
     n: int = 3,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash+LSH: near-dup pairs that involve AT LEAST
     ONE new document — the continuous-ingestion shape, where an
@@ -298,17 +353,17 @@ def minhash_lsh_pairs_incremental(
     arrivals THEMSELVES form giant clusters, run the bucket_cap star
     of :func:`minhash_lsh_pairs` over the arrivals-only sub-table
     first and feed survivors here.
-    """
-    from oamap_spark.cache import track
 
+    ``ids_df``: optionally pass a precomputed
+    :func:`flagged_shingle_ids_table` (same ``n``; columns
+    (id, is_new, ids)) so multi-detector incremental pipelines
+    tokenize the batch+corpus once, and so steady-state callers can
+    feed the persisted corpus index unioned with fresh arrival rows
+    instead of re-deriving everything from text.
+    """
     n_bands = k // rows_per_band
-    ids_df = track(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(new_col).cast("boolean").alias("is_new"),
-            token_id_array(text_col).alias("tids"),
-        ).select("id", "is_new", combine_shingle_ids(F.col("tids"), n).alias("ids"))
-    )
+    if ids_df is None:
+        ids_df = flagged_shingle_ids_table(df, id_col, text_col, new_col, n)
     sig_df = ids_df.select(
         "id", "is_new", minhash_signature(F.col("ids"), k).alias("sig")
     )
@@ -318,10 +373,10 @@ def minhash_lsh_pairs_incremental(
         .select("id", "band_idx", "band_key")
         .alias("x")
         .join(
-            bands.select("id", "band_idx", "band_key").alias("y"),
+            bands.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.id") != F.col("y.id")),
+            & pair_once_from_probe(),
         )
         .select(
             F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
@@ -329,18 +384,7 @@ def minhash_lsh_pairs_incremental(
         )
         .distinct()
     )
-    sets = ids_df.select("id", F.col("ids").alias("s"))
-    return (
-        cand.join(
-            sets.withColumnRenamed("id", "id_a").withColumnRenamed("s", "s_a"), "id_a"
-        )
-        .join(
-            sets.withColumnRenamed("id", "id_b").withColumnRenamed("s", "s_b"), "id_b"
-        )
-        .withColumn("jaccard", jaccard_set(F.col("s_a"), F.col("s_b")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(cand, ids_df, threshold)
 
 
 def ngram_window_overlap(
@@ -518,6 +562,7 @@ def containment_pairs_incremental(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int = 16,
+    ids_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental containment dedup: doc-in-doc pairs touching at
     least one new document. The posting join is asymmetric — the
@@ -535,27 +580,25 @@ def containment_pairs_incremental(
     upper-bound prune, not just waste work). Prune + verify are the
     shared batch tail, so the output equals the batch pair list
     restricted to arrival-touching pairs — what the SQL oracle
-    replays."""
-    from oamap_spark.cache import track
+    replays.
 
-    ids_df = track(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(new_col).cast("boolean").alias("is_new"),
-            token_id_array(text_col).alias("tids"),
-        ).select("id", "is_new", combine_shingle_ids(F.col("tids"), n).alias("ids"))
-    )
+    ``ids_df``: optionally pass a precomputed
+    :func:`flagged_shingle_ids_table` (same ``n``), shared with
+    :func:`minhash_lsh_pairs_incremental` so incremental
+    multi-detector pipelines tokenize the batch+corpus once."""
+    if ids_df is None:
+        ids_df = flagged_shingle_ids_table(df, id_col, text_col, new_col, n)
     post = ids_df.select("id", "is_new", F.explode("ids").alias("sid"))
     dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
     probe = kept.where(F.col("is_new")).select("id", "sid")
     build = kept.select("id", "is_new", "sid")
-    once = F.when(
-        F.col("y.is_new"), F.col("x.id") < F.col("y.id")
-    ).otherwise(F.col("x.id") != F.col("y.id"))
     cand = (
         probe.alias("x")
-        .join(build.alias("y"), (F.col("x.sid") == F.col("y.sid")) & once)
+        .join(
+            build.alias("y"),
+            (F.col("x.sid") == F.col("y.sid")) & pair_once_from_probe(),
+        )
         .groupBy(
             F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
             F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),

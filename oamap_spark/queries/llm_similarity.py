@@ -221,14 +221,19 @@ def _partition_neardup_pairs(bucket_cap: int | None = None):
 def _partition_neardup_pairs_incremental():
     """mapInPandas body factory, incremental twin of
     :func:`_partition_neardup_pairs`: streams bk-sorted buckets and
-    hands each to the rectangular new×all gram. Buckets buffer whole
-    (like the uncapped batch body — the gram needs every corpus
-    vector in the bucket) but never the partition; a bucket with no
-    arrival rows costs a boolean any() and is dropped without
-    touching its embeddings."""
+    hands each to the rectangular new×all gram. REQUIRES rows sorted
+    (bk, is_new DESC) — arrival rows first within each bucket — so an
+    arrival-free bucket is recognized from its FIRST row and skipped
+    without buffering a single embedding (r8 review: the first
+    version buffered and concat'ed every corpus bucket before the
+    any() bail-out, exactly the steady-state mass the incremental
+    form exists to avoid). Buckets WITH arrivals buffer whole, like
+    the uncapped batch body — the gram needs every corpus vector in
+    the bucket — but never the partition."""
 
     def body(batches):
         cur_bk = None
+        skip = True
         chunks: list[pd.DataFrame] = []
         out: list[pd.DataFrame] = []
         for pdf in batches:
@@ -236,18 +241,21 @@ def _partition_neardup_pairs_incremental():
                 continue
             for bk, grp in pdf.groupby("bk", sort=False):
                 if bk != cur_bk:
-                    if cur_bk is not None:
+                    if cur_bk is not None and not skip:
                         out.append(
                             _bucket_neardup_pairs_vs_new(
                                 pd.concat(chunks, ignore_index=True)
                             )
                         )
                     cur_bk, chunks = bk, []
-                chunks.append(grp)
+                    # new-first sort: an old first row ⇒ no arrivals
+                    skip = not bool(grp["is_new"].iloc[0])
+                if not skip:
+                    chunks.append(grp)
             if out:
                 yield pd.concat(out, ignore_index=True)
                 out = []
-        if cur_bk is not None:
+        if cur_bk is not None and not skip:
             yield _bucket_neardup_pairs_vs_new(pd.concat(chunks, ignore_index=True))
 
     return body
@@ -691,7 +699,9 @@ def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _banded_neardup_pairs(e: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+def _banded_neardup_pairs(
+    e: DataFrame, bucket_cap: int | None = None, new_col: str | None = None
+) -> DataFrame:
     """Shared body of the banded embedding near-dup queries.
 
     Per-bucket gram-matrix scan: each vector crosses to Python once
@@ -717,12 +727,39 @@ def _banded_neardup_pairs(e: DataFrame, bucket_cap: int | None = None) -> DataFr
     the minhash star passes exact Jaccard
     (operators/dedup.py:minhash_lsh_pairs). Routing happens in-worker
     where bucket membership is already co-located — one wide shuffle
-    total, same plan shape as uncapped."""
+    total, same plan shape as uncapped.
+
+    ``new_col`` switches the SAME pipeline to its incremental form
+    (r8 review: this used to be a near-verbatim copy): the per-bucket
+    body runs the rectangular new×all gram instead of the s×s upper
+    triangle, rows are sorted arrivals-first within buckets so
+    arrival-free buckets are skipped without buffering a vector, and
+    a null flag fails loudly in-plan. The two modes compose in plan
+    shape but not yet in one body — ``bucket_cap`` with ``new_col``
+    raises (the capped incremental star — restriction commutes, star
+    edges filtered to arrival-touching — is the natural extension; at
+    present skew-prone incremental corpora should widen bands/tables
+    or pre-cluster arrivals, documented in SCALE.md)."""
+    if bucket_cap is not None and new_col is not None:
+        raise ValueError(
+            "_banded_neardup_pairs: bucket_cap + new_col not yet composable; "
+            "see docstring for the workaround"
+        )
     v = e.select("vec_id", F.col("embedding").alias("v"))
     band_keys = _dedup_band_keys_udf()
+    extra = []
+    if new_col is not None:
+        guarded = F.when(
+            F.col(new_col).isNull(),
+            F.raise_error(
+                F.lit(f"incremental embedding dedup: null {new_col} arrival flag")
+            ).cast("boolean"),
+        ).otherwise(F.col(new_col).cast("boolean"))
+        extra = [guarded.alias("is_new")]
     sig = e.select(
         "vec_id",
         "embedding",
+        *extra,
         F.explode(band_keys(F.col("embedding"))).alias("bk"),
     )
     # ONE wide shuffle for both variants: the cap routes inside the
@@ -736,10 +773,16 @@ def _banded_neardup_pairs(e: DataFrame, bucket_cap: int | None = None) -> DataFr
     # the partition. Star edges emerge from the same mapInPandas,
     # already (bucket-min, member)-oriented, and pass through the same
     # exact-cosine verify as gram pairs.
+    if new_col is not None:
+        shuffled = sig.repartition(F.col("bk")).sortWithinPartitions(
+            "bk", F.col("is_new").desc()  # arrivals first: skippable buckets
+        )
+        body = _partition_neardup_pairs_incremental()
+    else:
+        shuffled = sig.repartition(F.col("bk")).sortWithinPartitions("bk")
+        body = _partition_neardup_pairs(bucket_cap)
     cand = (
-        sig.repartition(F.col("bk"))
-        .sortWithinPartitions("bk")
-        .mapInPandas(_partition_neardup_pairs(bucket_cap), "id_a long, id_b long")
+        shuffled.mapInPandas(body, "id_a long, id_b long")
         .distinct()  # a pair may surface in several tables/bands
     )
     pairs = cand.join(
@@ -833,39 +876,6 @@ def dedup_embedding_banded_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _banded_neardup_pairs_incremental(e: DataFrame, new_col: str) -> DataFrame:
-    """Incremental twin of :func:`_banded_neardup_pairs`: same ONE
-    wide shuffle on the band key, same streamed per-bucket Python
-    body, but each bucket runs the RECTANGULAR new×all gram — old×old
-    similarities never form, so an arrival batch of m docs against an
-    s-member bucket costs m·s multiplies instead of s²/2 (cf. the
-    lexical twin, operators/dedup.py:minhash_lsh_pairs_incremental).
-    The verify (exact fold cosine ≥ 0.99 over candidate ids) is
-    byte-identical to the batch path, so the output equals the batch
-    pair list restricted to arrival-touching pairs."""
-    v = e.select("vec_id", F.col("embedding").alias("v"))
-    band_keys = _dedup_band_keys_udf()
-    sig = e.select(
-        "vec_id",
-        "embedding",
-        F.col(new_col).cast("boolean").alias("is_new"),
-        F.explode(band_keys(F.col("embedding"))).alias("bk"),
-    )
-    cand = (
-        sig.repartition(F.col("bk"))
-        .sortWithinPartitions("bk")
-        .mapInPandas(_partition_neardup_pairs_incremental(), "id_a long, id_b long")
-        .distinct()
-    )
-    pairs = cand.join(
-        v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
-    ).join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-    scored = pairs.withColumn("cos", V.cosine(F.col("va"), F.col("vb")))
-    return scored.where(F.col("cos") >= 0.99).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
-    )
-
-
 @register(
     "dedup_embedding_incremental",
     tags=("llm", "dedup", "embedding", "lsh", "banded", "incremental"),
@@ -889,13 +899,15 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the daily batch flag) against the accumulated corpus. The
     per-bucket gram is rectangular new×all, so steady-state cost is
     linear in corpus size; corpus×corpus similarities are never
-    computed (see _banded_neardup_pairs_incremental /
+    computed, and arrival-free buckets are skipped without buffering
+    a vector (see _banded_neardup_pairs(new_col=...) /
     _bucket_neardup_pairs_vs_new). Completes the incremental family:
     exact digests (dedup_incremental_vs_corpus), lexical minhash
-    (dedup_minhash_incremental), and semantic embeddings (this)."""
+    (dedup_minhash_incremental), containment
+    (dedup_containment_incremental), and semantic embeddings (this)."""
     e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
-    return _banded_neardup_pairs_incremental(
-        e.withColumn("__arr", (F.col("vec_id") % 5) == 0), "__arr"
+    return _banded_neardup_pairs(
+        e.withColumn("__arr", (F.col("vec_id") % 5) == 0), new_col="__arr"
     )
 
 

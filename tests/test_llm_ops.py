@@ -705,3 +705,64 @@ def test_containment_incremental_finds_new_quoted_in_old_only(spark):
     }
     assert (1, 2) in pairs
     assert (3, 4) not in pairs
+
+
+def test_incremental_null_flag_fails_loudly(spark):
+    """A null arrival flag must raise in-plan, not silently demote
+    the doc to corpus status (r8 review finding) — checked for the
+    lexical and embedding incremental paths (the embedding one is
+    the NaN-danger case: a null reaching pandas would astype(bool)
+    to True, silently PROMOTING the doc instead)."""
+    from oamap_spark.operators.dedup import minhash_lsh_pairs_incremental
+    from oamap_spark.queries.llm_similarity import _banded_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "some text here", True), (2, "other text there", None)],
+        "doc_id long, text string, nw boolean",
+    )
+    with pytest.raises(Exception, match="null nw arrival flag"):
+        minhash_lsh_pairs_incremental(docs, "doc_id", "text", "nw").collect()
+
+    v64 = [float(i % 7) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, v64, True), (2, v64, None)],
+        "vec_id long, embedding array<double>, nw boolean",
+    )
+    with pytest.raises(Exception, match="null nw arrival flag"):
+        _banded_neardup_pairs(emb, new_col="nw").collect()
+
+
+def test_embedding_incremental_skips_arrival_free_buckets_unbuffered():
+    """The streamed body must skip an arrival-free bucket from its
+    FIRST row (rows arrive arrivals-first) without touching its
+    embeddings — fed deliberately un-stackable embeddings (None) in
+    the old-only bucket, any buffering/gram attempt would crash."""
+    import pandas as pd
+
+    from oamap_spark.queries.llm_similarity import (
+        _partition_neardup_pairs_incremental,
+    )
+
+    vec = [1.0, 2.0, 3.0, 4.0]
+    old_only = pd.DataFrame(
+        {"bk": [1, 1], "vec_id": [10, 11], "embedding": [None, None],
+         "is_new": [False, False]}
+    )
+    mixed = pd.DataFrame(
+        {"bk": [2, 2], "vec_id": [20, 21], "embedding": [vec, vec],
+         "is_new": [True, False]}  # arrivals sorted first
+    )
+    body = _partition_neardup_pairs_incremental()
+    out = pd.concat(list(body(iter([old_only, mixed]))), ignore_index=True)
+    assert set(zip(out["id_a"], out["id_b"])) == {(20, 21)}
+
+
+def test_banded_cap_plus_incremental_raises(spark):
+    from oamap_spark.queries.llm_similarity import _banded_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], True)],
+        "vec_id long, embedding array<double>, nw boolean",
+    )
+    with pytest.raises(ValueError, match="not yet composable"):
+        _banded_neardup_pairs(emb, bucket_cap=5, new_col="nw")
