@@ -154,6 +154,26 @@ def _star_pairs(ids: "np.ndarray") -> pd.DataFrame:
     )
 
 
+def _star_pairs_vs_new(ids: "np.ndarray", nw: "np.ndarray") -> pd.DataFrame:
+    """Incremental star for an oversized bucket: exactly the batch
+    star restricted to arrival-touching edges — all (bmin → member)
+    edges when the bucket-min itself is an arrival, else only the
+    edges to arrival members. Equals _star_pairs filtered, which is
+    what the capped incremental oracle replays."""
+    m = ids.min()
+    mask = ids != m
+    if bool(nw[ids == m][0]):
+        others = ids[mask]
+    else:
+        others = ids[mask & nw]
+    return pd.DataFrame(
+        {
+            "id_a": np.full(len(others), m, dtype=np.int64),
+            "id_b": others.astype(np.int64),
+        }
+    )
+
+
 def _partition_neardup_pairs(bucket_cap: int | None = None):
     """mapInPandas body factory: one hash-partition of bk-SORTED
     (bk, vec_id, embedding) rows → prefiltered pairs per bucket,
@@ -218,7 +238,7 @@ def _partition_neardup_pairs(bucket_cap: int | None = None):
     return body
 
 
-def _partition_neardup_pairs_incremental():
+def _partition_neardup_pairs_incremental(bucket_cap: int | None = None):
     """mapInPandas body factory, incremental twin of
     :func:`_partition_neardup_pairs`: streams bk-sorted buckets and
     hands each to the rectangular new×all gram. REQUIRES rows sorted
@@ -229,12 +249,30 @@ def _partition_neardup_pairs_incremental():
     any() bail-out, exactly the steady-state mass the incremental
     form exists to avoid). Buckets WITH arrivals buffer whole, like
     the uncapped batch body — the gram needs every corpus vector in
-    the bucket — but never the partition."""
+    the bucket — but never the partition.
+
+    ``bucket_cap`` composes the skew guard with the incremental form
+    under the batch body's memory contract (≤ cap: embeddings buffer;
+    over cap: embeddings dropped, int64 ids + bool flags accumulate)
+    — an over-cap bucket emits the batch star RESTRICTED to
+    arrival-touching edges (:func:`_star_pairs_vs_new`), so the
+    output still equals the capped batch pair list filtered to
+    arrivals, which is what the capped incremental oracle replays."""
+
+    def flush(chunks, ids_chunks, nw_chunks):
+        if ids_chunks is not None:  # over-cap → restricted star on ids
+            return _star_pairs_vs_new(
+                np.concatenate(ids_chunks), np.concatenate(nw_chunks)
+            )
+        return _bucket_neardup_pairs_vs_new(pd.concat(chunks, ignore_index=True))
 
     def body(batches):
         cur_bk = None
         skip = True
         chunks: list[pd.DataFrame] = []
+        ids_chunks = None  # list of int64 id arrays once over cap
+        nw_chunks = None
+        n_rows = 0
         out: list[pd.DataFrame] = []
         for pdf in batches:
             if pdf.empty:
@@ -242,21 +280,30 @@ def _partition_neardup_pairs_incremental():
             for bk, grp in pdf.groupby("bk", sort=False):
                 if bk != cur_bk:
                     if cur_bk is not None and not skip:
-                        out.append(
-                            _bucket_neardup_pairs_vs_new(
-                                pd.concat(chunks, ignore_index=True)
-                            )
-                        )
-                    cur_bk, chunks = bk, []
+                        out.append(flush(chunks, ids_chunks, nw_chunks))
+                    cur_bk, chunks, ids_chunks, nw_chunks, n_rows = bk, [], None, None, 0
                     # new-first sort: an old first row ⇒ no arrivals
                     skip = not bool(grp["is_new"].iloc[0])
-                if not skip:
+                if skip:
+                    continue
+                n_rows += len(grp)
+                if ids_chunks is not None:
+                    ids_chunks.append(grp["vec_id"].to_numpy())
+                    nw_chunks.append(grp["is_new"].to_numpy().astype(bool))
+                elif bucket_cap is not None and n_rows > bucket_cap:
+                    # cap crossed: drop buffered embeddings, keep ids+flags
+                    ids_chunks = [c["vec_id"].to_numpy() for c in chunks]
+                    nw_chunks = [c["is_new"].to_numpy().astype(bool) for c in chunks]
+                    ids_chunks.append(grp["vec_id"].to_numpy())
+                    nw_chunks.append(grp["is_new"].to_numpy().astype(bool))
+                    chunks = []
+                else:
                     chunks.append(grp)
             if out:
                 yield pd.concat(out, ignore_index=True)
                 out = []
         if cur_bk is not None and not skip:
-            yield _bucket_neardup_pairs_vs_new(pd.concat(chunks, ignore_index=True))
+            yield flush(chunks, ids_chunks, nw_chunks)
 
     return body
 
@@ -734,17 +781,10 @@ def _banded_neardup_pairs(
     body runs the rectangular new×all gram instead of the s×s upper
     triangle, rows are sorted arrivals-first within buckets so
     arrival-free buckets are skipped without buffering a vector, and
-    a null flag fails loudly in-plan. The two modes compose in plan
-    shape but not yet in one body — ``bucket_cap`` with ``new_col``
-    raises (the capped incremental star — restriction commutes, star
-    edges filtered to arrival-touching — is the natural extension; at
-    present skew-prone incremental corpora should widen bands/tables
-    or pre-cluster arrivals, documented in SCALE.md)."""
-    if bucket_cap is not None and new_col is not None:
-        raise ValueError(
-            "_banded_neardup_pairs: bucket_cap + new_col not yet composable; "
-            "see docstring for the workaround"
-        )
+    a null flag fails loudly in-plan. ``bucket_cap`` composes with it
+    (capped incremental — the production shape for skewed arriving
+    corpora): over-cap buckets emit the batch star restricted to
+    arrival-touching edges, under the same bounded-memory contract."""
     v = e.select("vec_id", F.col("embedding").alias("v"))
     band_keys = _dedup_band_keys_udf()
     extra = []
@@ -777,7 +817,7 @@ def _banded_neardup_pairs(
         shuffled = sig.repartition(F.col("bk")).sortWithinPartitions(
             "bk", F.col("is_new").desc()  # arrivals first: skippable buckets
         )
-        body = _partition_neardup_pairs_incremental()
+        body = _partition_neardup_pairs_incremental(bucket_cap)
     else:
         shuffled = sig.repartition(F.col("bk")).sortWithinPartitions("bk")
         body = _partition_neardup_pairs(bucket_cap)
@@ -802,19 +842,18 @@ def _banded_neardup_pairs(
 EMB_BUCKET_CAP = 16
 
 
-@register(
-    "dedup_embedding_banded_capped",
-    tags=("llm", "dedup", "embedding", "lsh", "banded", "skew_guard"),
-    # Full-pipeline replay (unlike the uncapped twin's recall gate):
-    # the capped output DEPENDS on bucket membership — a true pair
-    # inside an oversized bucket survives only via a star edge or a
-    # small shared bucket — so the oracle recomputes the 8×16-plane
-    # LCG hyperplane signatures, the 8-bit band keys, the window
-    # count + bucket-min, the cap routing, and the exact-cosine
-    # verify, all in portable integer+double SQL (the same replay
-    # discipline as ann_lsh_topk's signature pipeline).
-    oracle=f"""
-WITH {_SQL_DEDUP_CORPUS},
+def capped_pairs_ctes() -> str:
+    """DuckDB CTE chain replaying the FULL capped banded pipeline —
+    clone-augmented corpus, 8×16-plane LCG hyperplane signatures,
+    8-bit band keys, window count + bucket-min, cap routing, and the
+    exact-cosine verify — ending in ``cap_pairs`` (id_a, id_b,
+    cos_sim ≥ 0.99), all in portable integer+double SQL (the same
+    replay discipline as ann_lsh_topk's signature pipeline). ONE
+    source of truth shared by the capped batch oracle and the capped
+    incremental oracle (which is this list filtered to
+    arrival-touching pairs — restriction commutes with cap routing
+    because cnt/bmin are computed over the FULL bucket either way)."""
+    return f"""{_SQL_DEDUP_CORPUS},
 proj AS (
   SELECT vec_id, t, p,
          list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -844,16 +883,31 @@ cand AS (
     SELECT bmin AS id_a, vec_id AS id_b FROM annot
     WHERE cnt > {EMB_BUCKET_CAP} AND vec_id <> bmin
   )
-)
-SELECT c.id_a, c.id_b,
-       round({V.SQL_DOT.format(a='a.e', b='b.e')}
-         / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
-         AS cos_sim
-FROM cand c
-JOIN v a ON a.vec_id = c.id_a
-JOIN v b ON b.vec_id = c.id_b
-WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
-      / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+),
+cap_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round({V.SQL_DOT.format(a='a.e', b='b.e')}
+           / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})), 6)
+           AS cos_sim
+  FROM cand c
+  JOIN v a ON a.vec_id = c.id_a
+  JOIN v b ON b.vec_id = c.id_b
+  WHERE {V.SQL_DOT.format(a='a.e', b='b.e')}
+        / (sqrt({V.SQL_SUMSQ.format(a='a.e')}) * sqrt({V.SQL_SUMSQ.format(a='b.e')})) >= 0.99
+)"""
+
+
+@register(
+    "dedup_embedding_banded_capped",
+    tags=("llm", "dedup", "embedding", "lsh", "banded", "skew_guard"),
+    # Full-pipeline replay (unlike the uncapped twin's recall gate):
+    # the capped output DEPENDS on bucket membership — a true pair
+    # inside an oversized bucket survives only via a star edge or a
+    # small shared bucket — so the oracle recomputes everything; see
+    # capped_pairs_ctes().
+    oracle=f"""
+WITH {capped_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM cap_pairs
 """,
 )
 def dedup_embedding_banded_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,6 +962,40 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
     return _banded_neardup_pairs(
         e.withColumn("__arr", (F.col("vec_id") % 5) == 0), new_col="__arr"
+    )
+
+
+@register(
+    "dedup_embedding_incremental_capped",
+    tags=("llm", "dedup", "embedding", "lsh", "banded", "incremental",
+          "skew_guard"),
+    # The capped batch replay filtered to arrival-touching pairs —
+    # exact because cnt/bmin are computed over the FULL bucket in
+    # both forms, and the restricted star (_star_pairs_vs_new) is by
+    # construction the batch star filtered the same way.
+    oracle=f"""
+WITH {capped_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM cap_pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+""",
+)
+def dedup_embedding_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic near-dedup WITH the bucket_cap skew guard
+    — **the 100 TB entry point for continuously-arriving embedding
+    corpora**: sub-cap buckets run the rectangular new×all gram,
+    over-cap buckets (boilerplate clusters) emit the linear star
+    restricted to arrival-touching edges under the batch body's
+    bounded-memory contract (embeddings dropped at the cap, ids +
+    flags accumulate), and arrival-free buckets are skipped from
+    their first row. At verification SF the same 161/1612 buckets
+    exceed cap=16 as in the batch capped twin, so both the
+    rectangular-gram and restricted-star paths run under the driver
+    gate."""
+    e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
+    return _banded_neardup_pairs(
+        e.withColumn("__arr", (F.col("vec_id") % 5) == 0),
+        bucket_cap=EMB_BUCKET_CAP,
+        new_col="__arr",
     )
 
 

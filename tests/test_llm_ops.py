@@ -757,12 +757,38 @@ def test_embedding_incremental_skips_arrival_free_buckets_unbuffered():
     assert set(zip(out["id_a"], out["id_b"])) == {(20, 21)}
 
 
-def test_banded_cap_plus_incremental_raises(spark):
-    from oamap_spark.queries.llm_similarity import _banded_neardup_pairs
+def test_embedding_incremental_capped_equals_filtered_capped_batch(spark, queries):
+    """The capped incremental pair list must equal the capped BATCH
+    pair list restricted to arrival-touching pairs — both the
+    rectangular-gram (sub-cap) and restricted-star (over-cap) routes
+    exercised at SF_SMOKE (161/1612 buckets exceed the cap)."""
+    inc = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in queries["dedup_embedding_incremental_capped"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in queries["dedup_embedding_banded_capped"](spark, SF_SMOKE).collect()
+    }
+    expected = {p for p in batch if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert inc == expected
+    assert inc, "arrival slice produced no capped pairs — vacuous gate"
 
-    emb = spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0], True)],
-        "vec_id long, embedding array<double>, nw boolean",
-    )
-    with pytest.raises(ValueError, match="not yet composable"):
-        _banded_neardup_pairs(emb, bucket_cap=5, new_col="nw")
+
+def test_star_pairs_vs_new_is_filtered_batch_star():
+    """_star_pairs_vs_new == _star_pairs filtered to arrival-touching
+    edges, in both bmin-old and bmin-new orientations."""
+    import numpy as np
+
+    from oamap_spark.queries.llm_similarity import _star_pairs, _star_pairs_vs_new
+
+    ids = np.array([7, 3, 9, 5], dtype=np.int64)
+    full = {(r.id_a, r.id_b) for r in _star_pairs(ids).itertuples()}
+    nw_old_min = np.array([True, False, False, True])  # bmin=3 is old
+    got = {(r.id_a, r.id_b) for r in _star_pairs_vs_new(ids, nw_old_min).itertuples()}
+    assert got == {p for p in full if nw_old_min[list(ids).index(p[1])]}
+    nw_new_min = np.array([False, True, False, False])  # bmin=3 is new
+    got2 = {(r.id_a, r.id_b) for r in _star_pairs_vs_new(ids, nw_new_min).itertuples()}
+    assert got2 == full
