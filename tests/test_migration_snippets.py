@@ -168,3 +168,31 @@ def test_snippet_minhash_incremental(spark):
                 for r in flagged.where("is_new").select("doc_id").collect()}
     rows = new_dups.collect()
     assert all(r["id_a"] in arrivals or r["id_b"] in arrivals for r in rows)
+
+
+def test_snippet_incremental_multi_detector_shared_ids(spark):
+    from oamap_spark.operators.dedup import (containment_pairs_incremental,
+                                             flagged_shingle_ids_table,
+                                             minhash_lsh_pairs_incremental)
+
+    docs = _docs(spark)
+    flagged = docs.withColumn(
+        "is_new", F.substring("source", 4, 10).cast("int") >= 10)
+    fids = flagged_shingle_ids_table(flagged, "doc_id", "text", "is_new")
+    mh = minhash_lsh_pairs_incremental(
+        flagged, "doc_id", "text", "is_new", ids_df=fids)
+    ct = containment_pairs_incremental(
+        flagged, "doc_id", "text", "is_new", ids_df=fids)
+    # shared table must give the same answers as per-detector builds
+    assert {(r["id_a"], r["id_b"]) for r in mh.collect()} == {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(
+            flagged, "doc_id", "text", "is_new"
+        ).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in ct.collect()} == {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_incremental(
+            flagged, "doc_id", "text", "is_new"
+        ).collect()
+    }

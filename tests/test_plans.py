@@ -210,6 +210,7 @@ def test_no_python_eval_outside_udf_surface(spark):
         "dedup_embedding_banded",
         "dedup_embedding_banded_capped",  # same Arrow gram path, cap-guarded
         "dedup_embedding_incremental",  # rectangular new×all gram, same path
+        "dedup_embedding_incremental_capped",  # + restricted-star cap route
         "dedup_embedding_cosine",
         "dedup_clusters_all_signals",  # unions the banded Arrow gram path's edges
         "pack_sequences_slots",  # per-bucket greedy scan is applyInPandas by design
