@@ -257,7 +257,16 @@ def _partition_neardup_pairs_incremental(bucket_cap: int | None = None):
     — an over-cap bucket emits the batch star RESTRICTED to
     arrival-touching edges (:func:`_star_pairs_vs_new`), so the
     output still equals the capped batch pair list filtered to
-    arrivals, which is what the capped incremental oracle replays."""
+    arrivals, which is what the capped incremental oracle replays.
+
+    KEEP IN SYNC with :func:`_partition_neardup_pairs`: the
+    cap-crossing state machine (n_rows counter, buffered-chunk
+    demotion to ids at the cap, flush dispatch) is intentionally the
+    same design; the deltas are flag tracking and the skip fast-path.
+    Drift between the two is pinned by
+    test_embedding_incremental_capped_equals_filtered_capped_batch,
+    which replays real buckets through BOTH bodies (156 over-cap at
+    sf0.001)."""
 
     def flush(chunks, ids_chunks, nw_chunks):
         if ids_chunks is not None:  # over-cap → restricted star on ids
@@ -987,10 +996,10 @@ def dedup_embedding_incremental_capped(spark: SparkSession, sf_dir: str) -> Data
     restricted to arrival-touching edges under the batch body's
     bounded-memory contract (embeddings dropped at the cap, ids +
     flags accumulate), and arrival-free buckets are skipped from
-    their first row. At verification SF the same 161/1612 buckets
-    exceed cap=16 as in the batch capped twin, so both the
-    rectangular-gram and restricted-star paths run under the driver
-    gate."""
+    their first row. At the driver-gate SF (sf0.01) 161/1612 buckets
+    exceed cap=16 — and at the test SF (sf0.001) 156/1710 do, all
+    arrival-touching — so both the rectangular-gram and
+    restricted-star paths run under both gates."""
     e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
     return _banded_neardup_pairs(
         e.withColumn("__arr", (F.col("vec_id") % 5) == 0),

@@ -761,7 +761,8 @@ def test_embedding_incremental_capped_equals_filtered_capped_batch(spark, querie
     """The capped incremental pair list must equal the capped BATCH
     pair list restricted to arrival-touching pairs — both the
     rectangular-gram (sub-cap) and restricted-star (over-cap) routes
-    exercised at SF_SMOKE (161/1612 buckets exceed the cap)."""
+    exercised at SF_SMOKE (156/1710 buckets exceed the cap there;
+    161/1612 at the driver's sf0.01)."""
     inc = {
         (r["id_a"], r["id_b"], r["cos_sim"])
         for r in queries["dedup_embedding_incremental_capped"](

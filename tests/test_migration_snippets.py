@@ -180,14 +180,14 @@ def test_snippet_incremental_multi_detector_shared_ids(spark):
         "is_new", F.substring("source", 4, 10).cast("int") >= 10)
     fids = flagged_shingle_ids_table(flagged, "doc_id", "text", "is_new")
     mh = minhash_lsh_pairs_incremental(
-        flagged, "doc_id", "text", "is_new", ids_df=fids)
+        flagged, "doc_id", "text", "is_new", threshold=0.8, ids_df=fids)
     ct = containment_pairs_incremental(
         flagged, "doc_id", "text", "is_new", ids_df=fids)
     # shared table must give the same answers as per-detector builds
     assert {(r["id_a"], r["id_b"]) for r in mh.collect()} == {
         (r["id_a"], r["id_b"])
         for r in minhash_lsh_pairs_incremental(
-            flagged, "doc_id", "text", "is_new"
+            flagged, "doc_id", "text", "is_new", threshold=0.8
         ).collect()
     }
     assert {(r["id_a"], r["id_b"]) for r in ct.collect()} == {
