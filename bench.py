@@ -136,6 +136,33 @@ def main() -> None:
         cache.sweep()
         spark.catalog.clearCache()
 
+    # Incremental twin on the same degenerate embedding corpus (r8):
+    # the LAST 25 of the 500 clones are the arrival batch — the
+    # bucket-min is corpus, so the capped run exercises the
+    # RESTRICTED star branch (edges only to arrival members), not the
+    # bmin-is-new shortcut. The pair-count ladder is the scale
+    # signal: batch uncapped 124,750 (s²/2 on one bucket) →
+    # incremental uncapped 12,175 (= C(500,2) − C(475,2), m·s-ish) →
+    # incremental capped 25 (one ids-only edge per arrival).
+    emb_degen_flagged = emb_degen.withColumn("nw", F.col("vec_id") >= 475)
+    for label, cap in (
+        ("skew_500emb_incr_capped", 50),
+        ("skew_500emb_incr_uncapped", None),
+    ):
+        runs, rows = [], 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = _banded_neardup_pairs(
+                emb_degen_flagged, bucket_cap=cap, new_col="nw"
+            ).count()
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[label] = min(runs)
+        all_runs[label] = runs
+        skew_pairs[label] = rows
+        print(f"# {label}: {min(runs):.3f}s ({rows} verified pairs)", file=sys.stderr)
+        cache.sweep()
+        spark.catalog.clearCache()
+
     # Containment-dedup twin of the skew micro-bench (VERDICT r7
     # "Next round #6"): a boilerplate-heavy corpus — every one of 500
     # docs opens with the same 11-token header, so each of its 9

@@ -793,3 +793,47 @@ def test_star_pairs_vs_new_is_filtered_batch_star():
     nw_new_min = np.array([False, True, False, False])  # bmin=3 is new
     got2 = {(r.id_a, r.id_b) for r in _star_pairs_vs_new(ids, nw_new_min).itertuples()}
     assert got2 == full
+
+
+def test_minhash_incremental_from_persisted_corpus_index(spark, tmp_path):
+    """The steady-state workflow the incremental docstrings promise:
+    the corpus half of the shingle-id index is PERSISTED parquet
+    (built once per corpus snapshot), only arrival rows are tokenized
+    fresh, and the union — fed via ids_df — yields exactly the same
+    pairs as recomputing everything from text."""
+    from oamap_spark.operators.dedup import (
+        flagged_shingle_ids_table,
+        minhash_lsh_pairs_incremental,
+        shingle_ids_table,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    is_new = F.substring("source", 4, 10).cast("int") >= 10
+    corpus, arrivals = d.where(~is_new), d.where(is_new)
+
+    # snapshot time: persist the corpus index (id, ids) to storage
+    idx_path = str(tmp_path / "corpus_shingle_index")
+    shingle_ids_table(corpus, "doc_id", "text", 3).write.parquet(idx_path)
+
+    # batch time: tokenize ONLY arrivals, union with the loaded index
+    arr_ids = flagged_shingle_ids_table(
+        arrivals.withColumn("nw", F.lit(True)), "doc_id", "text", "nw", 3
+    )
+    ids_df = (
+        spark.read.parquet(idx_path)
+        .select("id", F.lit(False).alias("is_new"), "ids")
+        .unionByName(arr_ids)
+    )
+    from_index = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            None, "doc_id", "text", "nw", ids_df=ids_df
+        ).collect()
+    }
+    recomputed = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs_incremental(
+            d.withColumn("nw", is_new), "doc_id", "text", "nw"
+        ).collect()
+    }
+    assert from_index == recomputed and from_index
