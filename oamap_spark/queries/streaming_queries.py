@@ -454,3 +454,44 @@ def stream_chained_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFram
         spark=spark,
     )
     return sink.select("day", F.col("n").cast("long").alias("n"), "n_hours")
+
+
+from oamap_spark.queries.llm_dedup import minhash_pairs_ctes  # noqa: E402
+
+
+@register(
+    "stream_incremental_minhash_dedup",
+    tags=("streaming", "foreach_batch", "dedup", "minhash", "incremental"),
+    oracle=f"""
+WITH {minhash_pairs_ctes()}
+SELECT id_a, id_b, jaccard FROM mh_pairs
+""",
+)
+def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-INGESTION near-dedup, streamed end to end: the
+    documents table replays as 4 ordered arrival micro-batches
+    (maxFilesPerTrigger=1 + availableNow over mtime-ordered slices);
+    each batch tokenizes only itself, probes the accumulated parquet
+    signature index with the asymmetric incremental band join, emits
+    its arrival-touching pairs, and appends its signatures to the
+    index (streaming/pipelines.py:foreach_batch_incremental_minhash).
+    Every near-dup pair surfaces exactly once — when its later member
+    arrives — so the ACCUMULATED pairs table equals the one-shot
+    batch pair list however the stream is sliced, and the oracle
+    replays the plain batch MinHash pipeline against the streaming
+    output: the strongest gate a streaming operator can have. This is
+    the production loop dedup_minhash_incremental models one batch
+    of."""
+    from oamap_spark.sources.staging import staging_path
+
+    src = P.staged_documents_slices(spark, sf_dir, n_slices=4)
+    index_dir = staging_path("oamap_incr_dedup_", "index")
+    pairs_dir = staging_path("oamap_incr_dedup_", "pairs")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    P.foreach_batch_incremental_minhash(stream, spark, index_dir, pairs_dir)
+    return spark.read.parquet(pairs_dir)

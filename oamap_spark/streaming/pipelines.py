@@ -279,3 +279,102 @@ def foreach_batch_upsert_latest(
         .start()
     )
     q.awaitTermination()
+
+
+def staged_documents_slices(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> str:
+    """documents split into ``n_slices`` ordered arrival slices (by
+    source number), one parquet file each with increasing mtime, so
+    ``maxFilesPerTrigger=1`` + availableNow replays one micro-batch
+    per slice — the continuous-ingestion shape for the streaming
+    incremental-dedup pipeline. Slices are written by SPARK (coalesce
+    to one part file, renamed into place — no table data through the
+    driver) into a fresh mkdtemp per invocation (concurrent runs
+    never race; swept at process exit, sources/staging.py)."""
+    import glob
+    import shutil
+
+    from oamap_spark.sources.staging import staging_path
+
+    out = staging_path("oamap_docstream_", "slices")
+    os.makedirs(out, exist_ok=True)
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src_num = F.substring("source", 4, 10).cast("int")
+    per = 20 // n_slices  # sources are src0..src19 at every SF
+    for i in range(n_slices):
+        lo = i * per
+        part = (
+            d.where(src_num >= lo)
+            if i == n_slices - 1
+            else d.where((src_num >= lo) & (src_num < lo + per))
+        )
+        tmp = os.path.join(out, f"_tmp_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (pf,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(out, f"slice_{i:02d}.parquet")
+        os.rename(pf, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return out
+
+
+def foreach_batch_incremental_minhash(
+    docs: DataFrame, spark: SparkSession, index_dir: str, pairs_dir: str
+) -> None:
+    """Streaming continuous-ingestion near-dedup (foreachBatch): each
+    micro-batch of documents is deduped against the ACCUMULATED corpus
+    via the asymmetric incremental band join
+    (operators/dedup.py:minhash_lsh_pairs_incremental), fed from a
+    persisted parquet signature index — the batch tokenizes ONLY its
+    own documents; the corpus half is read back as cached shingle-id
+    arrays written by earlier batches (a production index would
+    persist band keys too; the ids table is the part whose rebuild
+    costs a corpus re-scan, which is what this avoids).
+
+    Every near-dup pair is emitted exactly ONCE — in the micro-batch
+    where its LATER member arrives (same-batch pairs once, by the
+    probe-direction discipline) — so the accumulated pairs table
+    equals the one-shot batch pair list regardless of how the stream
+    was sliced: that invariant is what lets the DuckDB oracle replay
+    the plain batch pipeline against a streaming query's output."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from oamap_spark.operators.dedup import (
+        flagged_shingle_ids_table,
+        minhash_lsh_pairs_incremental,
+    )
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        arr = flagged_shingle_ids_table(
+            batch.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
+        )
+        try:
+            corpus = bspark.read.parquet(index_dir).select(
+                "id", F.lit(False).alias("is_new"), "ids"
+            )
+            ids_df = corpus.unionByName(arr)
+        except AnalysisException as exc:
+            # ONLY the first-batch missing-index case may start empty;
+            # any other failure must raise — a silently-dropped index
+            # would re-emit nothing for true cross-batch dups.
+            if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
+                raise
+            ids_df = arr
+        pairs = minhash_lsh_pairs_incremental(
+            None, "doc_id", "text", "__nw", ids_df=ids_df
+        )
+        # pairs BEFORE index append: the pair plan reads index_dir and
+        # must not see this batch's own rows on the corpus side
+        pairs.write.mode("append").parquet(pairs_dir)
+        arr.select("id", "ids").write.mode("append").parquet(index_dir)
+        arr.unpersist()
+
+    q = (
+        docs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", pairs_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -837,3 +837,32 @@ def test_minhash_incremental_from_persisted_corpus_index(spark, tmp_path):
         ).collect()
     }
     assert from_index == recomputed and from_index
+
+
+def test_stream_incremental_dedup_cumulative_equals_batch(spark, queries):
+    """The streaming continuous-dedup invariant: the pairs accumulated
+    across all micro-batches equal the one-shot batch MinHash pair
+    list exactly — and cross-batch pairs exist (a doc deduped against
+    an index entry written by an EARLIER micro-batch), so the
+    index-probe loop is exercised, not just same-batch pairing."""
+    stream = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in queries["stream_incremental_minhash_dedup"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    batch = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in queries["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch and stream
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    slice_of = {
+        r["doc_id"]: r["s"] // 5  # 4 slices of 5 sources each
+        for r in d.select(
+            "doc_id", F.substring("source", 4, 10).cast("int").alias("s")
+        ).collect()
+    }
+    assert any(slice_of[a] != slice_of[b] for a, b, _ in stream), (
+        "no cross-micro-batch pair — the accumulated-index probe was never hit"
+    )
