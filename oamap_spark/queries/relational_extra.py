@@ -617,3 +617,104 @@ def salted_join_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
     )
+
+
+@register(
+    "bucketed_join_colocated_agg",
+    tags=("layout", "bucketing", "join", "no_shuffle"),
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def bucketed_join_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join gated end-to-end: orders and
+    customer are persisted hash-bucketed (8 buckets, per-bucket
+    sorted) on the join key via
+    :func:`oamap_spark.operators.partitioning.write_bucketed`, read
+    back through the catalog, joined on custkey, and aggregated per
+    market segment. The hash certifies value fidelity through the
+    bucketed write→catalog-read round trip; the actual payoff — the
+    equi-join reads co-located buckets and skips the exchange
+    entirely — is plan-asserted in
+    tests/test_partitioning.py::test_bucketed_join_no_exchange. At
+    100 TB, bucketing both fact tables on the repeatedly-joined key
+    converts every such join from a full network shuffle into a local
+    per-bucket merge — the durable (write-once) form of
+    co-partitioning. Catalog entries are session-scoped (in-memory
+    catalog; names overwritten per invocation, files staged and swept
+    at process exit)."""
+    from oamap_spark.operators.partitioning import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(
+        orders, "__bkt_orders", "o_custkey", 8, _staged(sf_dir, "orders_bkt")
+    )
+    write_bucketed(
+        customer,
+        "__bkt_customer",
+        "c_custkey",
+        8,
+        _staged(sf_dir, "customer_bkt"),
+    )
+    j = spark.table("__bkt_orders").join(
+        spark.table("__bkt_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "dpp_partition_prune_agg",
+    tags=("layout", "partitioned", "dynamic_pruning", "join"),
+    oracle="""
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d
+JOIN (VALUES ('en', 'high'), ('de', 'high'), ('fr', 'low'),
+             ('es', 'low'), ('zh', 'low')) AS dim(lang, tier)
+  ON d.lang = dim.lang
+WHERE dim.tier = 'high'
+GROUP BY d.lang
+""",
+)
+def dpp_partition_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning gated end-to-end: documents rewritten
+    hive-partitioned by lang, then joined to a tiny tier dimension
+    filtered on a NON-join column (tier='high') and aggregated. The
+    partition keys that survive the dim filter are only known at run
+    time, so static pushdown cannot prune — Catalyst broadcasts the
+    filtered dim and re-uses the result as a partition filter on the
+    fact scan (dynamicpruning subquery, plan-asserted in
+    tests/test_plans.py::test_dynamic_partition_pruning_fires and
+    re-asserted for this exact query in test_plans). At 100 TB with
+    date/lang-partitioned facts this is the difference between
+    scanning 2 of 1000 partitions and all of them. The hash certifies
+    the values that flow through the pruned scan match the unpruned
+    oracle exactly."""
+    stage = _staged(sf_dir, "docs_by_lang_dpp")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(stage)
+    part = spark.read.parquet(stage)
+    dim = spark.createDataFrame(
+        [("en", "high"), ("de", "high"), ("fr", "low"), ("es", "low"),
+         ("zh", "low")],
+        ["lang", "tier"],
+    )
+    j = part.join(dim, "lang").where(F.col("tier") == "high")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -622,3 +622,33 @@ def test_minhash_incremental_probe_filter_below_band_join(spark):
     assert all(i > band_join for i in filt_rows), (
         "arrival filter printed above the band join — post-join filtering\n" + plan
     )
+
+
+def test_bucketed_join_query_single_exchange(spark):
+    """The declared `bucketed_join_colocated_agg` query's plan must
+    contain exactly ONE exchange — the groupBy(c_mktsegment) hash agg.
+    The orders⋈customer equi-join itself reads co-located buckets
+    (both tables written bucketBy(8, custkey)), so no join exchange
+    appears: the claim the query's docstring makes, pinned here."""
+    from oamap_spark.plans.audit import shuffle_count
+    from oamap_spark.queries.relational_extra import bucketed_join_colocated_agg
+
+    try:
+        df = bucketed_join_colocated_agg(spark, SF_SMOKE)
+        assert shuffle_count(df) == 1, audit.plan_string(df)
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS __bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS __bkt_customer")
+
+
+def test_dpp_query_prunes_partitions(spark):
+    """The declared `dpp_partition_prune_agg` query's executed plan
+    must carry a dynamicpruning expression on the partitioned fact
+    scan — the runtime partition filter derived from the broadcast
+    tier dim, per the query docstring."""
+    from oamap_spark.queries.relational_extra import dpp_partition_prune_agg
+
+    df = dpp_partition_prune_agg(spark, SF_SMOKE)
+    phys = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in phys, phys[:2000]
