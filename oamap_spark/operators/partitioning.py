@@ -114,3 +114,82 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def bloom_semijoin_reduce(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Semi-join reduction: drop fact rows that cannot match `dim`
+    BEFORE the join's shuffle, using a hand-built Bloom bitmap of the
+    dim keys — the lever for the dim-too-big-to-broadcast, fact-huge
+    case. Spark's own runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.*`) does this
+    automatically but only above size thresholds the optimizer
+    controls; this operator is the explicit, always-on form with the
+    same shape: a 100 TB fact side sheds non-matching rows at the
+    scan, paying (n_bits/8) bytes of broadcast instead of shuffling
+    rows that the join would discard anyway.
+
+    Mechanics (all JVM-side, whole-stage codegen):
+      build:  each dim key sets `n_hashes` bits at
+              pmod(xxhash64(key, seed), n_bits); bits are packed into
+              64-bit words (groupBy word index, bit_or of shifted
+              ones) and densified into ONE row holding an
+              array<long> of length n_bits/64 — positionally
+              indexable, so probes are O(1), never an array scan.
+      probe:  broadcast cross-join of that row; a fact row survives
+              only if ALL `n_hashes` probed bits are set.
+
+    False positives pass the filter and are removed by the exact join
+    the caller runs next — results are bit-identical to the unfiltered
+    join; only the shuffled row count changes. Returns `fact` filtered
+    (original columns, no helper columns). Deterministic: xxhash64 is
+    a fixed hash, no RNG."""
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    n_words = n_bits // 64
+
+    def probes(key: str) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+
+    pos = dim.select(
+        F.explode(F.array(*probes(dim_key))).alias("__pos")
+    )
+    words = (
+        pos.groupBy((F.col("__pos") / 64).cast("long").alias("__w"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(__pos % 64 as int)))").alias(
+                "__bits"
+            )
+        )
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__w", "__bits"))
+        ).alias("__m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0L, {n_words - 1}L),"
+            " w -> coalesce(element_at(__m, w), 0L))"
+        ).alias("__bloom")
+    )
+
+    out = fact.crossJoin(F.broadcast(bloom))
+    for p in probes(fact_key):
+        # bit test via SQL operators — the Python shiftrightunsigned()
+        # API only accepts a literal int shift, not a Column
+        out = out.withColumn("__p", p).where(
+            F.expr(
+                "(shiftrightunsigned(get(__bloom, cast(__p / 64 as int)),"
+                " cast(__p % 64 as int)) & 1) = 1"
+            )
+        )
+    return out.drop("__p", "__bloom")

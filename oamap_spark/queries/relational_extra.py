@@ -718,3 +718,51 @@ def dpp_partition_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "bloom_prefilter_join_agg",
+    tags=("join", "bloom", "semijoin_reduction", "scale"),
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+""",
+)
+def bloom_prefilter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction gated end-to-end: lineitem is
+    prefiltered through a hand-built Bloom bitmap of the urgent-order
+    keys (:func:`oamap_spark.operators.partitioning.
+    bloom_semijoin_reduce` — 8 KiB broadcast, O(1) packed-word bit
+    probes, whole-stage codegen) BEFORE the exact join, then joined
+    and aggregated per return flag. Bloom false positives are removed
+    by the exact join, so the values hash-match the plain-join oracle
+    bit for bit — only the shuffled row count changes. This is the
+    explicit form of Spark's runtime bloom filter for the case the
+    optimizer's size thresholds miss: a dim too big to broadcast as a
+    hash-join side still fits as a Bloom bitmap, and a 100 TB fact
+    side sheds ~4/5 of its rows (1-URGENT selectivity) at the scan
+    instead of shuffling them into the join. The pre-shuffle filter
+    position is plan-asserted in
+    tests/test_plans.py::test_bloom_prefilter_below_join."""
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li_flt = bloom_semijoin_reduce(li, urgent, "l_orderkey", "o_orderkey")
+    j = li_flt.join(urgent, li_flt.l_orderkey == urgent.o_orderkey)
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -225,3 +225,37 @@ def test_salted_frames_is_the_join_projection(spark):
     assert hists[0] == hists[1]
     # and the salt really spreads keys over multiple sub-keys
     assert len(hists[0]) > li.select("l_orderkey").distinct().count()
+
+
+def test_bloom_semijoin_reduce_exact_after_join(spark):
+    """bloom_semijoin_reduce sheds non-matching fact rows but NEVER
+    true matches (no false negatives): the exact join after the
+    prefilter returns precisely the unfiltered join's rows, while the
+    prefiltered row count sits between the true match count and the
+    fact size. Also pins the no-helper-columns contract."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    fact = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dim = spark.range(100).select((F.col("id") * 37).alias("dk"))
+    flt = bloom_semijoin_reduce(fact, dim, "k", "dk", n_bits=1 << 12)
+    assert flt.columns == ["k", "v"]
+    n_flt = flt.count()
+    true_n = fact.join(dim, fact.k == dim.dk, "semi").count()
+    assert true_n <= n_flt < 10000
+    assert flt.join(dim, flt.k == dim.dk).count() == true_n
+    # missed-key audit: every dim key survives the prefilter
+    assert flt.join(dim, flt.k == dim.dk, "semi").count() == true_n
+
+
+def test_bloom_semijoin_reduce_rejects_bad_bits(spark):
+    import pytest as _pytest
+
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    df = spark.range(4).selectExpr("id as k")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_semijoin_reduce(df, df, "k", "k", n_bits=100)

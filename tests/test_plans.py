@@ -652,3 +652,36 @@ def test_dpp_query_prunes_partitions(spark):
     df = dpp_partition_prune_agg(spark, SF_SMOKE)
     phys = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in phys, phys[:2000]
+
+
+def test_bloom_prefilter_below_join(spark):
+    """The declared `bloom_prefilter_join_agg` query must apply the
+    Bloom bit-probe filter on the fact side BELOW the exact join —
+    i.e. fact rows are shed before the join's exchange, which is the
+    entire point of semi-join reduction. Forces
+    autoBroadcastJoinThreshold=-1 so the exact join is a sort-merge
+    join with real exchanges (at verification SF it would otherwise
+    broadcast); the Bloom bitmap itself still broadcasts via the
+    explicit broadcast() hint."""
+    from oamap_spark.queries.relational_extra import bloom_prefilter_join_agg
+
+    keep = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bloom_prefilter_join_agg(spark, SF_SMOKE)
+        plan = audit.plan_string(df, mode="simple")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+        lines = plan.splitlines()
+        smj = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
+        # Catalyst fuses the bit probes into the broadcast join's
+        # condition rather than a standalone Filter node — match the
+        # probe expression itself, wherever it landed
+        probe = [i for i, l in enumerate(lines) if "shiftrightunsigned" in l]
+        assert smj and probe, plan
+        assert all(i > min(smj) for i in probe), (
+            "bloom probe filter printed above the exact join — "
+            "prefilter did not land on the join input\n" + plan
+        )
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", keep)
