@@ -152,6 +152,26 @@ def bloom_semijoin_reduce(
     a fixed hash, no RNG."""
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    # xxhash64 is type-sensitive while the equi-join the caller runs
+    # next casts for comparison: an int fact key never hashes equal to
+    # a bigint dim key, and every true match would be silently shed —
+    # the one failure mode a prefilter must never have. Refuse.
+    f_type = fact.schema[fact_key].dataType
+    d_type = dim.schema[dim_key].dataType
+    if f_type != d_type:
+        raise ValueError(
+            f"fact_key {fact_key}: {f_type} and dim_key {dim_key}: "
+            f"{d_type} must have identical types — xxhash64 is "
+            "type-sensitive, a mismatch sheds true matches; cast one "
+            "side before calling"
+        )
+    reserved = {"__p", "__bloom"} & set(fact.columns)
+    if reserved:
+        raise ValueError(
+            f"fact must not contain reserved columns {sorted(reserved)}"
+        )
     n_words = n_bits // 64
 
     def probes(key: str) -> list[Column]:

@@ -259,3 +259,25 @@ def test_bloom_semijoin_reduce_rejects_bad_bits(spark):
     df = spark.range(4).selectExpr("id as k")
     with _pytest.raises(ValueError, match="multiple of 64"):
         bloom_semijoin_reduce(df, df, "k", "k", n_bits=100)
+
+
+def test_bloom_semijoin_reduce_guards(spark):
+    """Fail-fast guards: mismatched key types (xxhash64 is
+    type-sensitive — a mismatch would silently shed TRUE matches),
+    reserved fact columns, and degenerate n_hashes all refuse at
+    plan-build time instead of producing wrong or clobbered output."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    fact_int = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    dim_long = spark.range(10).selectExpr("id as dk")
+    with _pytest.raises(ValueError, match="identical types"):
+        bloom_semijoin_reduce(fact_int, dim_long, "k", "dk")
+    fact_res = spark.range(10).selectExpr("id as k", "id as __p")
+    with _pytest.raises(ValueError, match="reserved columns"):
+        bloom_semijoin_reduce(fact_res, dim_long, "k", "dk")
+    ok = spark.range(10).selectExpr("id as k")
+    with _pytest.raises(ValueError, match="n_hashes"):
+        bloom_semijoin_reduce(ok, dim_long, "k", "dk", n_hashes=0)

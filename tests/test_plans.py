@@ -564,7 +564,7 @@ def test_aqe_skew_split_fires_and_its_limits(spark):
                 spark.conf.set(k, v)
 
 
-def test_mixture_broadcasts_thresholds_no_corpus_shuffle(spark, queries):
+def test_mixture_broadcasts_thresholds_no_corpus_shuffle(spark):
     """mixture_temperature_counts: the per-group threshold table must
     reach the corpus via a broadcast join — the corpus rows themselves
     never shuffle for the sampling step (the whole point of deriving
@@ -633,11 +633,22 @@ def test_bucketed_join_query_single_exchange(spark):
     from oamap_spark.plans.audit import shuffle_count
     from oamap_spark.queries.relational_extra import bucketed_join_colocated_agg
 
+    # Pin autoBroadcastJoinThreshold=-1: at verification SF customer
+    # broadcasts and shuffle_count == 1 would hold with or without
+    # bucketing (an unbucketed broadcast join + agg also shows one
+    # exchange). Forcing SMJ makes the assertion discriminating —
+    # unbucketed SMJ + agg would show 3 exchanges, co-located buckets
+    # show only the agg's.
+    keep = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         df = bucketed_join_colocated_agg(spark, SF_SMOKE)
-        assert shuffle_count(df) == 1, audit.plan_string(df)
+        plan = audit.plan_string(df, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert shuffle_count(df) == 1, plan
         assert df.count() > 0
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", keep)
         spark.sql("DROP TABLE IF EXISTS __bkt_orders")
         spark.sql("DROP TABLE IF EXISTS __bkt_customer")
 
