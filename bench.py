@@ -353,6 +353,63 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
+    # Bloom semi-join reduction micro-bench: the SIGNAL is
+    # `bloom_prefilter_shuffled_rows` — fact rows that reach the exact
+    # join's exchange with vs without the prefilter (the shuffle bytes
+    # this sheds are what scale with the 100 TB fact, not the sf0.1
+    # wall). Same builders as the declared `bloom_prefilter_join_agg`
+    # query; auto-broadcast disabled so the exact join is a real
+    # shuffle join (the regime under test — at sf0.1 the dim would
+    # broadcast and the prefilter would be moot).
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    li_b = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent_b = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom_shuffled: dict[str, int] = {}
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, fact_fn in (
+            (
+                "bloom_prefilter_join",
+                lambda: bloom_semijoin_reduce(
+                    li_b, urgent_b, "l_orderkey", "o_orderkey", n_bits=1 << 20
+                ),
+            ),
+            ("bloom_plain_join", lambda: li_b),
+        ):
+            runs = []
+            for _ in range(2):
+                fact = fact_fn()
+                t0 = time.perf_counter()
+                fact.join(
+                    urgent_b, fact.l_orderkey == urgent_b.o_orderkey
+                ).groupBy("l_returnflag").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("l_extendedprice").alias("s"),
+                ).count()
+                runs.append(round(time.perf_counter() - t0, 4))
+            # rows entering the exact join's fact-side exchange
+            bloom_shuffled[label.replace("_join", "_shuffled_rows")] = (
+                fact_fn().count()
+            )
+            timings[label] = min(runs)
+            all_runs[label] = runs
+            print(
+                f"# {label}: {min(runs):.3f}s (shuffled rows "
+                f"{bloom_shuffled[label.replace('_join', '_shuffled_rows')]})",
+                file=sys.stderr,
+            )
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -399,6 +456,10 @@ def main() -> None:
         # hottest reducer key, plain vs salted (the number that scales;
         # sf0.1 wall time does not — one hot task still fits this box)
         "skew_join_max_reducer_pairs": max_reducer_pairs,
+        # fact rows reaching the exact join's exchange with vs without
+        # the Bloom prefilter — the shuffle-shed signal that scales
+        # with the fact side (1-URGENT keeps ~1/5 of lineitem)
+        "bloom_prefilter_shuffled_rows": bloom_shuffled,
     }
     print(json.dumps(out))
     spark.stop()

@@ -734,11 +734,12 @@ GROUP BY l.l_returnflag
 )
 def bloom_prefilter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join reduction gated end-to-end: lineitem is
-    prefiltered through a hand-built Bloom bitmap of the urgent-order
-    keys (:func:`oamap_spark.operators.partitioning.
-    bloom_semijoin_reduce` — 8 KiB broadcast, O(1) packed-word bit
-    probes, whole-stage codegen) BEFORE the exact join, then joined
-    and aggregated per return flag. Bloom false positives are removed
+    prefiltered through the Bloom hash-position set of the
+    urgent-order keys (:func:`oamap_spark.operators.partitioning.
+    bloom_semijoin_reduce` — distinct xxhash64 positions broadcast
+    once, one LEFT SEMI broadcast hash join per hash function, all
+    whole-stage codegen) BEFORE the exact join, then joined and
+    aggregated per return flag. Bloom false positives are removed
     by the exact join, so the values hash-match the plain-join oracle
     bit for bit — only the shuffled row count changes. This is the
     explicit form of Spark's runtime bloom filter for the case the
@@ -758,7 +759,14 @@ def bloom_prefilter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    li_flt = bloom_semijoin_reduce(li, urgent, "l_orderkey", "o_orderkey")
+    # size the position space to the dim: ~30k urgent keys at sf0.1
+    # need n_bits >> k*n for a useful fp rate (2^20 → fp ~0.3%,
+    # broadcast = ~60k distinct positions; 2^16 saturates to fp ~36%
+    # and sheds only half the non-matching rows — measured in bench's
+    # bloom_prefilter_shuffled_rows arm)
+    li_flt = bloom_semijoin_reduce(
+        li, urgent, "l_orderkey", "o_orderkey", n_bits=1 << 20
+    )
     j = li_flt.join(urgent, li_flt.l_orderkey == urgent.o_orderkey)
     return j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -251,16 +251,6 @@ def test_bloom_semijoin_reduce_exact_after_join(spark):
     assert flt.join(dim, flt.k == dim.dk, "semi").count() == true_n
 
 
-def test_bloom_semijoin_reduce_rejects_bad_bits(spark):
-    import pytest as _pytest
-
-    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
-
-    df = spark.range(4).selectExpr("id as k")
-    with _pytest.raises(ValueError, match="multiple of 64"):
-        bloom_semijoin_reduce(df, df, "k", "k", n_bits=100)
-
-
 def test_bloom_semijoin_reduce_guards(spark):
     """Fail-fast guards: mismatched key types (xxhash64 is
     type-sensitive — a mismatch would silently shed TRUE matches),
@@ -275,9 +265,13 @@ def test_bloom_semijoin_reduce_guards(spark):
     dim_long = spark.range(10).selectExpr("id as dk")
     with _pytest.raises(ValueError, match="identical types"):
         bloom_semijoin_reduce(fact_int, dim_long, "k", "dk")
-    fact_res = spark.range(10).selectExpr("id as k", "id as __p")
-    with _pytest.raises(ValueError, match="reserved columns"):
-        bloom_semijoin_reduce(fact_res, dim_long, "k", "dk")
     ok = spark.range(10).selectExpr("id as k")
     with _pytest.raises(ValueError, match="n_hashes"):
         bloom_semijoin_reduce(ok, dim_long, "k", "dk", n_hashes=0)
+    with _pytest.raises(ValueError, match="n_bits"):
+        bloom_semijoin_reduce(ok, dim_long, "k", "dk", n_bits=32)
+    # a fact column named __pos does NOT collide — the broadcast
+    # side's __pos is bound by reference, not by name
+    fact_pos = spark.range(10).selectExpr("id as k", "id as __pos")
+    flt = bloom_semijoin_reduce(fact_pos, dim_long, "k", "dk")
+    assert flt.columns == ["k", "__pos"] and flt.count() == 10

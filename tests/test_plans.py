@@ -684,13 +684,16 @@ def test_bloom_prefilter_below_join(spark):
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
         lines = plan.splitlines()
         smj = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
-        # Catalyst fuses the bit probes into the broadcast join's
-        # condition rather than a standalone Filter node — match the
-        # probe expression itself, wherever it landed
-        probe = [i for i, l in enumerate(lines) if "shiftrightunsigned" in l]
-        assert smj and probe, plan
+        # the probes are LEFT SEMI broadcast hash joins on the
+        # xxhash64 position expression — one per hash function
+        probe = [
+            i
+            for i, l in enumerate(lines)
+            if "LeftSemi" in l and "xxhash64" in l
+        ]
+        assert smj and len(probe) == 2, plan
         assert all(i > min(smj) for i in probe), (
-            "bloom probe filter printed above the exact join — "
+            "bloom probe semi-joins printed above the exact join — "
             "prefilter did not land on the join input\n" + plan
         )
         assert df.count() > 0
