@@ -196,3 +196,19 @@ def test_snippet_incremental_multi_detector_shared_ids(spark):
             flagged, "doc_id", "text", "is_new"
         ).collect()
     }
+
+
+def test_snippet_bloom_semijoin_reduce(spark):
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    fact = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").selectExpr(
+        "l_orderkey as fact_key", "l_quantity"
+    )
+    dim = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).selectExpr("o_orderkey as dim_key")
+    fact_flt = bloom_semijoin_reduce(fact, dim, "fact_key", "dim_key",
+                                     n_bits=1 << 20)
+    result = fact_flt.join(dim, fact_flt.fact_key == dim.dim_key)
+    plain = fact.join(dim, fact.fact_key == dim.dim_key)
+    assert result.count() == plain.count()
