@@ -658,3 +658,70 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical index, cap, and arithmetic."""
     d = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8, df_cap=16)
+
+
+@register(
+    "dedup_incremental_bloom_pruned",
+    tags=("llm", "dedup", "incremental", "bloom", "scale"),
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest
+  FROM documents
+  WHERE CAST(substring(source, 4) AS INT) < 10
+), arrivals AS (
+  SELECT source,
+         md5(array_to_string(string_split(text, ' '), ' ')) AS digest
+  FROM documents
+  WHERE CAST(substring(source, 4) AS INT) >= 10
+)
+SELECT a.source,
+       count(*) AS n_arrivals,
+       CAST(sum(CASE WHEN c.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN c.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM arrivals a LEFT JOIN corpus c USING (digest)
+GROUP BY a.source
+""",
+)
+def dedup_incremental_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of :func:`dedup_incremental_vs_corpus`: before
+    the arrival←corpus digest join, the CORPUS index is Bloom-pruned
+    by the position set of the ARRIVAL digests
+    (:func:`oamap_spark.operators.partitioning.bloom_semijoin_reduce`
+    with fact=corpus, dim=arrivals — the asymmetry is the point: the
+    arrival batch is small, so its position set broadcasts for
+    nothing, while the accumulated index is the 100M+-row side that
+    would otherwise shuffle whole). Pruning the right side of a LEFT
+    join is sound: corpus rows that match no arrival produce no
+    output rows, and Bloom false positives just survive into the join
+    that discards them — the per-source dup/new counts hash-match the
+    unpruned oracle exactly. At scale this converts the
+    corpus-side shuffle into (arrival-sized broadcast) + (near-empty
+    corpus remnant), typically turning the join itself broadcastable.
+    Position-probe placement below the join is pinned in
+    tests/test_plans.py::test_incremental_bloom_prunes_corpus_side."""
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    digest = D.canonical_text_digest("text")
+    corpus = (
+        d.where(src_num < 10).select(digest.alias("digest")).distinct()
+    )
+    arrivals = d.where(src_num >= 10).select("source", digest.alias("digest"))
+    corpus_pruned = bloom_semijoin_reduce(
+        corpus,
+        arrivals.select("digest"),
+        "digest",
+        "digest",
+        n_bits=1 << 20,
+    )
+    j = arrivals.join(
+        corpus_pruned.withColumn("in_corpus", F.lit(1)), "digest", "left"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_new"),
+    )

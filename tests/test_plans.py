@@ -699,3 +699,33 @@ def test_bloom_prefilter_below_join(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", keep)
+
+
+def test_incremental_bloom_prunes_corpus_side(spark):
+    """dedup_incremental_bloom_pruned: the Bloom position probes
+    (LeftSemi hash joins on xxhash64 of the digest) must sit on the
+    CORPUS input BELOW the arrival←corpus left join — the corpus index
+    sheds non-arrival digests before that join's exchange. Stays
+    JVM-side throughout."""
+    from oamap_spark.queries.llm_dedup import dedup_incremental_bloom_pruned
+
+    keep = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = dedup_incremental_bloom_pruned(spark, SF_SMOKE)
+        plan = audit.plan_string(df, mode="simple")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+        lines = plan.splitlines()
+        outer = [
+            i for i, l in enumerate(lines) if "SortMergeJoin" in l and "LeftOuter" in l
+        ]
+        probe = [
+            i for i, l in enumerate(lines) if "LeftSemi" in l and "xxhash64" in l
+        ]
+        assert outer and len(probe) == 2, plan
+        assert all(i > min(outer) for i in probe), (
+            "bloom probes printed above the left join — corpus not "
+            "pruned pre-join\n" + plan
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", keep)
