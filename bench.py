@@ -365,7 +365,7 @@ def main() -> None:
 
     li_b = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
-    )
+    )  # the declared query's exact projection — shuffle bytes match
     urgent_b = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderpriority") == "1-URGENT")
@@ -379,7 +379,7 @@ def main() -> None:
             (
                 "bloom_prefilter_join",
                 lambda: bloom_semijoin_reduce(
-                    li_b, urgent_b, "l_orderkey", "o_orderkey", n_bits=1 << 20
+                    li_b, urgent_b, "l_orderkey", "o_orderkey"
                 ),
             ),
             ("bloom_plain_join", lambda: li_b),
@@ -392,7 +392,13 @@ def main() -> None:
                     urgent_b, fact.l_orderkey == urgent_b.o_orderkey
                 ).groupBy("l_returnflag").agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("l_extendedprice").alias("s"),
+                    F.round(
+                        F.sum(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ),
+                        2,
+                    ).alias("revenue"),
                 ).count()
                 runs.append(round(time.perf_counter() - t0, 4))
             # rows entering the exact join's fact-side exchange
@@ -406,6 +412,7 @@ def main() -> None:
                 f"{bloom_shuffled[label.replace('_join', '_shuffled_rows')]})",
                 file=sys.stderr,
             )
+            cache.sweep()
             spark.catalog.clearCache()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)

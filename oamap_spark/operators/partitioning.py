@@ -121,7 +121,7 @@ def bloom_semijoin_reduce(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    n_bits: int = 1 << 20,
+    n_bits: int | None = None,
     n_hashes: int = 2,
 ) -> DataFrame:
     """Semi-join reduction: drop fact rows that cannot match `dim`
@@ -159,13 +159,19 @@ def bloom_semijoin_reduce(
     (original columns, no helper columns added). Deterministic:
     xxhash64 is a fixed hash, no RNG.
 
-    SIZE `n_bits` TO THE DIM: fp ≈ (1 - e^(-n_hashes·|dim| / n_bits))
-    ^ n_hashes — at n_bits = 16·|dim| and n_hashes=2 that is ~1.4%;
-    letting the position space saturate (n_bits ≲ 2·|dim|) degrades
-    toward a pass-through (measured in bench.py's
-    bloom_prefilter_shuffled_rows arm: 2^16 positions at 30k keys hit
-    fp ~36% and shed only half the non-matching rows; 2^20 sheds
-    ~all)."""
+    SIZING: fp ≈ (1 - e^(-n_hashes·|dim| / n_bits)) ^ n_hashes — at
+    n_bits = 16·|dim| and n_hashes=2 that is ~1.4%; letting the
+    position space saturate (n_bits ≲ 2·|dim|) degrades toward a
+    pass-through (measured in bench.py's bloom_prefilter_shuffled_rows
+    arm: 2^16 positions at 30k keys hit fp ~36% and shed only half the
+    non-matching rows; 2^20 sheds ~all). The default `n_bits=None`
+    AUTO-SIZES to max(2^16, 16·dim.count()) — the count is one narrow
+    pass over the (already filtered, single-column) dim at plan-build
+    time, the price of a prefilter that cannot silently saturate when
+    the dim outgrows a hardcoded constant. Pass an explicit n_bits to
+    skip the count when the dim cardinality is known."""
+    if n_bits is None:
+        n_bits = max(1 << 16, 16 * dim.select(dim_key).distinct().count())
     if n_bits < 64:
         raise ValueError(f"n_bits must be >= 64, got {n_bits}")
     if n_hashes < 1:

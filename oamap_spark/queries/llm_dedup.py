@@ -510,10 +510,7 @@ def dedup_ngram_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_window_overlap(d, "doc_id", "text", n=8)
 
 
-@register(
-    "dedup_incremental_vs_corpus",
-    tags=("llm", "dedup", "incremental", "anti_join"),
-    oracle="""
+_INCR_EXACT_ORACLE = """
 WITH corpus AS (
   SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest
   FROM documents
@@ -530,18 +527,18 @@ SELECT a.source,
        CAST(sum(CASE WHEN c.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
 FROM arrivals a LEFT JOIN corpus c USING (digest)
 GROUP BY a.source
-""",
-)
-def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup: new arrivals (sources src10+) checked
-    against the accumulated corpus (src0–src9) by canonical digest —
-    the production shape for continuous ingestion, where the corpus
-    side is a compacted digest-only table (32 chars/doc, ~3 GB per
-    100M docs — broadcastable or a cheap shuffle) and arrivals never
-    rescan corpus text. The streaming twin is dropDuplicates over the
-    digest column with the corpus table as initial state (see
-    sources/dataset.py put_stream). Emits per-arriving-source dup/new
-    counts."""
+"""
+
+
+def _incremental_exact_counts(spark, sf_dir, prune=None):
+    """Shared body of the incremental exact-dedup twins: arrivals
+    (sources src10+) left-joined by canonical digest against the
+    accumulated corpus index (src0-src9), per-source dup/new counts.
+    `prune(corpus, arrivals)` optionally sheds corpus rows before the
+    join — sound for any prune that never drops a digest an arrival
+    carries (right-side reduction of a left join), so both twins share
+    ONE oracle (_INCR_EXACT_ORACLE) and one digest/split/agg
+    definition that cannot drift apart."""
     d = load_table(spark, sf_dir, "documents")
     src_num = F.substring("source", 4, 10).cast("int")
     digest = D.canonical_text_digest("text")
@@ -549,6 +546,8 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(src_num < 10).select(digest.alias("digest")).distinct()
     )
     arrivals = d.where(src_num >= 10).select("source", digest.alias("digest"))
+    if prune is not None:
+        corpus = prune(corpus, arrivals)
     j = arrivals.join(
         corpus.withColumn("in_corpus", F.lit(1)), "digest", "left"
     )
@@ -559,6 +558,25 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_new"),
     )
+
+
+@register(
+    "dedup_incremental_vs_corpus",
+    tags=("llm", "dedup", "incremental", "anti_join"),
+    oracle=_INCR_EXACT_ORACLE,
+)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: new arrivals (sources src10+) checked
+    against the accumulated corpus (src0-src9) by canonical digest -
+    the production shape for continuous ingestion, where the corpus
+    side is a compacted digest-only table (32 chars/doc, ~3 GB per
+    100M docs - broadcastable or a cheap shuffle) and arrivals never
+    rescan corpus text. The streaming twin is dropDuplicates over the
+    digest column with the corpus table as initial state (see
+    sources/dataset.py put_stream). Emits per-arriving-source dup/new
+    counts. Body shared with the bloom-pruned twin via
+    _incremental_exact_counts."""
+    return _incremental_exact_counts(spark, sf_dir)
 
 
 @register(
@@ -663,29 +681,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_bloom_pruned",
     tags=("llm", "dedup", "incremental", "bloom", "scale"),
-    oracle="""
-WITH corpus AS (
-  SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest
-  FROM documents
-  WHERE CAST(substring(source, 4) AS INT) < 10
-), arrivals AS (
-  SELECT source,
-         md5(array_to_string(string_split(text, ' '), ' ')) AS digest
-  FROM documents
-  WHERE CAST(substring(source, 4) AS INT) >= 10
-)
-SELECT a.source,
-       count(*) AS n_arrivals,
-       CAST(sum(CASE WHEN c.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
-       CAST(sum(CASE WHEN c.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
-FROM arrivals a LEFT JOIN corpus c USING (digest)
-GROUP BY a.source
-""",
+    oracle=_INCR_EXACT_ORACLE,
 )
 def dedup_incremental_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale twin of :func:`dedup_incremental_vs_corpus`: before
-    the arrival←corpus digest join, the CORPUS index is Bloom-pruned
-    by the position set of the ARRIVAL digests
+    """The scale twin of :func:`dedup_incremental_vs_corpus` (same
+    shared body + oracle — only the prune step differs): before the
+    arrival<-corpus digest join, the CORPUS index is Bloom-pruned by
+    the position set of the ARRIVAL digests
     (:func:`oamap_spark.operators.partitioning.bloom_semijoin_reduce`
     with fact=corpus, dim=arrivals — the asymmetry is the point: the
     arrival batch is small, so its position set broadcasts for
@@ -701,27 +703,10 @@ def dedup_incremental_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_plans.py::test_incremental_bloom_prunes_corpus_side."""
     from oamap_spark.operators.partitioning import bloom_semijoin_reduce
 
-    d = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
-    digest = D.canonical_text_digest("text")
-    corpus = (
-        d.where(src_num < 10).select(digest.alias("digest")).distinct()
-    )
-    arrivals = d.where(src_num >= 10).select("source", digest.alias("digest"))
-    corpus_pruned = bloom_semijoin_reduce(
-        corpus,
-        arrivals.select("digest"),
-        "digest",
-        "digest",
-        n_bits=1 << 20,
-    )
-    j = arrivals.join(
-        corpus_pruned.withColumn("in_corpus", F.lit(1)), "digest", "left"
-    )
-    return j.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_arrivals"),
-        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)).alias(
-            "n_dup_vs_corpus"
+    return _incremental_exact_counts(
+        spark,
+        sf_dir,
+        prune=lambda corpus, arrivals: bloom_semijoin_reduce(
+            corpus, arrivals.select("digest"), "digest", "digest"
         ),
-        F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_new"),
     )

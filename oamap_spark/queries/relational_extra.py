@@ -744,9 +744,9 @@ def bloom_prefilter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit for bit — only the shuffled row count changes. This is the
     explicit form of Spark's runtime bloom filter for the case the
     optimizer's size thresholds miss: a dim too big to broadcast as a
-    hash-join side still fits as a Bloom bitmap, and a 100 TB fact
-    side sheds ~4/5 of its rows (1-URGENT selectivity) at the scan
-    instead of shuffling them into the join. The pre-shuffle filter
+    hash-join side still fits as a broadcast position set, and a
+    100 TB fact side sheds ~4/5 of its rows (1-URGENT selectivity) at
+    the scan instead of shuffling them into the join. The pre-shuffle filter
     position is plan-asserted in
     tests/test_plans.py::test_bloom_prefilter_below_join."""
     from oamap_spark.operators.partitioning import bloom_semijoin_reduce
@@ -759,14 +759,12 @@ def bloom_prefilter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    # size the position space to the dim: ~30k urgent keys at sf0.1
-    # need n_bits >> k*n for a useful fp rate (2^20 → fp ~0.3%,
-    # broadcast = ~60k distinct positions; 2^16 saturates to fp ~36%
-    # and sheds only half the non-matching rows — measured in bench's
+    # n_bits=None auto-sizes the position space to 16× the dim key
+    # count (fp ~1.4% at every SF) — a hardcoded constant would
+    # silently saturate once the dim outgrows it (2^16 at 30k keys:
+    # fp ~36%, half the shed — measured in bench's
     # bloom_prefilter_shuffled_rows arm)
-    li_flt = bloom_semijoin_reduce(
-        li, urgent, "l_orderkey", "o_orderkey", n_bits=1 << 20
-    )
+    li_flt = bloom_semijoin_reduce(li, urgent, "l_orderkey", "o_orderkey")
     j = li_flt.join(urgent, li_flt.l_orderkey == urgent.o_orderkey)
     return j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

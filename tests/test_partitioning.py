@@ -253,9 +253,10 @@ def test_bloom_semijoin_reduce_exact_after_join(spark):
 
 def test_bloom_semijoin_reduce_guards(spark):
     """Fail-fast guards: mismatched key types (xxhash64 is
-    type-sensitive — a mismatch would silently shed TRUE matches),
-    reserved fact columns, and degenerate n_hashes all refuse at
-    plan-build time instead of producing wrong or clobbered output."""
+    type-sensitive — a mismatch would silently shed TRUE matches) and
+    degenerate n_hashes/n_bits refuse at plan-build time instead of
+    producing wrong output; fact column names never collide with the
+    probe side (no reserved names)."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
