@@ -276,3 +276,21 @@ def test_bloom_semijoin_reduce_guards(spark):
     fact_pos = spark.range(10).selectExpr("id as k", "id as __pos")
     flt = bloom_semijoin_reduce(fact_pos, dim_long, "k", "dk")
     assert flt.columns == ["k", "__pos"] and flt.count() == 10
+
+
+def test_bloom_semijoin_reduce_autosizes_positions(spark):
+    """n_bits=None auto-sizes to max(2^16, 16·|dim keys|): a tiny dim
+    gets the 2^16 floor, a big one scales linearly — the modulus is
+    visible in the probe expressions, so pin it from the plan."""
+    from pyspark.sql import functions as F
+
+    from oamap_spark.plans import audit
+    from oamap_spark.operators.partitioning import bloom_semijoin_reduce
+
+    fact = spark.range(100).selectExpr("id as k")
+    small = spark.range(10).selectExpr("id as dk")
+    plan = audit.plan_string(bloom_semijoin_reduce(fact, small, "k", "dk"))
+    assert str(1 << 16) in plan, plan
+    big = spark.range(10_000).selectExpr("id as dk")
+    plan = audit.plan_string(bloom_semijoin_reduce(fact, big, "k", "dk"))
+    assert str(16 * 10_000) in plan, plan
