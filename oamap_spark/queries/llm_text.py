@@ -399,3 +399,94 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("item"))
     return heavy_hitters(toks, "item", 0.002, capacity=512)
+
+
+@register(
+    "corpus_snapshot_drift",
+    tags=("llm", "text", "drift", "monitoring"),
+    oracle="""
+WITH tok AS (
+  SELECT CAST(substring(source, 4) AS INT) < 10 AS is_a,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT token,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+  FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM counts
+)
+SELECT token,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS drift,
+       round(1000 * 0.5 * (
+         CASE WHEN n_a > 0
+              THEN (n_a / ta) * log2(2.0 * (n_a / ta) / ((n_a / ta) + (n_b / tb)))
+              ELSE 0 END
+       + CASE WHEN n_b > 0
+              THEN (n_b / tb) * log2(2.0 * (n_b / tb) / ((n_a / ta) + (n_b / tb)))
+              ELSE 0 END), 2) AS js_x1000
+FROM counts, tot
+ORDER BY drift DESC, token
+LIMIT 20
+""",
+)
+def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot drift monitor: token unigram distributions of
+    two corpus snapshots (sources src0–src9 vs src10+, standing in for
+    last month's crawl vs this month's) compared token-by-token — the
+    top-20 drifted tokens with counts and their Jensen–Shannon
+    divergence contribution. The RANKING key is pure integer
+    cross-multiplied drift |n_a·total_b − n_b·total_a| (exact in both
+    engines — float rank keys could tie-flip between libms), with the
+    JS term emitted as a rounded diagnostic column. Plan shape: one
+    token shuffle builds both sides' counts in a single groupBy (no
+    self-join of the corpus), totals ride a broadcast 1-row cross
+    join, top-k is TakeOrdered — at 100 TB the only wide movement is
+    the distinct-token count table. The drift signal is what a
+    training-mixture owner watches between ingestion runs: a token
+    whose mass shifts between snapshots flags topic/source drift
+    before it moves the mixture."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    tok = d.select(
+        (src_num < 10).alias("is_a"),
+        F.explode(X.tokens("text")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p_a = F.col("n_a") / F.col("ta")
+    p_b = F.col("n_b") / F.col("tb")
+    js = 0.5 * (
+        F.when(
+            F.col("n_a") > 0, p_a * F.log2(2.0 * p_a / (p_a + p_b))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("n_b") > 0, p_b * F.log2(2.0 * p_b / (p_a + p_b))
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        j.select(
+            "token",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.abs(
+                F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta")
+            )
+            .cast("long")
+            .alias("drift"),
+            F.round(1000 * js, 2).alias("js_x1000"),
+        )
+        .orderBy(F.desc("drift"), F.asc("token"))
+        .limit(20)
+    )
