@@ -421,16 +421,15 @@ WITH tok AS (
 SELECT token,
        CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
-       CAST(abs(n_a * tb - n_b * ta) AS BIGINT) AS drift,
-       round(1000 * 0.5 * (
+       CAST(floor(100000 * 0.5 * (
          CASE WHEN n_a > 0
               THEN (n_a / ta) * log2(2.0 * (n_a / ta) / ((n_a / ta) + (n_b / tb)))
               ELSE 0 END
        + CASE WHEN n_b > 0
               THEN (n_b / tb) * log2(2.0 * (n_b / tb) / ((n_a / ta) + (n_b / tb)))
-              ELSE 0 END), 2) AS js_x1000
+              ELSE 0 END) + 0.5) AS BIGINT) / 100.0 AS js_x1000
 FROM counts, tot
-ORDER BY drift DESC, token
+ORDER BY abs(n_a * tb - n_b * ta) DESC, token
 LIMIT 20
 """,
 )
@@ -439,10 +438,15 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two corpus snapshots (sources src0–src9 vs src10+, standing in for
     last month's crawl vs this month's) compared token-by-token — the
     top-20 drifted tokens with counts and their Jensen–Shannon
-    divergence contribution. The RANKING key is pure integer
-    cross-multiplied drift |n_a·total_b − n_b·total_a| (exact in both
-    engines — float rank keys could tie-flip between libms), with the
-    JS term emitted as a rounded diagnostic column. Plan shape: one
+    divergence contribution. The RANKING key is exact
+    cross-multiplied drift |n_a·total_b − n_b·total_a| computed in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — float rank keys could
+    tie-flip between libms, and int64 would overflow once
+    n·total > 2^63 (a 100 TB corpus reaches that; ANSI-off Spark would
+    wrap SILENTLY). The rank key is deliberately NOT emitted: the
+    exact wide-decimal arithmetic stays engine-internal, and the JS
+    term rides along as a floor(x·10⁵+0.5)/100 diagnostic (the repo's
+    exact-boundary-safe rounding idiom). Plan shape: one
     token shuffle builds both sides' counts in a single groupBy (no
     self-join of the corpus), totals ride a broadcast 1-row cross
     join, top-k is TakeOrdered — at 100 TB the only wide movement is
@@ -475,18 +479,22 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b") > 0, p_b * F.log2(2.0 * p_b / (p_a + p_b))
         ).otherwise(F.lit(0.0))
     )
+    dec = "decimal(38,0)"
+    drift = F.abs(
+        F.col("n_a").cast(dec) * F.col("tb").cast(dec)
+        - F.col("n_b").cast(dec) * F.col("ta").cast(dec)
+    )
     return (
         j.select(
             "token",
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.abs(
-                F.col("n_a") * F.col("tb") - F.col("n_b") * F.col("ta")
-            )
-            .cast("long")
-            .alias("drift"),
-            F.round(1000 * js, 2).alias("js_x1000"),
+            (
+                F.floor(100000 * js + F.lit(0.5)).cast("long") / F.lit(100.0)
+            ).alias("js_x1000"),
+            drift.alias("__drift"),
         )
-        .orderBy(F.desc("drift"), F.asc("token"))
+        .orderBy(F.desc("__drift"), F.asc("token"))
         .limit(20)
+        .drop("__drift")
     )

@@ -282,8 +282,6 @@ def test_bloom_semijoin_reduce_autosizes_positions(spark):
     """n_bits=None auto-sizes to max(2^16, 16·|dim keys|): a tiny dim
     gets the 2^16 floor, a big one scales linearly — the modulus is
     visible in the probe expressions, so pin it from the plan."""
-    from pyspark.sql import functions as F
-
     from oamap_spark.plans import audit
     from oamap_spark.operators.partitioning import bloom_semijoin_reduce
 
