@@ -158,3 +158,50 @@ def compact(
     import os
 
     return len(glob.glob(os.path.join(dst, "*.parquet")))
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the ingestion-side hygiene op every
+    continuously-fed table needs: streaming sinks and frequent batch
+    appends leave directories of kilobyte-scale parquet files, and at
+    100 TB the resulting footer/task overhead (one scan task per tiny
+    file, one footer round-trip each) dominates the read cost long
+    before the data does. Rewrites `in_path` as
+    ceil(total_bytes / target_bytes_per_file) files of roughly equal
+    size via a round-robin repartition (deterministic: Spark sorts
+    within input partitions before round-robin so task retries cannot
+    lose or duplicate rows — never repartition(n, rand()) here).
+
+    Sizing reads the input FILE SIZES (compressed bytes — the unit
+    file-count overhead cares about), not a row count: row width
+    varies too much across tables for a rows-per-file constant.
+    File sizes come from the local filesystem for file:/ paths (this
+    repo's test reality); on a cluster store swap the size probe for
+    the Hadoop FileSystem listing — one call, same arithmetic.
+    Returns the file count written."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(in_path)
+    total = 0
+    for f in df.inputFiles():
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"size probe for {p.scheme}:// needs the Hadoop "
+                "FileSystem listing (see docstring)"
+            )
+        total += os.path.getsize(p.path)
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_files

@@ -772,3 +772,43 @@ def bloom_prefilter_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "compact_small_files_agg",
+    tags=("layout", "compaction", "small_files"),
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def compact_small_files_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction gated end-to-end: documents are first
+    written as 64 deliberately tiny parquet files (the residue a
+    streaming sink or frequent small appends leave behind), compacted
+    by :func:`oamap_spark.operators.layout.compact_small_files` into
+    size-targeted files (~64 KiB target here so verification SFs
+    produce a real multi-file layout), and the compacted table is
+    re-read and aggregated per lang. The hash certifies zero rows
+    lost or duplicated through the tiny-write → compact → read round
+    trip — the invariant that matters, since compaction is pure
+    layout surgery. File-count reduction itself is pinned in
+    tests/test_layout.py::test_compact_small_files_reduces_count. At
+    100 TB this is the difference between one scan task per
+    kilobyte-file (footer overhead dominating) and row-group-sized
+    tasks."""
+    from oamap_spark.operators.layout import compact_small_files
+
+    tiny = _staged(sf_dir, "docs_tiny_files")
+    compacted = _staged(sf_dir, "docs_compacted")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(tiny)
+    compact_small_files(spark, tiny, compacted, target_bytes_per_file=64 * 1024)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
