@@ -133,16 +133,25 @@ def compact(
     src: str,
     dst: str,
     *,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
     sort_by: Sequence[str] = (),
+    even_sizes: bool = False,
 ) -> int:
     """The small-files fix: rewrite ``src`` into ``dst`` as
     ceil(bytes / target) files (optionally clustered by ``sort_by`` so
     min/max pruning survives the rewrite). Streaming sinks and
     per-task writers leave thousands of KB-scale files at 100 TB —
     footer reads and task scheduling then dominate scans; periodic
-    compaction to ~128 MB files is the standard remedy. Returns the
-    output file count."""
+    compaction to ~128 MB files is the standard remedy.
+    ``even_sizes=True`` swaps the shuffle-free ``coalesce`` (which can
+    merge unevenly — upstream partition sizes pass through) for a
+    deterministic round-robin ``repartition`` (one shuffle, equal
+    output files; Spark sorts within input partitions before
+    round-robin, so task retries cannot lose or duplicate rows — never
+    ``repartition(n, rand())`` here). ``target_file_mb`` may be
+    fractional (tests compact to KB-scale targets). Returns the output
+    file count actually written (globbed — empty partitions write no
+    file, so the ceil arithmetic alone can overstate)."""
     import math
 
     df = spark.read.parquet(src)
@@ -151,6 +160,8 @@ def compact(
     if sort_by:
         out = out.repartitionByRange(n, *[F.col(c) for c in sort_by])
         out = out.sortWithinPartitions(*sort_by)
+    elif even_sizes:
+        out = out.repartition(n)
     else:
         out = out.coalesce(n)
     out.write.mode("overwrite").parquet(dst)
@@ -158,50 +169,3 @@ def compact(
     import os
 
     return len(glob.glob(os.path.join(dst, "*.parquet")))
-
-
-def compact_small_files(
-    spark,
-    in_path: str,
-    out_path: str,
-    target_bytes_per_file: int = 128 * 1024 * 1024,
-) -> int:
-    """Small-files compaction — the ingestion-side hygiene op every
-    continuously-fed table needs: streaming sinks and frequent batch
-    appends leave directories of kilobyte-scale parquet files, and at
-    100 TB the resulting footer/task overhead (one scan task per tiny
-    file, one footer round-trip each) dominates the read cost long
-    before the data does. Rewrites `in_path` as
-    ceil(total_bytes / target_bytes_per_file) files of roughly equal
-    size via a round-robin repartition (deterministic: Spark sorts
-    within input partitions before round-robin so task retries cannot
-    lose or duplicate rows — never repartition(n, rand()) here).
-
-    Sizing reads the input FILE SIZES (compressed bytes — the unit
-    file-count overhead cares about), not a row count: row width
-    varies too much across tables for a rows-per-file constant.
-    File sizes come from the local filesystem for file:/ paths (this
-    repo's test reality); on a cluster store swap the size probe for
-    the Hadoop FileSystem listing — one call, same arithmetic.
-    Returns the file count written."""
-    import math
-    import os
-    from urllib.parse import urlparse
-
-    df = spark.read.parquet(in_path)
-    total = 0
-    for f in df.inputFiles():
-        p = urlparse(f)
-        if p.scheme not in ("", "file"):
-            raise NotImplementedError(
-                f"size probe for {p.scheme}:// needs the Hadoop "
-                "FileSystem listing (see docstring)"
-            )
-        total += os.path.getsize(p.path)
-    n_files = max(1, math.ceil(total / target_bytes_per_file))
-    (
-        df.repartition(n_files)
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
-    return n_files

@@ -789,7 +789,8 @@ def compact_small_files_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction gated end-to-end: documents are first
     written as 64 deliberately tiny parquet files (the residue a
     streaming sink or frequent small appends leave behind), compacted
-    by :func:`oamap_spark.operators.layout.compact_small_files` into
+    by :func:`oamap_spark.operators.layout.compact` (even_sizes=True —
+    deterministic round-robin, equal output files) into
     size-targeted files (~64 KiB target here so verification SFs
     produce a real multi-file layout), and the compacted table is
     re-read and aggregated per lang. The hash certifies zero rows
@@ -800,13 +801,13 @@ def compact_small_files_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the difference between one scan task per
     kilobyte-file (footer overhead dominating) and row-group-sized
     tasks."""
-    from oamap_spark.operators.layout import compact_small_files
+    from oamap_spark.operators.layout import compact
 
     tiny = _staged(sf_dir, "docs_tiny_files")
     compacted = _staged(sf_dir, "docs_compacted")
     docs = load_table(spark, sf_dir, "documents")
     docs.repartition(64).write.mode("overwrite").parquet(tiny)
-    compact_small_files(spark, tiny, compacted, target_bytes_per_file=64 * 1024)
+    compact(spark, tiny, compacted, target_file_mb=64 / 1024, even_sizes=True)
     out = spark.read.parquet(compacted)
     return out.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

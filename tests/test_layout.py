@@ -90,14 +90,14 @@ def test_compact_merges_small_files_losslessly(spark, tmp_path):
 
 
 def test_compact_small_files_reduces_count(spark, tmp_path):
-    """compact_small_files must actually reduce the file count to the
-    byte-target arithmetic (and never lose/dup rows — the declared
+    """compact(even_sizes=True) must actually reduce the file count to
+    the byte-target arithmetic (and never lose/dup rows — the declared
     compact_small_files_agg query hash-gates that; this pins the
     layout effect itself)."""
     import glob
     import os
 
-    from oamap_spark.operators.layout import compact_small_files
+    from oamap_spark.operators.layout import compact
     from tests.conftest import SF_SMOKE
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
@@ -106,9 +106,7 @@ def test_compact_small_files_reduces_count(spark, tmp_path):
     n_tiny = len(glob.glob(os.path.join(tiny, "*.parquet")))
     assert n_tiny == 64
     out = str(tmp_path / "compacted")
-    n_written = compact_small_files(
-        spark, tiny, out, target_bytes_per_file=1 << 30
-    )
+    n_written = compact(spark, tiny, out, target_file_mb=1024, even_sizes=True)
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert n_written == 1 and len(files) == 1, (n_written, files)
     assert spark.read.parquet(out).count() == docs.count()
