@@ -212,3 +212,41 @@ def test_snippet_bloom_semijoin_reduce(spark):
     result = fact_flt.join(dim, fact_flt.fact_key == dim.dim_key)
     plain = fact.join(dim, fact.fact_key == dim.dim_key)
     assert result.count() == plain.count()
+
+
+def test_snippet_layout_levers(spark, tmp_path):
+    from oamap_spark.operators.layout import compact
+    from oamap_spark.operators.partitioning import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    try:
+        write_bucketed(
+            orders, "orders_b", "o_custkey", 8, str(tmp_path / "orders_b")
+        )
+        write_bucketed(
+            customer, "cust_b", "c_custkey", 8, str(tmp_path / "cust_b")
+        )
+        j = spark.table("orders_b").join(
+            spark.table("cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert j.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+    raw = str(tmp_path / "events_raw")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").repartition(
+        16
+    ).write.parquet(raw)
+    n_files = compact(
+        spark, raw, str(tmp_path / "events"), target_file_mb=128,
+        even_sizes=True,
+    )
+    assert n_files == 1  # sf0.001 events fit one 128 MB target
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(str(tmp_path / "docs_by_lang"))
+    part = spark.read.parquet(str(tmp_path / "docs_by_lang"))
+    assert part.count() == docs.count()
