@@ -468,7 +468,40 @@ def main() -> None:
         # with the fact side (1-URGENT keeps ~1/5 of lineitem)
         "bloom_prefilter_shuffled_rows": bloom_shuffled,
     }
-    print(json.dumps(out))
+    # Full record (runs, loadavg samples, forensics dicts) goes to
+    # stderr for humans and a/b tooling; stdout gets a COMPACT single
+    # line. The driver records only the LAST 2000 chars of stdout and
+    # parses the JSON line found there — r5–r8's line outgrew that cap
+    # (4.3 KB by r8) and the recorded `parsed` field silently became
+    # None for four rounds. Keep the stdout line under the cap forever.
+    print(json.dumps(out), file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_semantics": out["value_semantics"],
+        "unit": out["unit"],
+        "value_microbench": out["value_microbench"],
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "loadavg_max_1min": max(load_samples) if load_samples else None,
+        "cpus": out["cpus"],
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) >= 1900:  # degrade loudly, never exceed the cap
+        compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        line = json.dumps(compact)
+        while len(line) >= 1900 and compact["queries"]:
+            drop = min(compact["queries"], key=compact["queries"].get)
+            del compact["queries"][drop]
+            compact["queries_omitted"] = (
+                compact.get("queries_omitted", 0) + 1
+            )
+            line = json.dumps(compact)
+        print(
+            f"# stdout line trimmed to fit driver cap: {line[:80]}...",
+            file=sys.stderr,
+        )
+    print(line)
     spark.stop()
 
 

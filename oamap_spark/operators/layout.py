@@ -7,12 +7,15 @@ that column only; interleaving the bits of several rank-normalized
 columns (a Z-/Morton curve) gives every participating column locality,
 so selective filters on ANY of them skip most files.
 
-Spark-first shape: rank-normalize each clustering column with
-``percent_rank`` (value distribution–proof), quantize to ``bits``
-levels, interleave bits into one long — all native Column expressions
-— then ``repartitionByRange`` on the z-value so each output file owns
-a compact z-range. No UDFs, two shuffles (the rank windows share one;
-the range partition is the second), any scale.
+Spark-first shape: rank-normalize each clustering column against
+``approx_percentile`` breakpoints (one aggregation over the frame —
+value distribution–proof, bounded memory ~O(accuracy) per column),
+quantize to ``bits`` levels by counting breakpoints <= value (a
+searchsorted over a literal array, fully codegen'd), interleave bits
+into one long — all native Column expressions — then
+``repartitionByRange`` on the z-value so each output file owns a
+compact z-range. No UDFs, no windows, ONE shuffle (the range
+partition; the breakpoint agg is map-side-combined), any scale.
 
 Verification (`tests/test_layout.py`) is honest: it writes the same
 data z-ordered and shuffled, reads the parquet FOOTERS with pyarrow,
@@ -25,26 +28,53 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def z_value(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
+def z_value(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, accuracy: int = 10000
+) -> DataFrame:
     """Attach ``__z`` — the Morton interleave of the rank-quantized
     clustering columns (``bits`` bits each; 2 cols × 8 bits → 16-bit
-    z-space). percent_rank makes the quantization uniform under ANY
-    value distribution — skew in raw values cannot collapse the curve."""
+    z-space). Quantile breakpoints make the quantization uniform under
+    ANY value distribution — skew in raw values cannot collapse the
+    curve.
+
+    Scale path: ONE ``approx_percentile`` aggregation computes the
+    ``2^bits - 1`` breakpoints per column (Greenwald–Khanna sketch,
+    memory bounded by ``accuracy``, never a global sort or window);
+    the O(cols × 2^bits) breakpoint constants are collected once —
+    bounded at every SF, like the k-means centroid collects — and
+    embedded as literals, so the per-row bin is a codegen'd
+    searchsorted (count of breakpoints <= value) with no window, no
+    join, no UDF. NOTE: building the plan triggers that one agg job.
+    Nulls bin to level 0, matching NULLS FIRST rank order."""
     if not cols:
         raise ValueError("z_value needs at least one clustering column")
+    nlevels = 1 << bits
+    probs = ",".join(str(k / nlevels) for k in range(1, nlevels))
+    row = df.agg(
+        *[
+            F.expr(f"approx_percentile({c}, array({probs}), {accuracy})").alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
     out = df
     qs = []
     for c in cols:
-        w = Window.orderBy(F.col(c))
-        q = F.least(
-            F.floor(F.percent_rank().over(w) * (1 << bits)).cast("long"),
-            F.lit((1 << bits) - 1),
+        bps = row[c]
+        if bps is None:  # all-null column: everything bins to level 0
+            qs.append(F.lit(0).cast("long"))
+            continue
+        arr = F.array(*[F.lit(b) for b in bps])
+        lvl = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
         )
-        qs.append(q)
+        qs.append(F.least(lvl, F.lit(nlevels - 1)).cast("long"))
     z = F.lit(0).cast("long")
     # interleave: bit b of column i lands at position b*len(cols)+i
     for b in range(bits):
@@ -69,19 +99,68 @@ def zorder_write(
     Z-curve of ``cols``: range-partition by ``__z`` (each file owns a
     compact z-range) and sort within partitions so row groups are
     clustered too. The ``__z`` helper column is dropped on write.
-
-    NOTE: ``percent_rank`` over the full frame uses a single-partition
-    window — fine for the per-write file batch this targets; at
-    whole-table scale substitute approx quantile breakpoints per
-    column (same curve, sampled ranks)."""
+    Whole-table scale-safe: the z-curve bins against approx-quantile
+    breakpoints (see ``z_value``) — no unpartitioned window anywhere
+    in the plan."""
     zdf = z_value(df, cols, bits=bits)
+    # Deterministic file ownership: z is rank-uniform by construction,
+    # so slicing z-space into n_files equal intervals balances rows
+    # WITHOUT RangePartitioner's reservoir-sampling noise blurring the
+    # file boundaries. Range-partitioning on __pid ALONE is the key:
+    # equal keys always map to one partition, so a file owns its exact
+    # z-slice — sampling noise could at worst merge two slices, never
+    # bleed a slice's edge rows into the neighboring file (which is
+    # what widens min/max spans and kills pruning).
+    total_bits = bits * len(cols)
+    pid = F.floor(F.col("__z") * n_files / (1 << total_bits)).cast("long")
+    # Route each slice to its own task EXACTLY: repartitionByRange's
+    # reservoir sampling merges adjacent slices at small batch sizes
+    # (equal-key bounds can skip a value), so instead hash-partition on
+    # a per-slice token chosen so pmod(murmur3(token), n_files) == pid.
+    # No sampling, one shuffle, each file owns its exact z-slice.
+    tokens = _exact_partition_tokens(zdf.sparkSession, n_files)
+    tok = F.element_at(
+        F.create_map(
+            # longs on both sides: murmur3 is type-sensitive — hash of
+            # int32 token != hash of the long the probe job measured
+            *[
+                x
+                for p, t in enumerate(tokens)
+                for x in (F.lit(p).cast("long"), F.lit(t).cast("long"))
+            ]
+        ),
+        pid,
+    )
     (
-        zdf.repartitionByRange(n_files, F.col("__z"))
+        zdf.withColumn("__tok", tok)
+        .repartition(n_files, F.col("__tok"))
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", "__tok")
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _exact_partition_tokens(spark, n: int) -> list[int]:
+    """For each partition id p in [0, n), a long token t with
+    ``pmod(hash(t), n) == p`` — computed with Spark's own murmur3
+    ``hash`` so ``repartition(n, token)`` places rows exactly. One
+    O(n)-row collect per write (bounded at every SF, like the k-means
+    centroid collects); candidate range doubles until all residues are
+    covered (expected first try: P(miss) ~ n·e^(-64))."""
+    k = 64 * n
+    while True:
+        rows = (
+            spark.range(k)
+            .withColumn("p", F.pmod(F.hash(F.col("id")), F.lit(n)))
+            .groupBy("p")
+            .agg(F.min("id").alias("t"))
+            .collect()
+        )
+        if len(rows) == n:
+            got = {r["p"]: r["t"] for r in rows}
+            return [got[p] for p in range(n)]
+        k *= 2
 
 
 def file_column_ranges(path: str, col: str) -> list[tuple]:
@@ -154,6 +233,11 @@ def compact(
     file, so the ceil arithmetic alone can overstate)."""
     import math
 
+    if sort_by and even_sizes:
+        raise ValueError(
+            "compact: sort_by and even_sizes are mutually exclusive — "
+            "range partitioning on sort_by already determines file sizes"
+        )
     df = spark.read.parquet(src)
     n = max(1, math.ceil(table_bytes(src) / (target_file_mb * 1024 * 1024)))
     out = df

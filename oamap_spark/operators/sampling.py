@@ -225,7 +225,13 @@ def temperature_mixture_sample(
         )
     n = F.count(F.lit(1)).alias("n")
     counts = df.groupBy(F.col(group_col).alias("__g")).agg(n)
-    wg = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # NULLS LAST pins the float accumulation order of __cumw/__sumw to
+    # DuckDB's default ASC order — Spark sorts NULLs first, and a NULL
+    # stratum accumulated in a different position could flip a
+    # threshold at a ulp boundary, breaking bit-exactness.
+    wg = Window.orderBy(F.col("__g").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     cum = counts.withColumn("__cumw", F.sum(F.sqrt("n")).over(wg))
     tot = cum.agg(
         F.sum("n").cast("double").alias("__total"), F.max("__cumw").alias("__sumw")

@@ -452,8 +452,8 @@ WITH mcounts AS (
   SELECT source AS g, count(*) AS n FROM documents GROUP BY source
 ), mcum AS (
   SELECT g, n,
-         sum(sqrt(n)) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS cumw
+         sum(sqrt(n)) OVER (ORDER BY g NULLS LAST ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cumw
   FROM mcounts
 ), mtot AS (
   SELECT CAST(sum(n) AS DOUBLE) AS total, max(cumw) AS sumw FROM mcum

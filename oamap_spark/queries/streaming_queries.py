@@ -494,4 +494,6 @@ def stream_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFr
         .parquet(src)
     )
     P.foreach_batch_incremental_minhash(stream, spark, index_dir, pairs_dir)
-    return spark.read.parquet(pairs_dir)
+    # project away the batch=<id> partition column of the idempotent
+    # per-batch sink layout (pipelines.py: exactly-once engineering)
+    return spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")

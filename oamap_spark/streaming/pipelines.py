@@ -337,7 +337,15 @@ def foreach_batch_incremental_minhash(
     probe-direction discipline) — so the accumulated pairs table
     equals the one-shot batch pair list regardless of how the stream
     was sliced: that invariant is what lets the DuckDB oracle replay
-    the plain batch pipeline against a streaming query's output."""
+    the plain batch pipeline against a streaming query's output.
+
+    foreachBatch is at-least-once, so exactly-once must be engineered
+    at the sink: both writes land in a deterministic per-batch
+    subdirectory (``batch=<batch_id>``) with ``overwrite`` — a
+    replayed micro-batch rewrites its own partition instead of
+    double-appending pairs (or duplicating index rows, which would
+    multiply verify-join output). Readers see ``batch`` as a
+    discovered partition column and project it away."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from oamap_spark.operators.dedup import (
@@ -365,10 +373,14 @@ def foreach_batch_incremental_minhash(
         pairs = minhash_lsh_pairs_incremental(
             None, "doc_id", "text", "__nw", ids_df=ids_df
         )
-        # pairs BEFORE index append: the pair plan reads index_dir and
+        # pairs BEFORE index write: the pair plan reads index_dir and
         # must not see this batch's own rows on the corpus side
-        pairs.write.mode("append").parquet(pairs_dir)
-        arr.select("id", "ids").write.mode("append").parquet(index_dir)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        arr.select("id", "ids").write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
         arr.unpersist()
 
     q = (

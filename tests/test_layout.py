@@ -68,6 +68,31 @@ def test_z_value_is_deterministic_and_bounded(spark):
     )
 
 
+def test_z_value_plan_has_no_window(spark):
+    """The r8 verdict's last scale-killer: z_value must NOT plan a
+    global (unpartitioned) Window — the quantile binning is an agg +
+    literal searchsorted, so the physical plan contains no Window
+    node at all."""
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    z = z_value(orders, ["o_custkey", "o_totalprice"], bits=4)
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
+def test_compact_rejects_sort_by_with_even_sizes(spark, tmp_path):
+    import pytest
+
+    from oamap_spark.operators.layout import compact
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_SMOKE, "region").write.parquet(src)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact(spark, src, str(tmp_path / "dst"),
+                sort_by=["r_regionkey"], even_sizes=True)
+
+
 def test_compact_merges_small_files_losslessly(spark, tmp_path):
     from oamap_spark.operators.layout import compact, file_column_ranges
 

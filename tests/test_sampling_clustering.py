@@ -200,6 +200,45 @@ def test_temperature_mixture_sample_flattening(spark):
     assert again.select("doc_id").exceptAll(got.select("doc_id")).count() == 0
 
 
+def test_temperature_mixture_null_stratum_matches_duckdb(spark):
+    """A NULL group forms its own stratum, and the float accumulation
+    order of the sqrt-weight running sum is pinned (NULLS LAST on both
+    engines) — replay the whole rate arithmetic in DuckDB and demand
+    the IDENTICAL membership set."""
+    import duckdb
+
+    rows = [(i, "big" if i < 300 else ("mid" if i < 380 else None))
+            for i in range(420)]
+    d = spark.createDataFrame(rows, "doc_id long, src string")
+    got = sorted(
+        r["doc_id"]
+        for r in S.temperature_mixture_sample(d, "doc_id", "src", 0.3)
+        .select("doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {repr(s) if s is not None else 'NULL'})"
+                   for i, s in rows)
+        + ") v(doc_id, src)"
+    )
+    want = [r[0] for r in con.execute("""
+WITH c AS (SELECT src AS g, count(*) AS n FROM t GROUP BY src),
+m AS (SELECT g, n, sum(sqrt(n)) OVER (ORDER BY g NULLS LAST ROWS BETWEEN
+        UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw FROM c),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, max(cumw) AS sumw FROM m),
+thr AS (SELECT g, CAST(floor(least(1.0, (0.3 * total) * (sqrt(n) / sumw) / n)
+        * 4294967296.0) AS BIGINT) AS thr FROM m, tot)
+SELECT doc_id FROM t JOIN thr ON thr.g IS NOT DISTINCT FROM t.src
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr.thr
+ORDER BY doc_id
+""").fetchall()]
+    con.close()
+    assert got == want
+    # the NULL stratum actually participates
+    assert any(s is None and i in got for i, s in rows)
+
+
 def test_greedy_pack_slots_enforces_preconditions(spark):
     """Null token counts / null ids / duplicate ids must FAIL the job,
     not silently corrupt the slot table (a NaN fill would quietly turn
