@@ -160,6 +160,45 @@ def sql_combine_shingle_ids(tids_sql: str, n: int = 3) -> str:
 SQL_COMBINE_SHINGLE_IDS = sql_combine_shingle_ids("{tids}", 3)
 
 
+def positional_window_ids(tids: Column, n: int = 8) -> Column:
+    """POSITIONAL n-gram window ids — array<struct<pos,wid>> with pos
+    the 1-based token offset of each window. Same modular polynomial
+    as :func:`combine_shingle_ids` but NOT distinct and with no
+    short-doc fallback: a document shorter than n tokens has no
+    n-token window, hence no duplicated span to cut. Positions are
+    what span surgery (duplicated-span removal) needs; the distinct
+    variant serves set-similarity."""
+    idx = F.sequence(F.lit(1), F.size(tids) - (n - 1))
+
+    def comb(i: Column) -> Column:
+        out = F.element_at(tids, i)
+        for j in range(1, n):
+            out = (out * 31 + F.element_at(tids, i + j)) % HASH_P
+        return out
+
+    gram = F.transform(
+        idx, lambda i: F.struct(i.alias("pos"), comb(i).alias("wid"))
+    )
+    return F.when(F.size(tids) >= n, gram).otherwise(
+        F.array().cast("array<struct<pos:int,wid:long>>")
+    )
+
+
+def sql_positional_window_ids(tids_sql: str, n: int = 8) -> str:
+    """DuckDB twin of positional_window_ids: list of {pos, wid}
+    structs via the same unrolled polynomial (range() is
+    end-exclusive, so the last window start is len − n + 1)."""
+    expr = f"{tids_sql}[i]"
+    for j in range(1, n):
+        expr = f"(({expr}) * 31 + {tids_sql}[i+{j}]) % {HASH_P}"
+    return (
+        f"CASE WHEN len({tids_sql}) >= {n} "
+        f"THEN [{{'pos': i, 'wid': {expr}}} for i in "
+        f"range(1, len({tids_sql}) - {n - 2})] "
+        f"ELSE [] END"
+    )
+
+
 def stopword_ratio(text_col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Fraction of tokens that are stopwords (quality / lang signal)."""
     toks = tokens(text_col)

@@ -435,6 +435,101 @@ def ngram_window_overlap(
     )
 
 
+def duplicated_span_removal(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the surgery step of exact-substring
+    dedup (Lee et al. 2022, arXiv:2107.06499): where
+    :func:`ngram_window_overlap` only FLAGS contamination, this cuts
+    it. Every n-token window occurring in more than one document is a
+    duplicated window; per document, overlapping-or-adjacent
+    duplicated windows merge into spans, the spans' tokens are
+    removed, and the remainder is reassembled.
+
+    Scale shape (all per-doc work stays partitioned by doc):
+    1. one narrow token pass builds positional int64 window ids
+       (modular polynomial — no per-window hashing);
+    2. the shared-window set is one groupBy on the 8-byte wid; only
+       (id, pos, wid) triples ever shuffle, texts stay put;
+    3. span merge is a lag window PARTITIONED BY doc (a new span
+       starts when the gap between consecutive duplicated window
+       starts exceeds n);
+    4. covered token positions materialize at ≤ n rows per duplicated
+       window, and the kept text is rebuilt natively:
+       ``transform(array_except(sequence(1, T), covered), p ->
+       toks[p])`` — O(T) per doc, no UDF anywhere.
+
+    Output: one row per document —
+    (id, n_tokens, n_spans_cut, kept_char_len, cleaned_digest) where
+    cleaned_digest = md5 of the space-rejoined kept tokens (md5('')
+    for a fully-duplicated document). A real pipeline writes the
+    cleaned text itself; the digest is the verifiable stand-in that
+    keeps the gate engine-neutral."""
+    from pyspark.sql import Window
+
+    from oamap_spark.functions.text import positional_window_ids
+
+    t = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(text_col).alias("toks"),
+            token_id_array(text_col).alias("tids"),
+        )
+        .withColumn("T", F.size("toks"))
+        .withColumn("pw", positional_window_ids(F.col("tids"), n))
+        .drop("tids")
+    )
+    w = t.select("id", F.explode("pw").alias("w")).select(
+        "id", F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid")
+    )
+    shared = (
+        w.groupBy("wid")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wid")
+    )
+    dupw = w.join(shared, "wid").select("id", "pos")
+    ws = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(ws)
+    flagged = dupw.withColumn(
+        "f",
+        F.when(prev.isNull() | (F.col("pos") > prev + n), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    nspans = flagged.groupBy("id").agg(
+        F.sum("f").cast("long").alias("n_spans_cut")
+    )
+    cov = (
+        dupw.select(
+            "id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("tp")
+        )
+        .groupBy("id")
+        .agg(F.collect_set("tp").alias("cov"))
+    )
+    # guard T=0: Spark's sequence(1, 0) counts DOWN ([1, 0]), it does
+    # not return empty — an empty doc must yield an empty position set
+    all_pos = F.when(
+        F.col("T") >= 1, F.sequence(F.lit(1), F.col("T"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(
+        F.array_except(all_pos, F.coalesce("cov", F.array().cast("array<int>"))),
+        lambda p: F.element_at(F.col("toks"), p),
+    )
+    cleaned = F.array_join(kept, " ")
+    return (
+        t.join(nspans, "id", "left")
+        .join(cov, "id", "left")
+        .select(
+            "id",
+            F.col("T").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans_cut", F.lit(0)).cast("long").alias("n_spans_cut"),
+            F.length(cleaned).cast("long").alias("kept_char_len"),
+            F.md5(cleaned).alias("cleaned_digest"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -510,6 +510,71 @@ def dedup_ngram_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_window_overlap(d, "doc_id", "text", n=8)
 
 
+@register(
+    "dedup_span_removal",
+    tags=("llm", "dedup", "exact_substring", "span_removal"),
+    oracle=f"""
+WITH sr_t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids
+  FROM documents
+), sr_w AS (
+  SELECT doc_id, u.pos AS pos, u.wid AS wid
+  FROM (SELECT doc_id,
+               unnest({X.sql_positional_window_ids('tids', 8)}) AS u
+        FROM sr_t)
+), sr_shared AS (
+  SELECT wid FROM sr_w GROUP BY wid HAVING count(DISTINCT doc_id) > 1
+), sr_dupw AS (
+  SELECT doc_id, pos FROM sr_w JOIN sr_shared USING (wid)
+), sr_flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS f
+  FROM sr_dupw
+), sr_nspans AS (
+  SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_spans_cut
+  FROM sr_flag GROUP BY doc_id
+), sr_cov AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tpos FROM sr_dupw)
+), sr_tok AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(generate_series(1, len(toks))) AS tpos
+  FROM sr_t
+), sr_kept AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tpos) AS cleaned
+  FROM sr_tok k LEFT JOIN sr_cov c ON c.doc_id = k.doc_id AND c.tpos = k.tpos
+  WHERE c.tpos IS NULL
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id AS id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(ns.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+       CAST(length(coalesce(kp.cleaned, '')) AS BIGINT) AS kept_char_len,
+       md5(coalesce(kp.cleaned, '')) AS cleaned_digest
+FROM sr_t t
+LEFT JOIN sr_nspans ns USING (doc_id)
+LEFT JOIN sr_kept kp USING (doc_id)
+""",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (exact-substring dedup's surgery step,
+    Lee et al. 2022): merge each document's overlapping-or-adjacent
+    duplicated 8-token windows into spans, cut them, and emit the
+    per-document removal manifest — token count, spans cut, kept
+    character length, and the md5 digest of the cleaned text. The
+    oracle replays the identical window→span→cut arithmetic in SQL
+    (same positional polynomial ids, same lag-gap span merge, same
+    rejoin). Completes the exact-substring family:
+    `dedup_ngram_window_overlap` flags contamination, this removes
+    it — see operators/dedup.py:duplicated_span_removal for the
+    shuffle shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicated_span_removal(d, "doc_id", "text", n=8)
+
+
 _INCR_EXACT_ORACLE = """
 WITH corpus AS (
   SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest

@@ -318,6 +318,48 @@ def test_ngram_window_overlap_detects_shared_substring(spark):
     assert out[1]["n_windows"] == 16 - 7
 
 
+def test_duplicated_span_removal_surgery(spark):
+    """Span arithmetic end to end: adjacent duplicated windows merge
+    into ONE span, the cut removes exactly the shared run, a
+    fully-duplicated doc is emptied (md5('')), and a doc shorter than
+    n tokens is untouchable."""
+    import hashlib
+
+    from oamap_spark.operators.dedup import duplicated_span_removal
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        (1, f"one two three four five six {shared} seven eight nine ten"),
+        (2, f"{shared} eleven twelve thirteen fourteen fifteen sixteen"),
+        (3, shared),  # fully duplicated vs docs 1/2
+        (4, "short doc under n"),  # 4 tokens < 8: no windows ever
+        (5, "completely different vocabulary nothing shared here at all truly"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in duplicated_span_removal(df, "doc_id", "text", n=8).collect()
+    }
+    # doc 1: the 10 shared tokens = 3 overlapping windows → ONE span of
+    # exactly those 10 tokens; kept = the 10 filler tokens around it
+    assert out[1]["n_spans_cut"] == 1
+    kept1 = "one two three four five six seven eight nine ten"
+    assert out[1]["kept_char_len"] == len(kept1)
+    assert out[1]["cleaned_digest"] == hashlib.md5(kept1.encode()).hexdigest()
+    # doc 3 is nothing but the shared run → everything removed
+    assert out[3]["n_spans_cut"] == 1
+    assert out[3]["kept_char_len"] == 0
+    assert out[3]["cleaned_digest"] == hashlib.md5(b"").hexdigest()
+    # doc 4 has no 8-token window; doc 5 shares nothing
+    for i in (4, 5):
+        assert out[i]["n_spans_cut"] == 0
+        assert out[i]["kept_char_len"] == len(rows[i - 1][1])
+        assert (
+            out[i]["cleaned_digest"]
+            == hashlib.md5(rows[i - 1][1].encode()).hexdigest()
+        )
+
+
 def test_heavy_hitters_guard_and_exactness(spark):
     """MG candidate pruning must (a) match the exact groupBy+HAVING
     output and (b) refuse a min_frac below its completeness bound."""
