@@ -681,6 +681,73 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one staged corpus signature index per (process, sf_dir): the steady-
+# state query's point is that batch N does NOT re-tokenize the corpus,
+# so the staging cost is paid once (bench run 1) and later invocations
+# measure the pure probe — exactly the shape the incremental family
+# exists for. staging_path roots are atexit-swept.
+_STEADY_INDEX: dict[str, str] = {}
+
+
+def _steady_corpus_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _STEADY_INDEX.get(sf_dir)
+    if path is None:
+        from oamap_spark.sources.staging import staging_path
+
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.where(F.substring("source", 4, 10).cast("int") < 18)
+        idx = D.shingle_ids_table(corpus, "doc_id", "text", 3)
+        path = staging_path("oamap_steady_idx_", "index")
+        idx.write.parquet(path)
+        idx.unpersist()
+        _STEADY_INDEX[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_minhash_incremental_steady",
+    tags=("llm", "dedup", "minhash", "incremental", "steady_state"),
+    bench=True,
+    oracle=f"""
+WITH {minhash_pairs_ctes()},
+st_arrivals AS (
+  SELECT doc_id FROM documents WHERE CAST(substring(source, 4) AS INT) >= 18
+)
+SELECT p.id_a, p.id_b, p.jaccard
+FROM mh_pairs p
+WHERE p.id_a IN (SELECT doc_id FROM st_arrivals)
+   OR p.id_b IN (SELECT doc_id FROM st_arrivals)
+""",
+)
+def dedup_minhash_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE incremental near-dedup — the daily-batch shape the
+    whole incremental family exists for: the corpus signature index
+    (sources src0–src17, 90%) is PERSISTED parquet built once per
+    corpus snapshot; a 10% arrival batch (src18–19) tokenizes only
+    itself,
+    probes the loaded index through the asymmetric band join, and
+    emits its arrival-touching pairs. Unlike
+    ``dedup_minhash_incremental`` (which re-derives both halves from
+    text, the cold-start form), the corpus here is never re-tokenized
+    — this is the benchmark arm whose round-over-round signal tracks
+    the probe cost itself. Oracle: batch replay restricted to
+    arrival-touching pairs, as for every incremental twin."""
+    idx_path = _steady_corpus_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
+    arr_ids = D.flagged_shingle_ids_table(
+        arrivals.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
+    )
+    ids_df = (
+        spark.read.parquet(idx_path)
+        .select("id", F.lit(False).alias("is_new"), "ids")
+        .unionByName(arr_ids)
+    )
+    return D.minhash_lsh_pairs_incremental(
+        None, "doc_id", "text", "__nw", ids_df=ids_df
+    )
+
+
 @register(
     "dedup_containment_incremental",
     tags=("llm", "dedup", "containment", "incremental"),
