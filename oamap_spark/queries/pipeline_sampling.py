@@ -324,6 +324,25 @@ sig_pairs AS (
 )"""
 
 
+def _all_signal_pairs(d, e):
+    """The unioned near-dup edge set every cluster-level query starts
+    from: MinHash-LSH ∪ containment ∪ embedding-banded pairs, with ONE
+    tokenize+shingle pass feeding both lexical detectors (r8 review:
+    each otherwise re-scans the corpus and caches its own identical
+    shingle table). Shared by `dedup_clusters_all_signals` and
+    `dedup_cluster_representatives` so the edge definition cannot
+    drift between the census and the manifest."""
+    sids = D.shingle_ids_table(d, "doc_id", "text", n=3)
+    mh = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9, ids_df=sids
+    ).select("id_a", "id_b")
+    ct = D.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, df_cap=16, ids_df=sids
+    ).select("id_a", "id_b")
+    emb = SIM._banded_neardup_pairs(SIM._dedup_corpus(e)).select("id_a", "id_b")
+    return mh.unionByName(ct).unionByName(emb).distinct()
+
+
 @register(
     "dedup_clusters_all_signals",
     tags=("llm", "dedup", "clustering", "composition", "iterative"),
@@ -371,19 +390,7 @@ def dedup_clusters_all_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification-SF only."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    # ONE tokenize+shingle pass feeds both lexical detectors (r8
-    # review: each otherwise re-scans the corpus and caches its own
-    # identical shingle table)
-    sids = D.shingle_ids_table(d, "doc_id", "text", n=3)
-    mh = D.minhash_lsh_pairs(
-        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9, ids_df=sids
-    ).select("id_a", "id_b")
-    ct = D.containment_pairs(
-        d, "doc_id", "text", n=3, threshold=0.8, df_cap=16, ids_df=sids
-    ).select("id_a", "id_b")
-    emb = SIM._banded_neardup_pairs(SIM._dedup_corpus(e)).select("id_a", "id_b")
-    pairs = mh.unionByName(ct).unionByName(emb).distinct()
-    comp = C.connected_components_min_id(pairs)
+    comp = C.connected_components_min_id(_all_signal_pairs(d, e))
     kept = (
         C.dedup_keepers(d, "doc_id", comp)
         .groupBy("lang")
@@ -394,6 +401,78 @@ def dedup_clusters_all_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
         (F.col("n") - F.coalesce(F.col("kept"), F.lit(0))).cast("long").alias("dropped"),
+    )
+
+
+@register(
+    "dedup_cluster_representatives",
+    tags=("llm", "dedup", "clustering", "representative", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_ALL_SIGNALS_CTES},
+cmembers AS (
+  SELECT s.cluster_id, d.doc_id, d.n_chars
+  FROM scomp s JOIN documents d ON d.doc_id = s.node
+), csized AS (
+  SELECT cluster_id FROM cmembers GROUP BY cluster_id HAVING count(*) > 1
+), cranked AS (
+  SELECT m.cluster_id, m.doc_id, m.n_chars,
+         row_number() OVER (PARTITION BY m.cluster_id
+                            ORDER BY m.n_chars DESC, m.doc_id) AS rn
+  FROM cmembers m JOIN csized USING (cluster_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END)
+            AS BIGINT) AS chars_saved
+FROM cranked GROUP BY cluster_id
+""",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative SELECTION — the step between clustering and
+    deletion: for every multi-document duplicate cluster, keep the
+    highest-QUALITY member (longest document by n_chars, ties to the
+    lower doc_id), not merely the min-id one, and emit the per-cluster
+    manifest (representative, member count, characters saved by
+    dropping the rest). Min-id keeping (`dedup_clusters_all_signals`)
+    is the census; this is the policy a real pipeline applies when the
+    duplicates differ in quality — e.g. a truncated scrape duplicating
+    a complete page should lose to it. Clusters whose other members
+    are embedding-clone graph nodes (not documents) fall out via the
+    documents join + HAVING > 1. Scale shape: the edge set and
+    fixpoint are shared with the census query (one source of truth,
+    `_all_signal_pairs`); selection adds one doc-partitioned window
+    and one groupBy on cluster_id — no new wide structure."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = C.connected_components_min_id(_all_signal_pairs(d, e))
+    members = comp.join(
+        d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("node").asc()
+    )
+    ranked = (
+        members.withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .where(F.col("cnt") > 1)
+        .withColumn("rn", F.row_number().over(wr))
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).cast("long").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (
+            F.sum("n_chars") - F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        )
+        .cast("long")
+        .alias("chars_saved"),
+    ).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "rep_id",
+        "n_members",
+        "chars_saved",
     )
 
 
