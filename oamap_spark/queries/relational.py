@@ -247,6 +247,65 @@ def asof_join_tolerance_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_join_forward_next_event",
+    tags=("join", "asof", "forward"),
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, e.event_id AS next_event_id
+FROM orders o
+ASOF LEFT JOIN (
+    -- dedup to one event per (user, ts): keep max id, so the as-of
+    -- pick is deterministic on timestamp ties
+    SELECT user_id, ts, max(event_id) AS event_id
+    FROM events GROUP BY user_id, ts
+) e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+""",
+)
+def asof_join_forward_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror direction of
+    ``asof_join_latest_order_before_event``: for each order, the
+    EARLIEST event of that customer at-or-after the order date (the
+    'next activity' lookup of attribution pipelines; pandas
+    merge_asof(direction='forward')). Same 100 TB-safe shape as the
+    backward form: union the two streams, ONE shuffle+sort per key,
+    and a first_value(ignorenulls) over the forward window
+    (currentRow → unboundedFollowing) — no per-row subquery, no range
+    explosion."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_order"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select(
+            F.col("user_id").alias("k"),
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_order"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            "event_id",
+        )
+    )
+    unioned = orders.unionByName(ev)
+    # orders sort BEFORE events at the same instant (is_order desc) so
+    # an event exactly at the order date is visible to it
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_order").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn(
+        "next_event_id", F.first("event_id", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("is_order") == 1).select(
+        "o_orderkey", F.col("k").alias("o_custkey"), "next_event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Group-by variants
 # ---------------------------------------------------------------------------
