@@ -268,6 +268,85 @@ def train_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "train_decontaminated_census",
+    tags=("llm", "curation", "contamination", "decontamination"),
+    oracle=f"""
+WITH dtid AS (
+  SELECT doc_id, source, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           < '{hash_threshold(BENCH_FRACTION)}' AS is_bench
+  FROM documents
+),
+dgrams AS (
+  SELECT doc_id, source, is_bench,
+         unnest({X.sql_combine_shingle_ids('tids', OVERLAP_N)}) AS gid
+  FROM dtid
+),
+bench_gids AS (
+  SELECT DISTINCT gid FROM dgrams WHERE is_bench
+),
+dropped AS (
+  SELECT DISTINCT t.doc_id
+  FROM dgrams t JOIN bench_gids b USING (gid)
+  WHERE NOT t.is_bench
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM dtid d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+WHERE NOT d.is_bench
+GROUP BY d.source
+""",
+)
+def train_decontaminated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION — the removal policy `train_benchmark_overlap`
+    only reports on: drop every TRAINING document that shares at least
+    one 8-token gram with the held-out benchmark slice (the GPT-3-
+    style n-gram decontamination filter), and emit the per-source
+    kept/dropped census a pipeline records before training. Scale
+    shape: the distinct benchmark gram set is tiny (5% slice) and
+    BROADCASTs into a LEFT SEMI probe of the train gram table — the
+    train side never shuffles on anything wider than an int64 gid, and
+    the census is one groupBy(source)."""
+    d = load_table(spark, sf_dir, "documents")
+    tid = d.select(
+        "doc_id",
+        "source",
+        X.token_id_array("text").alias("tids"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < hash_threshold(BENCH_FRACTION)
+        ).alias("is_bench"),
+    )
+    grams = tid.select(
+        "doc_id",
+        "is_bench",
+        F.explode(X.combine_shingle_ids(F.col("tids"), OVERLAP_N)).alias("gid"),
+    )
+    bench_gids = grams.where("is_bench").select("gid").distinct()
+    dropped = (
+        grams.where(~F.col("is_bench"))
+        .join(F.broadcast(bench_gids), "gid", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = tid.where(~F.col("is_bench")).select("doc_id", "source")
+    flagged = train.join(
+        dropped.withColumn("__dropped", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.coalesce("__dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
 # --------------------------------------------------------------------------
 # BPE-ish token counting
 # --------------------------------------------------------------------------
