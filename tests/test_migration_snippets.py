@@ -156,6 +156,34 @@ def test_snippet_all_signals_dedup(spark):
     assert 0 < kept.count() <= docs.count()
 
 
+def test_snippet_span_removal_and_quality_keeper(spark):
+    from pyspark.sql import Window
+
+    from oamap_spark.operators.clustering import connected_components_min_id
+    from oamap_spark.operators.dedup import (duplicated_span_removal,
+                                             minhash_lsh_pairs,
+                                             shingle_ids_table)
+
+    docs = _docs(spark)
+    manifest = duplicated_span_removal(docs, "doc_id", "text", n=8)
+    assert manifest.count() == docs.count()
+    assert {"id", "n_tokens", "n_spans_cut", "kept_char_len",
+            "cleaned_digest"} == set(manifest.columns)
+
+    sids = shingle_ids_table(docs, "doc_id", "text")
+    edges = minhash_lsh_pairs(docs, "doc_id", "text",
+                              ids_df=sids).select("id_a", "id_b")
+    comp = connected_components_min_id(edges)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+    best = members.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("cluster_id")
+                                  .orderBy(F.col("n_chars").desc(), "node"))
+    ).where("rn = 1")
+    # exactly one keeper per cluster
+    assert best.count() == comp.select("cluster_id").distinct().count()
+
+
 def test_snippet_minhash_incremental(spark):
     from oamap_spark.operators.dedup import minhash_lsh_pairs_incremental
 
