@@ -467,20 +467,25 @@ def duplicated_span_removal(
     keeps the gate engine-neutral."""
     from pyspark.sql import Window
 
+    from oamap_spark.cache import track
     from oamap_spark.functions.text import positional_window_ids
 
-    t = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens(text_col).alias("toks"),
-            token_id_array(text_col).alias("tids"),
-        )
-        .withColumn("T", F.size("toks"))
-        .withColumn("pw", positional_window_ids(F.col("tids"), n))
-        .drop("tids")
-    )
-    w = t.select("id", F.explode("pw").alias("w")).select(
-        "id", F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid")
+    # toks/T branch carries NO md5 work; the (id, pos, wid) window
+    # table is built in its own tokenize pass and persisted, so the
+    # per-token md5 runs ONCE even though three consumers (shared set,
+    # span merge, coverage) branch from it
+    t = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).withColumn("T", F.size("toks"))
+    w = track(
+        # tids projected FIRST: element_at in the window lambda
+        # re-evaluates its argument subtree, so an inline md5
+        # transform would run n× per window (combine_shingle_ids'
+        # measured 12× trap)
+        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
+        .select("id", positional_window_ids(F.col("tids"), n).alias("pw"))
+        .select("id", F.explode("pw").alias("w"))
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid"))
     )
     shared = (
         w.groupBy("wid")
