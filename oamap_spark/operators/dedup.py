@@ -493,7 +493,10 @@ def duplicated_span_removal(
         .where(F.col("nd") > 1)
         .select("wid")
     )
-    dupw = w.join(shared, "wid").select("id", "pos")
+    # dupw feeds BOTH the span count and the coverage explode —
+    # persist it or the wid groupBy+join (the operator's only
+    # shuffle-heavy stage) executes twice
+    dupw = track(w.join(shared, "wid").select("id", "pos"))
     ws = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(ws)
     flagged = dupw.withColumn(

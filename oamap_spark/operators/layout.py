@@ -11,11 +11,15 @@ Spark-first shape: rank-normalize each clustering column against
 ``approx_percentile`` breakpoints (one aggregation over the frame —
 value distribution–proof, bounded memory ~O(accuracy) per column),
 quantize to ``bits`` levels by counting breakpoints <= value (a
-searchsorted over a literal array, fully codegen'd), interleave bits
-into one long — all native Column expressions — then
-``repartitionByRange`` on the z-value so each output file owns a
-compact z-range. No UDFs, no windows, ONE shuffle (the range
-partition; the breakpoint agg is map-side-combined), any scale.
+searchsorted over a literal array, fully codegen'd), and interleave
+bits into one long — all native Column expressions. The write then
+slices z-space at the quantiles OF THE Z VALUES THEMSELVES (a second
+tiny agg — correlated clustering columns concentrate z near the
+Morton diagonal, so fixed equal-width slices would leave files empty)
+and routes each slice to its own task by murmur3 token, exactly — no
+RangePartitioner reservoir sampling, whose boundary noise both bleeds
+slice-edge rows into neighboring files and can merge two slices
+outright. No UDFs, no windows, ONE shuffle, any scale.
 
 Verification (`tests/test_layout.py`) is honest: it writes the same
 data z-ordered and shuffled, reads the parquet FOOTERS with pyarrow,
@@ -30,6 +34,28 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal")
+
+
+def _quantile_key(df: DataFrame, c: str):
+    """Order-preserving numeric sort key for a clustering column:
+    numeric passes through, date/timestamp becomes epoch seconds,
+    anything else raises (approx_percentile needs an arithmetic
+    domain)."""
+    dt = dict(df.dtypes).get(c)
+    if dt is None:
+        raise ValueError(f"z_value: no column {c!r} in frame")
+    if dt == "date" or dt.startswith("timestamp"):
+        return F.col(c).cast("timestamp").cast("double")
+    if dt.startswith(_NUMERIC_PREFIXES):
+        return F.col(c)
+    raise ValueError(
+        f"z_value: column {c!r} has non-orderable-numeric type {dt}; "
+        "pre-encode it to a numeric sort key to cluster on it"
+    )
 
 
 def z_value(
@@ -49,30 +75,44 @@ def z_value(
     embedded as literals, so the per-row bin is a codegen'd
     searchsorted (count of breakpoints <= value) with no window, no
     join, no UDF. NOTE: building the plan triggers that one agg job.
-    Nulls bin to level 0, matching NULLS FIRST rank order."""
+    Nulls bin to level 0, matching NULLS FIRST rank order.
+
+    Types: numeric columns bin natively; date/timestamp are cast to
+    epoch seconds (order-preserving). Other types raise — quantile
+    sketches need an arithmetic domain; pre-encode strings to a
+    numeric sort key if you must cluster on one.
+
+    Determinism: breakpoints are exact (hence partition-layout-
+    independent) while row count stays within the GK sketch's exact
+    regime (~``accuracy`` rows); beyond that they may vary within the
+    1/accuracy rank-error bound across different input partitionings.
+    Fine for LAYOUT (files still cluster); do not treat z values as a
+    reproducible row property at whole-table scale."""
     if not cols:
         raise ValueError("z_value needs at least one clustering column")
     nlevels = 1 << bits
-    probs = ",".join(str(k / nlevels) for k in range(1, nlevels))
+    probs = [k / nlevels for k in range(1, nlevels)]
+    keys = {c: _quantile_key(df, c) for c in cols}
     row = df.agg(
         *[
-            F.expr(f"approx_percentile({c}, array({probs}), {accuracy})").alias(c)
-            for c in cols
+            F.percentile_approx(keys[c], probs, accuracy).alias(f"q{i}")
+            for i, c in enumerate(cols)
         ]
     ).collect()[0]
     out = df
     qs = []
-    for c in cols:
-        bps = row[c]
+    for i, c in enumerate(cols):
+        bps = row[f"q{i}"]
         if bps is None:  # all-null column: everything bins to level 0
             qs.append(F.lit(0).cast("long"))
             continue
+        key = keys[c]
         arr = F.array(*[F.lit(b) for b in bps])
         lvl = F.aggregate(
             arr,
             F.lit(0).cast("long"),
             lambda acc, b: acc
-            + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+            + F.when(key >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
         )
         qs.append(F.least(lvl, F.lit(nlevels - 1)).cast("long"))
     z = F.lit(0).cast("long")
@@ -96,23 +136,41 @@ def zorder_write(
     bits: int = 8,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered along the
-    Z-curve of ``cols``: range-partition by ``__z`` (each file owns a
-    compact z-range) and sort within partitions so row groups are
-    clustered too. The ``__z`` helper column is dropped on write.
-    Whole-table scale-safe: the z-curve bins against approx-quantile
-    breakpoints (see ``z_value``) — no unpartitioned window anywhere
+    Z-curve of ``cols``: slice z-space at the sketched quantiles of
+    the actual z distribution (each file owns a compact z-range), hash
+    a per-slice routing token so each slice lands in exactly one task,
+    and sort within partitions so row groups are clustered too. The
+    helper columns are dropped on write. Whole-table scale-safe: the
+    z-curve bins against approx-quantile breakpoints (see ``z_value``)
+    — no unpartitioned window, no RangePartitioner sampling, anywhere
     in the plan."""
     zdf = z_value(df, cols, bits=bits)
-    # Deterministic file ownership: z is rank-uniform by construction,
-    # so slicing z-space into n_files equal intervals balances rows
-    # WITHOUT RangePartitioner's reservoir-sampling noise blurring the
-    # file boundaries. Range-partitioning on __pid ALONE is the key:
-    # equal keys always map to one partition, so a file owns its exact
-    # z-slice — sampling noise could at worst merge two slices, never
-    # bleed a slice's edge rows into the neighboring file (which is
-    # what widens min/max spans and kills pruning).
-    total_bits = bits * len(cols)
-    pid = F.floor(F.col("__z") * n_files / (1 << total_bits)).cast("long")
+    # Deterministic file ownership, balanced under ANY joint
+    # distribution: per-column levels are rank-uniform, but CORRELATED
+    # clustering columns concentrate z near the Morton diagonal, so
+    # fixed equal-width slices would leave files empty and others
+    # oversized. Slice at the quantiles of __z itself instead (one
+    # more tiny agg). Binning by breakpoint count keeps every equal z
+    # value in one file — a sketch-error shift moves a boundary
+    # BETWEEN z values (slightly uneven file sizes), it can never
+    # bleed one slice's edge rows into the neighboring file, which is
+    # what widens min/max spans and kills pruning.
+    zbps = []
+    if n_files > 1:
+        zprobs = [k / n_files for k in range(1, n_files)]
+        (got,) = zdf.agg(
+            F.percentile_approx("__z", zprobs, 10000).alias("b")
+        ).collect()[0]
+        zbps = list(got or [])  # None only for an empty frame
+    if zbps:
+        pid = F.aggregate(
+            F.array(*[F.lit(int(b)).cast("long") for b in zbps]),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col("__z") >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+    else:
+        pid = F.lit(0).cast("long")
     # Route each slice to its own task EXACTLY: repartitionByRange's
     # reservoir sampling merges adjacent slices at small batch sizes
     # (equal-key bounds can skip a value), so instead hash-partition on

@@ -319,6 +319,57 @@ def staged_documents_slices(
     return out
 
 
+def incremental_dedup_batch_body(
+    batch: DataFrame, batch_id: int, index_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch of the continuous-ingestion dedup loop —
+    module-level so the replay-idempotency contract is directly
+    testable (call it twice with the same batch_id: the second run
+    must leave both partitions byte-identical in content). See
+    :func:`foreach_batch_incremental_minhash` for the invariants."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from oamap_spark.operators.dedup import (
+        flagged_shingle_ids_table,
+        minhash_lsh_pairs_incremental,
+    )
+
+    bspark = batch.sparkSession
+    arr = flagged_shingle_ids_table(
+        batch.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
+    )
+    try:
+        # batch < batch_id: a REPLAYED micro-batch (at-least-once
+        # foreachBatch) must not read its own first attempt's
+        # signatures back as corpus — duplicate ids would fan every
+        # verify-join pair out 2-4x in the rewritten partition
+        corpus = (
+            bspark.read.parquet(index_dir)
+            .where(F.col("batch") < batch_id)
+            .select("id", F.lit(False).alias("is_new"), "ids")
+        )
+        ids_df = corpus.unionByName(arr)
+    except AnalysisException as exc:
+        # ONLY the first-batch missing-index case may start empty;
+        # any other failure must raise — a silently-dropped index
+        # would re-emit nothing for true cross-batch dups.
+        if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
+            raise
+        ids_df = arr
+    pairs = minhash_lsh_pairs_incremental(
+        None, "doc_id", "text", "__nw", ids_df=ids_df
+    )
+    # pairs BEFORE index write: the pair plan reads index_dir and
+    # must not see this batch's own rows on the corpus side
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"batch={batch_id}")
+    )
+    arr.select("id", "ids").write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch={batch_id}")
+    )
+    arr.unpersist()
+
+
 def foreach_batch_incremental_minhash(
     docs: DataFrame, spark: SparkSession, index_dir: str, pairs_dir: str
 ) -> None:
@@ -346,42 +397,8 @@ def foreach_batch_incremental_minhash(
     double-appending pairs (or duplicating index rows, which would
     multiply verify-join output). Readers see ``batch`` as a
     discovered partition column and project it away."""
-    from pyspark.errors.exceptions.captured import AnalysisException
-
-    from oamap_spark.operators.dedup import (
-        flagged_shingle_ids_table,
-        minhash_lsh_pairs_incremental,
-    )
-
     def body(batch: DataFrame, batch_id: int) -> None:
-        bspark = batch.sparkSession
-        arr = flagged_shingle_ids_table(
-            batch.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
-        )
-        try:
-            corpus = bspark.read.parquet(index_dir).select(
-                "id", F.lit(False).alias("is_new"), "ids"
-            )
-            ids_df = corpus.unionByName(arr)
-        except AnalysisException as exc:
-            # ONLY the first-batch missing-index case may start empty;
-            # any other failure must raise — a silently-dropped index
-            # would re-emit nothing for true cross-batch dups.
-            if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
-                raise
-            ids_df = arr
-        pairs = minhash_lsh_pairs_incremental(
-            None, "doc_id", "text", "__nw", ids_df=ids_df
-        )
-        # pairs BEFORE index write: the pair plan reads index_dir and
-        # must not see this batch's own rows on the corpus side
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"batch={batch_id}")
-        )
-        arr.select("id", "ids").write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id}")
-        )
-        arr.unpersist()
+        incremental_dedup_batch_body(batch, batch_id, index_dir, pairs_dir)
 
     q = (
         docs.writeStream.foreachBatch(body)

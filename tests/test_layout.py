@@ -68,6 +68,50 @@ def test_z_value_is_deterministic_and_bounded(spark):
     )
 
 
+def test_zorder_balances_correlated_columns(spark, tmp_path):
+    """Correlated clustering columns concentrate z on the Morton
+    diagonal; fixed equal-width z slices would leave files empty and
+    others oversized. Slicing at the quantiles of z itself must still
+    write n_files files of comparable size."""
+    import glob
+
+    from pyspark.sql import functions as F2
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # perfectly correlated second column
+        (F.col("o_custkey") * 3 + 1).alias("derived"),
+    )
+    zpath = str(tmp_path / "zcorr")
+    zorder_write(orders, zpath, ["o_custkey", "derived"], n_files=N_FILES)
+    files = glob.glob(zpath + "/*.parquet")
+    assert len(files) == N_FILES
+    counts = [
+        spark.read.parquet(f).count() for f in files
+    ]
+    assert min(counts) > 0.5 * (sum(counts) / len(counts)), counts
+    # and the clustering still prunes: first-file-quality check
+    spans = file_column_ranges(zpath, "o_custkey")
+    lo = orders.agg(F2.min("o_custkey")).collect()[0][0]
+    assert pruning_fraction(spans, lo, lo + 50) >= 0.5
+
+
+def test_z_value_date_column_binning(spark):
+    """date/timestamp clustering columns bin through the epoch-seconds
+    sort key; unsupported types fail loudly."""
+    import pytest as _pt
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    z = z_value(orders, ["o_orderdate"], bits=4)
+    mx = z.agg(F.max("__z")).collect()[0][0]
+    assert 0 <= mx < (1 << 4)
+    with _pt.raises(ValueError, match="non-orderable-numeric"):
+        z_value(orders, ["o_orderstatus"], bits=4)
+
+
 def test_z_value_plan_has_no_window(spark):
     """The r8 verdict's last scale-killer: z_value must NOT plan a
     global (unpartitioned) Window — the quantile binning is an agg +

@@ -881,6 +881,45 @@ def test_minhash_incremental_from_persisted_corpus_index(spark, tmp_path):
     assert from_index == recomputed and from_index
 
 
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch body
+    with the same batch_id (crash-after-write, checkpoint-not-
+    committed) must leave BOTH sinks content-identical — in particular
+    the replay must not read its own first attempt's signatures back
+    as corpus, which would fan every verify-join pair out 2-4x."""
+    from oamap_spark.streaming.pipelines import incremental_dedup_batch_body
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    b0, b1 = d.where(src_num < 10), d.where(src_num >= 10)
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    incremental_dedup_batch_body(b0, 0, index_dir, pairs_dir)
+    incremental_dedup_batch_body(b1, 1, index_dir, pairs_dir)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert first  # non-vacuous: cross/within-batch pairs exist
+
+    # the crash-replay: same batch, same id, index already contains
+    # this batch's own signatures from the first attempt
+    incremental_dedup_batch_body(b1, 1, index_dir, pairs_dir)
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert again == first
+    # index partition also rewritten, not duplicated
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("id").distinct().count()
+
+
 def test_stream_incremental_dedup_cumulative_equals_batch(spark, queries):
     """The streaming continuous-dedup invariant: the pairs accumulated
     across all micro-batches equal the one-shot batch MinHash pair
