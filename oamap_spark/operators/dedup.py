@@ -436,7 +436,11 @@ def ngram_window_overlap(
 
 
 def duplicated_span_removal(
-    df: DataFrame, id_col: str, text_col: str, n: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    probe_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated-span REMOVAL — the surgery step of exact-substring
     dedup (Lee et al. 2022, arXiv:2107.06499): where
@@ -464,7 +468,17 @@ def duplicated_span_removal(
     cleaned_digest = md5 of the space-rejoined kept tokens (md5('')
     for a fully-duplicated document). A real pipeline writes the
     cleaned text itself; the digest is the verifiable stand-in that
-    keeps the gate engine-neutral."""
+    keeps the gate engine-neutral.
+
+    ``probe_ids`` (one ``id`` column) restricts the expensive per-doc
+    tail — span merge, coverage, rebuild — to those documents: the
+    incremental shape, where only an arrival batch needs surgery but
+    the shared-window set still reflects the whole corpus (at scale
+    the corpus half of the window-id table is the persisted index,
+    exactly like the band/posting indexes of the other incremental
+    twins). The output equals the full run filtered to ``probe_ids``
+    (restriction commutes with the shared-set computation, which is
+    never restricted)."""
     from pyspark.sql import Window
 
     from oamap_spark.cache import track
@@ -493,10 +507,16 @@ def duplicated_span_removal(
         .where(F.col("nd") > 1)
         .select("wid")
     )
+    if probe_ids is not None:
+        probe = probe_ids.select(F.col(probe_ids.columns[0]).alias("id"))
+        t = t.join(probe, "id", "left_semi")
     # dupw feeds BOTH the span count and the coverage explode —
     # persist it or the wid groupBy+join (the operator's only
     # shuffle-heavy stage) executes twice
-    dupw = track(w.join(shared, "wid").select("id", "pos"))
+    dupw = w.join(shared, "wid").select("id", "pos")
+    if probe_ids is not None:
+        dupw = dupw.join(probe, "id", "left_semi")
+    dupw = track(dupw)
     ws = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(ws)
     flagged = dupw.withColumn(

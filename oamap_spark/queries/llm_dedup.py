@@ -510,12 +510,15 @@ def dedup_ngram_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_window_overlap(d, "doc_id", "text", n=8)
 
 
-@register(
-    "dedup_span_removal",
-    tags=("llm", "dedup", "exact_substring", "span_removal"),
-    oracle=f"""
-WITH sr_t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks,
+def span_removal_ctes() -> str:
+    """DuckDB CTE chain replaying the duplicated-span-removal
+    arithmetic (positional 8-token window ids → shared set → lag-gap
+    span merge → coverage → cleaned rebuild), ending in the per-doc
+    CTEs ``sr_t`` / ``sr_nspans`` / ``sr_kept``. ONE source of truth:
+    the batch gate and the incremental twin both assemble their final
+    SELECT from it."""
+    return f"""sr_t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
          {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids
   FROM documents
 ), sr_w AS (
@@ -548,7 +551,10 @@ WITH sr_t AS (
   FROM sr_tok k LEFT JOIN sr_cov c ON c.doc_id = k.doc_id AND c.tpos = k.tpos
   WHERE c.tpos IS NULL
   GROUP BY k.doc_id
-)
+)"""
+
+
+_SPAN_REMOVAL_SELECT = """
 SELECT t.doc_id AS id,
        CAST(len(t.toks) AS BIGINT) AS n_tokens,
        CAST(coalesce(ns.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
@@ -557,7 +563,13 @@ SELECT t.doc_id AS id,
 FROM sr_t t
 LEFT JOIN sr_nspans ns USING (doc_id)
 LEFT JOIN sr_kept kp USING (doc_id)
-""",
+"""
+
+
+@register(
+    "dedup_span_removal",
+    tags=("llm", "dedup", "exact_substring", "span_removal"),
+    oracle=f"WITH {span_removal_ctes()}{_SPAN_REMOVAL_SELECT}",
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span REMOVAL (exact-substring dedup's surgery step,
@@ -573,6 +585,37 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle shape."""
     d = load_table(spark, sf_dir, "documents")
     return D.duplicated_span_removal(d, "doc_id", "text", n=8)
+
+
+@register(
+    "dedup_span_removal_incremental",
+    tags=("llm", "dedup", "exact_substring", "span_removal", "incremental"),
+    oracle=f"""WITH {span_removal_ctes()},
+sr_arrivals AS (
+  SELECT doc_id FROM documents
+  WHERE CAST(substring(source, 4) AS INT) >= 10
+){_SPAN_REMOVAL_SELECT}
+WHERE t.doc_id IN (SELECT doc_id FROM sr_arrivals)
+""",
+)
+def dedup_span_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicated-span removal: only the ARRIVAL batch
+    (sources src10+) gets the surgery — span merge, coverage, rebuild
+    run for arrival documents alone, while the shared-window set still
+    reflects the whole corpus (whose window-id table is the persisted
+    index at scale, like every other incremental twin's candidate
+    structure). Output equals the batch run filtered to arrivals —
+    restriction commutes with the shared-set computation — which is
+    exactly what the oracle replays. Completes the incremental family:
+    exact digests, minhash bands, containment postings, embedding
+    buckets, and now exact-substring spans."""
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(
+        F.substring("source", 4, 10).cast("int") >= 10
+    ).select("doc_id")
+    return D.duplicated_span_removal(
+        d, "doc_id", "text", n=8, probe_ids=arrivals
+    )
 
 
 _INCR_EXACT_ORACLE = """
