@@ -590,12 +590,8 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_span_removal_incremental",
     tags=("llm", "dedup", "exact_substring", "span_removal", "incremental"),
-    oracle=f"""WITH {span_removal_ctes()},
-sr_arrivals AS (
-  SELECT doc_id FROM documents
-  WHERE CAST(substring(source, 4) AS INT) >= 10
-){_SPAN_REMOVAL_SELECT}
-WHERE t.doc_id IN (SELECT doc_id FROM sr_arrivals)
+    oracle=f"""WITH {span_removal_ctes()}{_SPAN_REMOVAL_SELECT}
+WHERE CAST(substring(t.source, 4) AS INT) >= 10
 """,
 )
 def dedup_span_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
