@@ -55,6 +55,57 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_top5(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "cosine_topk_label_filtered",
+    tags=("llm", "similarity", "cosine", "topk", "filtered"),
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= {N_QUERIES}),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {V.SQL_DOT.format(a=_A, b=_B)}
+           / (sqrt({V.SQL_SUMSQ.format(a=_A)}) * sqrt({V.SQL_SUMSQ.format(a=_B)}))
+           AS cos_sim
+  FROM q JOIN c ON c.label = q.label
+)
+SELECT query_id, cand_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rnk
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) <= {TOP_K}
+""",
+)
+def cosine_topk_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED similarity search — the production retrieval shape
+    where every query carries a metadata constraint (tenant, language,
+    shard, here: the query's own label) and only matching candidates
+    may rank. The constraint is pushed INTO the search, not applied
+    after it: the brute-force cross join degrades to a broadcast
+    EQUI-join on the filter key, so Spark prunes non-matching
+    candidates before a single dot product is computed — filter-then-
+    search, never search-then-filter (which under-fills top-k and
+    wastes the scan). Same exact-arithmetic replay discipline as
+    ``cosine_topk_bruteforce``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        V.as_double("embedding").alias("qv"),
+    )
+    c = e.where(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        "label",
+        V.as_double("embedding").alias("cv"),
+    )
+    pairs = c.join(F.broadcast(q), "label").select(
+        "query_id", "cand_id", V.cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= TOP_K
+    )
+
+
 # Deterministic ±1 hyperplane signs: component c of plane p in table t
 # flips on the parity of a small LCG — fixed constants, reproducible
 # anywhere. Multi-table LSH (L tables × k planes): collision prob per
