@@ -183,6 +183,67 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("win_bytes", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ]
+)
+
+
+def audio_window_energy(df: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """Windowed energy over audio payloads — the fixed-frame analysis
+    pass of an audio curation pipeline (silence trimming, loudness
+    filtering, VAD pre-gates all start here). The payload is cut into
+    ``window_bytes`` frames and each frame's RMS over byte values is
+    emitted; with a real PCM decoder the byte array becomes the sample
+    array in the same mapInPandas slot (the stub convention of
+    ``decode_features``). One row per (asset, window): exploded
+    scalars, narrow, no shuffle — each task processes its own
+    partition's payloads and downstream carries only the tiny frame
+    table, never the bytes.
+
+    Exactness (what lets the DuckDB oracle replay this): per-frame
+    sum of squared bytes is an integer ≤ 255²·window_bytes, exactly
+    representable in float64, so sqrt(sum/n) is bit-identical on any
+    engine; emitted rounded to 4."""
+    import math
+
+    import numpy as np
+
+    if window_bytes < 1:
+        raise ValueError("audio_window_energy: window_bytes must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, sizes, energies = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                buf = b"" if payload is None else payload
+                arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+                n_win = math.ceil(arr.size / window_bytes)
+                for wi in range(n_win):
+                    frame = arr[wi * window_bytes : (wi + 1) * window_bytes]
+                    ids.append(aid)
+                    wins.append(wi)
+                    sizes.append(frame.size)
+                    energies.append(
+                        round(float(np.sqrt((frame * frame).sum() / frame.size)), 4)
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(wins, dtype="int64"),
+                    "win_bytes": pd.Series(sizes, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="float64"),
+                }
+            )
+
+    slim = df.where(F.col("media.kind") == "audio").select("asset_id", "payload")
+    return slim.mapInPandas(run, ENERGY_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int) -> DataFrame:
     """Sample frame timestamps every ``every_ms`` from video assets:
     pure metadata math (sequence + explode), no payload read — the

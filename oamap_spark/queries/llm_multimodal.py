@@ -110,6 +110,46 @@ def multimodal_resize_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_window_energy",
+    tags=("llm", "multimodal", "audio", "map_in_pandas"),
+    oracle=f"""
+WITH guard AS (
+  SELECT CASE WHEN max(CASE WHEN octet_length(encode(text)) != length(text)
+                            THEN 1 ELSE 0 END) = 1
+              THEN error('audio_window_energy oracle assumes an ASCII corpus')
+              ELSE 0 END AS ok
+  FROM documents
+),
+ab AS (
+  SELECT asset_id, (i - 1) // 256 AS win_idx,
+         ascii(substring(text, i, 1)) AS byte
+  FROM (SELECT doc_id AS asset_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents WHERE doc_id % 3 = 1)
+)
+SELECT ab.asset_id,
+       CAST(ab.win_idx AS BIGINT) AS win_idx,
+       CAST(count(*) AS BIGINT) AS win_bytes,
+       round(sqrt(CAST(sum(byte * byte) AS DOUBLE) / count(*)), 4) AS energy
+FROM ab, guard g
+WHERE g.ok = 0
+GROUP BY ab.asset_id, ab.win_idx
+""",
+)
+def multimodal_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frame energy analysis over audio payloads (256-byte
+    windows, RMS over byte values — the silence-trim/loudness-gate
+    primitive; a real PCM decoder slots into the same mapInPandas body,
+    see operators/multimodal.py:audio_window_energy). Narrow Arrow
+    pass, no shuffle, payload never leaves its partition; the output
+    frame table is tiny. The oracle replays the byte arithmetic over
+    the ASCII corpus (fail-loud guard), with per-frame squared sums
+    exact in float64 on both engines."""
+    m = MM.with_media_columns(load_table(spark, sf_dir, "documents"))
+    return MM.audio_window_energy(m, window_bytes=256)
+
+
+@register(
     "multimodal_decode_features",
     tags=("llm", "multimodal", "decode", "map_in_pandas"),
     # Oracle-gated since round 5 (VERDICT r4 "Next round #4" — the stub

@@ -216,6 +216,7 @@ def test_no_python_eval_outside_udf_surface(spark):
         "pack_sequences_slots",  # per-bucket greedy scan is applyInPandas by design
         "multimodal_frame_sample",
         "multimodal_resize_metadata",
+        "multimodal_audio_window_energy",  # mapInPandas frame-energy stub
         "heavy_hitter_terms",  # per-partition Misra-Gries summary pass
         # Arrow popcount simhash signatures (native twin + equality
         # test in test_llm_ops; same precedent as the LSH matmuls)
