@@ -208,9 +208,10 @@ def audio_window_energy(df: DataFrame, window_bytes: int = 256) -> DataFrame:
     Exactness (what lets the DuckDB oracle replay this): per-frame
     sum of squared bytes is an integer ≤ 255²·window_bytes, exactly
     representable in float64, so sqrt(sum/n) is bit-identical on any
-    engine; emitted rounded to 4."""
-    import math
-
+    engine; emitted via the repo's floor(x·10⁴ + 0.5)/10⁴ idiom on
+    BOTH sides — Python round() is half-even on exact binary and
+    diverges from SQL round at decimal half-boundaries
+    (analytics_extra.py incident)."""
     import numpy as np
 
     if window_bytes < 1:
@@ -222,15 +223,20 @@ def audio_window_energy(df: DataFrame, window_bytes: int = 256) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 buf = b"" if payload is None else payload
                 arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
-                n_win = math.ceil(arr.size / window_bytes)
-                for wi in range(n_win):
-                    frame = arr[wi * window_bytes : (wi + 1) * window_bytes]
-                    ids.append(aid)
-                    wins.append(wi)
-                    sizes.append(frame.size)
-                    energies.append(
-                        round(float(np.sqrt((frame * frame).sum() / frame.size)), 4)
-                    )
+                if arr.size == 0:
+                    continue
+                # all per-frame squared sums in one vectorized reduceat
+                # (interpreter-per-frame loops would dominate the Arrow
+                # hot path at real payload sizes)
+                starts = np.arange(0, arr.size, window_bytes)
+                ssq = np.add.reduceat(arr * arr, starts)
+                lens = np.diff(np.append(starts, arr.size))
+                rms = np.sqrt(ssq / lens)
+                e = np.floor(rms * 1e4 + 0.5) / 1e4
+                ids.extend([aid] * starts.size)
+                wins.extend(range(starts.size))
+                sizes.extend(lens.tolist())
+                energies.extend(e.tolist())
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),

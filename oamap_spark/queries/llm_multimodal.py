@@ -130,7 +130,8 @@ ab AS (
 SELECT ab.asset_id,
        CAST(ab.win_idx AS BIGINT) AS win_idx,
        CAST(count(*) AS BIGINT) AS win_bytes,
-       round(sqrt(CAST(sum(byte * byte) AS DOUBLE) / count(*)), 4) AS energy
+       floor(sqrt(CAST(sum(byte * byte) AS DOUBLE) / count(*)) * 10000 + 0.5)
+         / 10000 AS energy
 FROM ab, guard g
 WHERE g.ok = 0
 GROUP BY ab.asset_id, ab.win_idx

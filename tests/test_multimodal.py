@@ -95,3 +95,48 @@ def test_decode_features_arrow_equals_pandas_path(spark):
         assert abs(ra["byte_mean"] - rp["byte_mean"]) < 1e-12
         assert abs(ra["byte_entropy"] - rp["byte_entropy"]) < 1e-12
         assert ra["feature"] == rp["feature"]
+
+
+def test_audio_window_energy_frames_and_nulls(spark):
+    """Frame arithmetic pinned locally: window count = ceil(bytes/W),
+    the final partial frame carries its true length, energy follows
+    the floor(x*1e4+0.5)/1e4 idiom, NULL/empty payloads emit nothing
+    (no TypeError), and non-audio assets never appear."""
+    import math
+
+    import numpy as np
+
+    from oamap_spark.operators import multimodal as MM
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    m0 = MM.with_media_columns(docs)
+    m = m0.withColumn(
+        "payload",
+        F.when(F.col("asset_id") % 10 == 1, F.lit(None)).otherwise(
+            F.col("payload")
+        ),
+    )
+    rows = MM.audio_window_energy(m, window_bytes=256).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["asset_id"], []).append(r)
+    src = {
+        r["asset_id"]: (r["kind"], r["payload"])
+        for r in m.select(
+            "asset_id", F.col("media.kind").alias("kind"), "payload"
+        ).collect()
+    }
+    for aid, (kind, payload) in src.items():
+        if kind != "audio" or payload is None or len(payload) == 0:
+            assert aid not in got, (aid, kind)
+            continue
+        frames = sorted(got[aid], key=lambda r: r["win_idx"])
+        assert len(frames) == math.ceil(len(payload) / 256)
+        assert sum(f["win_bytes"] for f in frames) == len(payload)
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        for f in frames:
+            frame = arr[f["win_idx"] * 256 : f["win_idx"] * 256 + 256]
+            rms = float(np.sqrt((frame * frame).sum() / frame.size))
+            assert f["energy"] == np.floor(rms * 1e4 + 0.5) / 1e4
+    assert any(kind == "audio" and payload is None for kind, payload in src.values())

@@ -88,6 +88,23 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark, queries):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_filtered_topk_broadcast_equijoin(spark, queries):
+    """cosine_topk_label_filtered must push the metadata constraint
+    into a broadcast EQUI-join on the filter key (never a post-rank
+    filter, never a shuffled join of the corpus). Pinned with
+    autoBroadcastJoinThreshold=-1 so the assertion discriminates: only
+    the explicit broadcast hint can produce the node at this SF."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["cosine_topk_label_filtered"](spark, SF_SMOKE)
+        p = audit.plan_string(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_chunking_is_narrow_no_exchange(spark, queries):
     """doc_chunk_windows must be a pure narrow pass: split→explode→
     slice with ZERO exchanges (the 100 TB contract: chunking cost is
