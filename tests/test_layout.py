@@ -112,6 +112,18 @@ def test_z_value_date_column_binning(spark):
         z_value(orders, ["o_orderstatus"], bits=4)
 
 
+def test_z_value_decimal_column_binning(spark):
+    """decimal clustering columns pass through the quantile key
+    untouched (approx_percentile handles exact decimals; no double
+    cast that would distort ordering past 2^53)."""
+    d = spark.range(1000).select(
+        "id", (F.col("id") * F.lit(1.5)).cast("decimal(18,4)").alias("dec")
+    )
+    z = z_value(d, ["dec"], bits=4)
+    mx = z.agg(F.max("__z")).collect()[0][0]
+    assert 0 <= mx < (1 << 4)
+
+
 def test_z_value_plan_has_no_window(spark):
     """The r8 verdict's last scale-killer: z_value must NOT plan a
     global (unpartitioned) Window — the quantile binning is an agg +
