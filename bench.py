@@ -475,6 +475,11 @@ def main() -> None:
     # (4.3 KB by r8) and the recorded `parsed` field silently became
     # None for four rounds. Keep the stdout line under the cap forever.
     print(json.dumps(out), file=sys.stderr)
+    try:  # full forensics for cross-round a/b (stderr is not kept)
+        with open("/tmp/oamap_bench_full_last.json", "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     compact = {
         "metric": out["metric"],
         "value": out["value"],
