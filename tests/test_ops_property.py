@@ -185,3 +185,59 @@ def test_compiler_string_subscript_matches_python(spark, strings):
 
     want = sorted(fn(R(s)) for s in strings)
     assert got == want
+
+
+def _span_removal_reference(docs: dict[int, str], n: int = 8):
+    """Pure-Python ground truth of duplicated-span removal: positional
+    n-token windows (token identity, not hashed — collisions in the
+    2^31 modular id space are negligible but the reference avoids even
+    those), shared across docs, merged with the gap>n rule, cut, and
+    rejoined."""
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    wins = {
+        i: [tuple(tk[p : p + n]) for p in range(len(tk) - n + 1)]
+        for i, tk in toks.items()
+    }
+    owner: dict[tuple, set[int]] = {}
+    for i, ws in wins.items():
+        for w in ws:
+            owner.setdefault(w, set()).add(i)
+    out = {}
+    for i, tk in toks.items():
+        dup_pos = [p for p, w in enumerate(wins[i]) if len(owner[w]) > 1]
+        spans = 0
+        prev = None
+        covered = set()
+        for p in dup_pos:
+            if prev is None or p > prev + n:
+                spans += 1
+            prev = p
+            covered.update(range(p, p + n))
+        kept = " ".join(t for j, t in enumerate(tk) if j not in covered)
+        out[i] = (len(tk), spans, len(kept))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=40),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_span_removal_matches_python_reference(spark, data):
+    """duplicated_span_removal ≡ a direct Python reference on random
+    tiny-vocab corpora — adversarial shapes (heavy window sharing,
+    short docs, fully-duplicated docs) the fixed testdata can't
+    produce. Token-identity windows and hashed window ids agree
+    because 2^31-space collisions are vanishing at this size."""
+    from oamap_spark.operators.dedup import duplicated_span_removal
+
+    docs = {i: " ".join(tk) for i, tk in enumerate(data)}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        r["id"]: (r["n_tokens"], r["n_spans_cut"], r["kept_char_len"])
+        for r in duplicated_span_removal(df, "doc_id", "text", n=8).collect()
+    }
+    assert got == _span_removal_reference(docs, n=8)
