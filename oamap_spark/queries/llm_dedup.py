@@ -569,6 +569,7 @@ LEFT JOIN sr_kept kp USING (doc_id)
 @register(
     "dedup_span_removal",
     tags=("llm", "dedup", "exact_substring", "span_removal"),
+    bench=True,
     oracle=f"WITH {span_removal_ctes()}{_SPAN_REMOVAL_SELECT}",
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
