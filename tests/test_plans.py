@@ -719,6 +719,19 @@ def test_bloom_prefilter_below_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", keep)
 
 
+def test_steady_state_probe_reads_persisted_index(spark, queries):
+    """dedup_minhash_incremental_steady's whole point: the corpus half
+    comes from the PERSISTED parquet signature index — the plan must
+    scan the staged index path, and exactly one branch (the 10%
+    arrival batch) may tokenize text."""
+    df = queries["dedup_minhash_incremental_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_idx" in p, p[:2000]
+    # one md5-bearing tokenize branch: the arrivals'. The corpus side
+    # must not re-derive signatures from text.
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+
+
 def test_incremental_bloom_prunes_corpus_side(spark):
     """dedup_incremental_bloom_pruned: the Bloom position probes
     (LeftSemi hash joins on xxhash64 of the digest) must sit on the
