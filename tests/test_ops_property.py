@@ -241,3 +241,37 @@ def test_span_removal_matches_python_reference(spark, data):
         for r in duplicated_span_removal(df, "doc_id", "text", n=8).collect()
     }
     assert got == _span_removal_reference(docs, n=8)
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=30),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_span_removal_probe_restriction_commutes(spark, data):
+    """The incremental twin's soundness claim: restricting the surgery
+    to probe_ids equals running the full batch and filtering — for ANY
+    corpus and any probe subset (the shared-window set is never
+    restricted, so membership of a window in >1 doc is identical)."""
+    from oamap_spark.operators.dedup import duplicated_span_removal
+
+    docs = [(i, " ".join(tk)) for i, tk in enumerate(data)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    probe = spark.createDataFrame(
+        [(i,) for i, _ in docs if i % 2 == 0], ["doc_id"]
+    )
+    full = {
+        r["id"]: tuple(r)
+        for r in duplicated_span_removal(df, "doc_id", "text", n=8).collect()
+        if r["id"] % 2 == 0
+    }
+    restricted = {
+        r["id"]: tuple(r)
+        for r in duplicated_span_removal(
+            df, "doc_id", "text", n=8, probe_ids=probe
+        ).collect()
+    }
+    assert restricted == full
