@@ -50,7 +50,11 @@ def _quantile_key(df: DataFrame, c: str):
         raise ValueError(f"z_value: no column {c!r} in frame")
     if dt == "date" or dt.startswith("timestamp"):
         return F.col(c).cast("timestamp").cast("double")
-    if dt.startswith(_NUMERIC_PREFIXES):
+    # ANSI interval types ('interval day to second', 'interval year to
+    # month') share the 'int' prefix but have no quantile arithmetic —
+    # exclude them BEFORE the numeric-prefix test so they fail loud
+    # here instead of deep inside percentile_approx/lit.
+    if not dt.startswith("interval") and dt.startswith(_NUMERIC_PREFIXES):
         return F.col(c)
     raise ValueError(
         f"z_value: column {c!r} has non-orderable-numeric type {dt}; "
@@ -143,7 +147,17 @@ def zorder_write(
     helper columns are dropped on write. Whole-table scale-safe: the
     z-curve bins against approx-quantile breakpoints (see ``z_value``)
     — no unpartitioned window, no RangePartitioner sampling, anywhere
-    in the plan."""
+    in the plan.
+
+    The write takes three actions (z breakpoint agg, __z quantile agg,
+    the write itself); without tracking, each would re-run the full
+    upstream lineage AND the O(cols × 2^bits) per-row searchsorted. So:
+    persist ``df`` (materialized by the breakpoint agg), build ``zdf``
+    over it, persist ``zdf`` (materialized by the quantile agg, which
+    only re-reads the cached input), drop the input cache, write from
+    the cached ``zdf`` — upstream lineage and the bin computation each
+    execute exactly once."""
+    df = df.persist()
     zdf = z_value(df, cols, bits=bits)
     # Deterministic file ownership, balanced under ANY joint
     # distribution: per-column levels are rank-uniform, but CORRELATED
@@ -157,11 +171,13 @@ def zorder_write(
     # what widens min/max spans and kills pruning.
     zbps = []
     if n_files > 1:
+        zdf = zdf.persist()
         zprobs = [k / n_files for k in range(1, n_files)]
         (got,) = zdf.agg(
             F.percentile_approx("__z", zprobs, 10000).alias("b")
         ).collect()[0]
         zbps = list(got or [])  # None only for an empty frame
+        df.unpersist()  # zdf is materialized; the input cache is done
     if zbps:
         pid = F.aggregate(
             F.array(*[F.lit(int(b)).cast("long") for b in zbps]),
@@ -189,14 +205,18 @@ def zorder_write(
         ),
         pid,
     )
-    (
-        zdf.withColumn("__tok", tok)
-        .repartition(n_files, F.col("__tok"))
-        .sortWithinPartitions("__z")
-        .drop("__z", "__tok")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    try:
+        (
+            zdf.withColumn("__tok", tok)
+            .repartition(n_files, F.col("__tok"))
+            .sortWithinPartitions("__z")
+            .drop("__z", "__tok")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        zdf.unpersist()
+        df.unpersist()  # no-op when already released above (n_files > 1)
 
 
 def _exact_partition_tokens(spark, n: int) -> list[int]:

@@ -308,10 +308,14 @@ def train_decontaminated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 8-token gram with the held-out benchmark slice (the GPT-3-
     style n-gram decontamination filter), and emit the per-source
     kept/dropped census a pipeline records before training. Scale
-    shape: the distinct benchmark gram set is tiny (5% slice) and
-    BROADCASTs into a LEFT SEMI probe of the train gram table — the
-    train side never shuffles on anything wider than an int64 gid, and
-    the census is one groupBy(source)."""
+    shape: the probe is a LEFT SEMI join on an int64 gid — the train
+    side never shuffles on anything wider. The benchmark-side gram set
+    grows ~linearly with corpus size (distinct 8-grams of a 5% slice),
+    so no broadcast is forced: the optimizer broadcasts while the set
+    fits autoBroadcastJoinThreshold and falls back to a shuffled semi
+    join beyond it, instead of OOMing a hinted broadcast at 100 TB
+    (cf. train_benchmark_overlap, whose bench side stays hinted because
+    it joins the AGGREGATED per-gram table, not the raw gram set)."""
     d = load_table(spark, sf_dir, "documents")
     tid = d.select(
         "doc_id",
@@ -330,7 +334,7 @@ def train_decontaminated_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_gids = grams.where("is_bench").select("gid").distinct()
     dropped = (
         grams.where(~F.col("is_bench"))
-        .join(F.broadcast(bench_gids), "gid", "left_semi")
+        .join(bench_gids, "gid", "left_semi")
         .select("doc_id")
         .distinct()
     )

@@ -112,6 +112,21 @@ def test_z_value_date_column_binning(spark):
         z_value(orders, ["o_orderstatus"], bits=4)
 
 
+def test_z_value_interval_column_rejected(spark):
+    """'interval day to second' shares the 'int' dtype prefix with the
+    numeric family but has no quantile arithmetic — it must hit the
+    fail-loud ValueError, not a late percentile_approx/lit error."""
+    import pytest as _pt
+
+    d = spark.range(100).select(
+        "id",
+        (F.col("id").cast("timestamp") - F.lit(0).cast("timestamp")).alias("iv"),
+    )
+    assert dict(d.dtypes)["iv"].startswith("interval")
+    with _pt.raises(ValueError, match="non-orderable-numeric"):
+        z_value(d, ["iv"], bits=4)
+
+
 def test_z_value_decimal_column_binning(spark):
     """decimal clustering columns pass through the quantile key
     untouched (approx_percentile handles exact decimals; no double
