@@ -12,9 +12,42 @@ import sys
 import time
 
 
+def _wait_for_quiet(threshold: float, max_wait: float) -> tuple[float, float]:
+    """Block until the 1-minute load average drops below ``threshold``
+    or ``max_wait`` seconds pass; return (load_when_done, waited_sec).
+    The r9 record was taken at loadavg 8.94 against the repo's own
+    <3.0 quiet-run protocol (SCALE.md), smearing ~1.25× noise across
+    half the headline set — the harness now enforces the protocol it
+    documents instead of trusting the operator to."""
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > threshold and waited < max_wait:
+        step = min(10.0, max_wait - waited)
+        time.sleep(step)
+        waited += step
+        load = os.getloadavg()[0]
+    return round(load, 2), round(waited, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Quiet-load protocol (VERDICT r9 "What's wrong #1" / ask #3):
+    # refuse to start measuring on a loaded box — wait up to
+    # $SPARK_GRAFT_BENCH_QUIET_WAIT (default 120 s) for the 1-min load
+    # to drop under $SPARK_GRAFT_BENCH_MAX_LOAD (default 3.0). If it
+    # never does, proceed but stamp ambient_load_warning into the
+    # record so the round-over-round diff knows the artifact is dirty.
+    load_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0"))
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "120"))
+    load_start, waited = _wait_for_quiet(load_thresh, quiet_wait)
+    if waited:
+        print(
+            f"# quiet-load pre-flight: waited {waited}s, loadavg now "
+            f"{load_start} (threshold {load_thresh})",
+            file=sys.stderr,
+        )
 
     from oamap_spark import cache
     from oamap_spark.queries import registry
@@ -67,6 +100,29 @@ def main() -> None:
         # cache.sweep() drops the tracked handles (ADVICE r5 #3);
         # clearCache() additionally covers anything persisted outside
         # the track() hook.
+        cache.sweep()
+        spark.catalog.clearCache()
+
+    # Noisy-window retry (VERDICT r9 ask #3): a headline query whose
+    # measurement window saw 1-min load above the threshold gets ONE
+    # extra timing run after a short wait-for-quiet, min'd into its
+    # record — so one background spike doesn't smear a fake +25%
+    # across the round-over-round diff. Bounded to 8 retries.
+    names_in_order = list(bench)
+    noisy = [
+        n
+        for i, n in enumerate(names_in_order)
+        if max(load_samples[i], load_samples[i + 1]) > load_thresh
+    ][:8]
+    for n in noisy:
+        _wait_for_quiet(load_thresh, 30.0)
+        t0 = time.perf_counter()
+        bench[n](spark, sf_dir).count()
+        extra = round(time.perf_counter() - t0, 4)
+        all_runs[n].append(extra)
+        timings[n] = min(timings[n], extra)
+        load_samples.append(round(os.getloadavg()[0], 2))
+        print(f"# retry (noisy window) {n}: {extra:.3f}s", file=sys.stderr)
         cache.sweep()
         spark.catalog.clearCache()
 
@@ -449,6 +505,15 @@ def main() -> None:
         # noise; tight runs at a new level ⇒ real plan change.
         "runs": all_runs,
         "loadavg_1min": load_samples,
+        # quiet-load protocol record: start load (after pre-flight
+        # wait), threshold, and whether the run violated it anyway —
+        # start above threshold, or a mid-run spike past 2× start
+        "loadavg_start_1min": load_start,
+        "load_threshold": load_thresh,
+        "ambient_load_warning": bool(
+            load_start > load_thresh
+            or max(load_samples) > max(load_thresh, 2 * max(load_start, 1.0))
+        ),
         "cpus": os.cpu_count(),
         "sf": sf_val,
         # wall times at 500 docs are overhead-dominated; the pair
@@ -488,6 +553,8 @@ def main() -> None:
         "value_microbench": out["value_microbench"],
         "queries": {n: round(t, 3) for n, t in timings.items()},
         "loadavg_max_1min": max(load_samples) if load_samples else None,
+        "loadavg_start_1min": load_start,
+        "ambient_load_warning": out["ambient_load_warning"],
         "cpus": out["cpus"],
         "sf": sf_val,
     }
