@@ -435,12 +435,35 @@ def ngram_window_overlap(
     )
 
 
+def positional_window_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """The (id, pos, wid) positional window-id table of
+    :func:`duplicated_span_removal` — factored out so the steady-state
+    form can PERSIST it as the corpus index and probe it with arrival
+    batches, guaranteed to be built by the same tokenize/polynomial
+    machinery as the in-operator path (no drift possible).
+
+    tids projected FIRST: element_at in the window lambda re-evaluates
+    its argument subtree, so an inline md5 transform would run n× per
+    window (combine_shingle_ids' measured 12× trap)."""
+    from oamap_spark.functions.text import positional_window_ids
+
+    return (
+        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
+        .select("id", positional_window_ids(F.col("tids"), n).alias("pw"))
+        .select("id", F.explode("pw").alias("w"))
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid"))
+    )
+
+
 def duplicated_span_removal(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 8,
     probe_ids: DataFrame | None = None,
+    w_df: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated-span REMOVAL — the surgery step of exact-substring
     dedup (Lee et al. 2022, arXiv:2107.06499): where
@@ -478,11 +501,18 @@ def duplicated_span_removal(
     exactly like the band/posting indexes of the other incremental
     twins). The output equals the full run filtered to ``probe_ids``
     (restriction commutes with the shared-set computation, which is
-    never restricted)."""
+    never restricted).
+
+    ``w_df`` (id, pos, wid) replaces the internal window-table build —
+    the STEADY-STATE seam: a daily pipeline persists the corpus half
+    of the window table once (:func:`positional_window_table`) and
+    passes index ∪ arrival-windows here, so corpus text is never
+    re-tokenized. ``df`` then only needs to cover the documents whose
+    output rows are wanted (the arrivals), since toks/T feed nothing
+    but the per-probe-doc rebuild."""
     from pyspark.sql import Window
 
     from oamap_spark.cache import track
-    from oamap_spark.functions.text import positional_window_ids
 
     # toks/T branch carries NO md5 work; the (id, pos, wid) window
     # table is built in its own tokenize pass and persisted, so the
@@ -492,14 +522,8 @@ def duplicated_span_removal(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
     ).withColumn("T", F.size("toks"))
     w = track(
-        # tids projected FIRST: element_at in the window lambda
-        # re-evaluates its argument subtree, so an inline md5
-        # transform would run n× per window (combine_shingle_ids'
-        # measured 12× trap)
-        df.select(F.col(id_col).alias("id"), token_id_array(text_col).alias("tids"))
-        .select("id", positional_window_ids(F.col("tids"), n).alias("pw"))
-        .select("id", F.explode("pw").alias("w"))
-        .select("id", F.col("w.pos").alias("pos"), F.col("w.wid").alias("wid"))
+        w_df if w_df is not None
+        else positional_window_table(df, id_col, text_col, n)
     )
     shared = (
         w.groupBy("wid")

@@ -62,8 +62,33 @@ def _quantile_key(df: DataFrame, c: str):
     )
 
 
+def _column_breakpoints(
+    df: DataFrame, cols: Sequence[str], bits: int, accuracy: int
+) -> dict[str, list | None]:
+    """The 2^bits − 1 approx-quantile breakpoints per clustering column
+    (ONE aggregation for all columns; None for an all-null column) —
+    factored out so ``zorder_write`` can persist them as table metadata
+    and ``zorder_incremental`` can bin arrival batches with the SAME
+    grid the table was laid out with."""
+    nlevels = 1 << bits
+    probs = [k / nlevels for k in range(1, nlevels)]
+    keys = {c: _quantile_key(df, c) for c in cols}
+    row = df.agg(
+        *[
+            F.percentile_approx(keys[c], probs, accuracy).alias(f"q{i}")
+            for i, c in enumerate(cols)
+        ]
+    ).collect()[0]
+    return {c: (list(row[f"q{i}"]) if row[f"q{i}"] is not None else None)
+            for i, c in enumerate(cols)}
+
+
 def z_value(
-    df: DataFrame, cols: Sequence[str], bits: int = 8, accuracy: int = 10000
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    accuracy: int = 10000,
+    breakpoints: dict | None = None,
 ) -> DataFrame:
     """Attach ``__z`` — the Morton interleave of the rank-quantized
     clustering columns (``bits`` bits each; 2 cols × 8 bits → 16-bit
@@ -91,22 +116,24 @@ def z_value(
     regime (~``accuracy`` rows); beyond that they may vary within the
     1/accuracy rank-error bound across different input partitionings.
     Fine for LAYOUT (files still cluster); do not treat z values as a
-    reproducible row property at whole-table scale."""
+    reproducible row property at whole-table scale.
+
+    ``breakpoints`` (col → sorted list, or None for all-null) skips
+    the quantile aggregation and bins against the GIVEN grid — how
+    ``zorder_incremental`` places an arrival batch on the same z-grid
+    the table was originally laid out with (the grid drifts from the
+    data's true quantiles until the next full rewrite; that is the
+    standard OPTIMIZE trade)."""
     if not cols:
         raise ValueError("z_value needs at least one clustering column")
     nlevels = 1 << bits
-    probs = [k / nlevels for k in range(1, nlevels)]
     keys = {c: _quantile_key(df, c) for c in cols}
-    row = df.agg(
-        *[
-            F.percentile_approx(keys[c], probs, accuracy).alias(f"q{i}")
-            for i, c in enumerate(cols)
-        ]
-    ).collect()[0]
+    if breakpoints is None:
+        breakpoints = _column_breakpoints(df, cols, bits, accuracy)
     out = df
     qs = []
     for i, c in enumerate(cols):
-        bps = row[f"q{i}"]
+        bps = breakpoints[c]
         if bps is None:  # all-null column: everything bins to level 0
             qs.append(F.lit(0).cast("long"))
             continue
@@ -156,9 +183,16 @@ def zorder_write(
     over it, persist ``zdf`` (materialized by the quantile agg, which
     only re-reads the cached input), drop the input cache, write from
     the cached ``zdf`` — upstream lineage and the bin computation each
-    execute exactly once."""
+    execute exactly once.
+
+    A ``_zorder_meta.json`` sidecar (underscore-prefixed: invisible to
+    parquet readers) records the layout grid — clustering columns,
+    bits, per-column quantile breakpoints, and the z slice breakpoints
+    — so ``zorder_incremental`` can later place arrival batches on the
+    SAME grid and rewrite only the slice files they touch."""
     df = df.persist()
-    zdf = z_value(df, cols, bits=bits)
+    col_bps = _column_breakpoints(df, cols, bits, 10000)
+    zdf = z_value(df, cols, bits=bits, breakpoints=col_bps)
     # Deterministic file ownership, balanced under ANY joint
     # distribution: per-column levels are rank-uniform, but CORRELATED
     # clustering columns concentrate z near the Morton diagonal, so
@@ -178,15 +212,7 @@ def zorder_write(
         ).collect()[0]
         zbps = list(got or [])  # None only for an empty frame
         df.unpersist()  # zdf is materialized; the input cache is done
-    if zbps:
-        pid = F.aggregate(
-            F.array(*[F.lit(int(b)).cast("long") for b in zbps]),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc
-            + F.when(F.col("__z") >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-        )
-    else:
-        pid = F.lit(0).cast("long")
+    pid = _slice_id([int(b) for b in zbps])  # shared with zorder_incremental
     # Route each slice to its own task EXACTLY: repartitionByRange's
     # reservoir sampling merges adjacent slices at small batch sizes
     # (equal-key bounds can skip a value), so instead hash-partition on
@@ -217,6 +243,185 @@ def zorder_write(
     finally:
         zdf.unpersist()
         df.unpersist()  # no-op when already released above (n_files > 1)
+    _write_zorder_meta(
+        path,
+        {
+            "cols": list(cols),
+            "bits": bits,
+            "n_files": n_files,
+            "col_breakpoints": col_bps,
+            "z_breakpoints": [int(b) for b in zbps],
+        },
+    )
+
+
+def _write_zorder_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, "_zorder_meta.json"), "w") as f:
+        # decimals (and any other non-JSON scalar) stringify; the
+        # reader re-casts against the table's column dtype
+        json.dump(meta, f, default=str)
+
+
+def _read_zorder_meta(path: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(path, "_zorder_meta.json")
+    if not os.path.exists(p):
+        raise ValueError(
+            f"zorder_incremental: {path!r} has no _zorder_meta.json — "
+            "the table must have been written by zorder_write"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _restore_breakpoints(
+    df: DataFrame, cols: Sequence[str], stored: dict
+) -> dict[str, list | None]:
+    """Re-type JSON-round-tripped breakpoints against the frame's
+    dtypes: decimals were stringified on write (json default=str) and
+    must come back as exact Decimal literals — a float detour would
+    distort ordering past 2^53. Numeric/epoch-double values pass
+    through."""
+    import decimal
+
+    dts = dict(df.dtypes)
+    out: dict[str, list | None] = {}
+    for c in cols:
+        v = stored[c]
+        if v is not None and dts.get(c, "").startswith("decimal"):
+            v = [decimal.Decimal(str(x)) for x in v]
+        out[c] = v
+    return out
+
+
+def _slice_id(zbps: Sequence[int]) -> "F.Column":
+    """Slice id of ``__z`` against the table's z breakpoints — the
+    same count-of-breakpoints-≤-z binning zorder_write routes with
+    (a boundary can move BETWEEN z values, never split one)."""
+    if not zbps:
+        return F.lit(0).cast("long")
+    return F.aggregate(
+        F.array(*[F.lit(int(b)).cast("long") for b in zbps]),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(F.col("__z") >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def _slice_files(path: str) -> dict[int, list[str]]:
+    """Map slice id → parquet files, parsed from Spark's part-XXXXX
+    task index (zorder_write's exact token routing makes partition
+    index ≡ slice id; an empty slice simply has no file)."""
+    import glob
+    import os
+
+    out: dict[int, list[str]] = {}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        name = os.path.basename(f)
+        if not name.startswith("part-"):
+            raise ValueError(
+                f"zorder_incremental: unexpected file {name!r} in a "
+                "zorder_write table"
+            )
+        out.setdefault(int(name.split("-")[1]), []).append(f)
+    return out
+
+
+def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
+    """OPTIMIZE-style incremental maintenance of a ``zorder_write``
+    table: place the arrival batch on the table's ORIGINAL z-grid (the
+    ``_zorder_meta.json`` sidecar's column + z breakpoints — no new
+    quantile sketch, the binning is a pure codegen projection) and
+    rewrite ONLY the slice files the arrivals land in; every other
+    file stays byte-identical on disk, so at 100 TB a daily batch
+    touching 3 of 10,000 slices costs 3 file rewrites, not a table
+    rewrite. The grid drifts from the merged data's true quantiles
+    until the next full ``zorder_write`` — the standard OPTIMIZE
+    trade; pruning quality degrades only as far as the arrivals'
+    spread.
+
+    Mechanics: arrivals bin to slice ids (count of z breakpoints ≤ z);
+    the touched slice set is one bounded collect (≤ n_files ints);
+    touched slices' existing files + their arrivals are re-sorted and
+    rewritten through the SAME exact murmur3 token routing as the full
+    write (partition index ≡ slice id, so the part-XXXXX name keeps
+    encoding the slice), staged to a temp dir, then swapped in with
+    O(touched) driver-side renames. Untouched slices are never read.
+
+    Returns ``{"touched_slices", "rewritten_files", "total_files"}``."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    meta = _read_zorder_meta(path)
+    cols, bits, n_files = meta["cols"], meta["bits"], meta["n_files"]
+    zbps = meta["z_breakpoints"]
+    col_bps = _restore_breakpoints(arrivals, cols, meta["col_breakpoints"])
+    azdf = z_value(arrivals, cols, bits=bits, breakpoints=col_bps).withColumn(
+        "__pid", _slice_id(zbps)
+    )
+    azdf = azdf.persist()
+    try:
+        touched = sorted(
+            r["__pid"] for r in azdf.select("__pid").distinct().collect()
+        )
+        if not touched:  # empty arrival batch — nothing to do
+            return {
+                "touched_slices": [],
+                "rewritten_files": 0,
+                "total_files": len(glob.glob(os.path.join(path, "*.parquet"))),
+            }
+        by_slice = _slice_files(path)
+        old_files = [f for p in touched for f in by_slice.get(p, [])]
+        merged = azdf
+        if old_files:
+            old = spark.read.parquet(*old_files)
+            oldz = z_value(
+                old, cols, bits=bits, breakpoints=col_bps
+            ).withColumn("__pid", _slice_id(zbps))
+            merged = oldz.unionByName(azdf)
+        tokens = _exact_partition_tokens(spark, n_files)
+        tok = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for p, t in enumerate(tokens)
+                    for x in (F.lit(p).cast("long"), F.lit(t).cast("long"))
+                ]
+            ),
+            F.col("__pid"),
+        )
+        staging = tempfile.mkdtemp(prefix="oamap_zorder_incr_")
+        stage_dir = os.path.join(staging, "out")
+        (
+            merged.withColumn("__tok", tok)
+            .repartition(n_files, F.col("__tok"))
+            .sortWithinPartitions("__z")
+            .drop("__z", "__pid", "__tok")
+            .write.parquet(stage_dir)
+        )
+        staged = glob.glob(os.path.join(stage_dir, "*.parquet"))
+        # swap: remove the touched slices' old files, move the staged
+        # replacements in (fresh uuids — no name clash); the slice ids
+        # of staged files are exactly `touched` by the token routing
+        for f in old_files:
+            os.remove(f)
+        for f in staged:
+            shutil.move(f, os.path.join(path, os.path.basename(f)))
+        shutil.rmtree(staging, ignore_errors=True)
+        return {
+            "touched_slices": [int(p) for p in touched],
+            "rewritten_files": len(staged),
+            "total_files": len(glob.glob(os.path.join(path, "*.parquet"))),
+        }
+    finally:
+        azdf.unpersist()
 
 
 def _exact_partition_tokens(spark, n: int) -> list[int]:

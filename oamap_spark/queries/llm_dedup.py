@@ -615,6 +615,67 @@ def dedup_span_removal_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# one staged corpus window-id index per (process, sf_dir) — same
+# lifecycle as _STEADY_INDEX below: the steady-state span query's
+# point is that batch N never re-tokenizes corpus text, so the index
+# build is paid once and later invocations measure the pure probe.
+_STEADY_SPAN_INDEX: dict[str, str] = {}
+
+
+def _steady_span_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _STEADY_SPAN_INDEX.get(sf_dir)
+    if path is None:
+        from oamap_spark.sources.staging import staging_path
+
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.where(F.substring("source", 4, 10).cast("int") < 18)
+        w = D.positional_window_table(corpus, "doc_id", "text", 8)
+        path = staging_path("oamap_steady_spanidx_", "index")
+        w.write.parquet(path)
+        _STEADY_SPAN_INDEX[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_span_removal_steady",
+    tags=("llm", "dedup", "exact_substring", "span_removal",
+          "incremental", "steady_state"),
+    bench=True,
+    oracle=f"""WITH {span_removal_ctes()}{_SPAN_REMOVAL_SELECT}
+WHERE CAST(substring(t.source, 4) AS INT) >= 18
+""",
+)
+def dedup_span_removal_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE duplicated-span removal — the daily-batch form of
+    the exact-substring surgery: the corpus half of the (id, pos, wid)
+    window table (sources src0–src17, 90%) is PERSISTED parquet built
+    once per corpus snapshot by the operator's own window-table
+    builder (operators/dedup.py:positional_window_table — no drift
+    possible); the 10% arrival batch (src18–19) tokenizes only itself,
+    unions its windows onto the loaded index, and gets the surgery —
+    span merge, coverage, rebuild — for arrival documents alone, while
+    the shared-window set still reflects the whole corpus. Unlike
+    ``dedup_span_removal_incremental`` (cold-start: corpus windows
+    re-derived from text in-query), corpus text is never re-tokenized.
+    Oracle: full batch replay restricted to arrivals (restriction
+    commutes with the shared-set computation, which is never
+    restricted)."""
+    idx_path = _steady_span_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
+    w_df = spark.read.parquet(idx_path).unionByName(
+        D.positional_window_table(arrivals, "doc_id", "text", 8)
+    )
+    return D.duplicated_span_removal(
+        arrivals,
+        "doc_id",
+        "text",
+        n=8,
+        probe_ids=arrivals.select("doc_id"),
+        w_df=w_df,
+    )
+
+
 _INCR_EXACT_ORACLE = """
 WITH corpus AS (
   SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest
@@ -825,6 +886,53 @@ def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         n=3,
         threshold=0.8,
         df_cap=16,
+    )
+
+
+@register(
+    "dedup_containment_incremental_steady",
+    tags=("llm", "dedup", "containment", "incremental", "steady_state"),
+    bench=True,
+    oracle=f"""
+WITH {containment_pairs_ctes()},
+cs_arrivals AS (
+  SELECT doc_id FROM documents WHERE CAST(substring(source, 4) AS INT) >= 18
+)
+SELECT p.id_a, p.id_b, p.containment
+FROM ct_pairs p
+WHERE p.id_a IN (SELECT doc_id FROM cs_arrivals)
+   OR p.id_b IN (SELECT doc_id FROM cs_arrivals)
+""",
+)
+def dedup_containment_incremental_steady(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEADY-STATE incremental containment dedup: the corpus shingle
+    index (src0–src17) comes from the SAME persisted parquet table the
+    minhash steady probe reads (`_steady_corpus_index` — one n=3
+    shingle-id table serves every lexical detector, the
+    tokenize-once-probe-many design multi-detector pipelines run at
+    100 TB); the 10% arrival batch (src18–19) tokenizes only itself
+    and probes through the asymmetric posting join. Unlike
+    ``dedup_containment_incremental`` (cold-start: both halves
+    re-derived from text), corpus text is never re-tokenized — the
+    df frequencies, cap, prune and verify are the shared batch tail,
+    so output = batch pair list restricted to arrival-touching pairs,
+    which the oracle replays."""
+    idx_path = _steady_corpus_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
+    arr_ids = D.flagged_shingle_ids_table(
+        arrivals.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
+    )
+    ids_df = (
+        spark.read.parquet(idx_path)
+        .select("id", F.lit(False).alias("is_new"), "ids")
+        .unionByName(arr_ids)
+    )
+    return D.containment_pairs_incremental(
+        None, "doc_id", "text", "__nw", n=3, threshold=0.8, df_cap=16,
+        ids_df=ids_df,
     )
 
 

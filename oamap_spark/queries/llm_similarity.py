@@ -807,7 +807,10 @@ def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded_neardup_pairs(
-    e: DataFrame, bucket_cap: int | None = None, new_col: str | None = None
+    e: DataFrame,
+    bucket_cap: int | None = None,
+    new_col: str | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared body of the banded embedding near-dup queries.
 
@@ -844,24 +847,36 @@ def _banded_neardup_pairs(
     a null flag fails loudly in-plan. ``bucket_cap`` composes with it
     (capped incremental — the production shape for skewed arriving
     corpora): over-cap buckets emit the batch star restricted to
-    arrival-touching edges, under the same bounded-memory contract."""
+    arrival-touching edges, under the same bounded-memory contract.
+
+    ``sig_df`` (vec_id, embedding[, is_new], bk — exploded band keys)
+    replaces the signature computation — the STEADY-STATE seam: a
+    daily pipeline persists the corpus half of the signature table
+    once (built with the SAME :func:`_dedup_band_keys_udf`) and passes
+    index ∪ arrival-signatures here, so corpus vectors never cross to
+    Python for re-signing; ``e`` still supplies the verify-side
+    vectors (a plain projection, no UDF). Callers own the non-null
+    ``is_new`` contract on an injected table."""
     v = e.select("vec_id", F.col("embedding").alias("v"))
-    band_keys = _dedup_band_keys_udf()
-    extra = []
-    if new_col is not None:
-        guarded = F.when(
-            F.col(new_col).isNull(),
-            F.raise_error(
-                F.lit(f"incremental embedding dedup: null {new_col} arrival flag")
-            ).cast("boolean"),
-        ).otherwise(F.col(new_col).cast("boolean"))
-        extra = [guarded.alias("is_new")]
-    sig = e.select(
-        "vec_id",
-        "embedding",
-        *extra,
-        F.explode(band_keys(F.col("embedding"))).alias("bk"),
-    )
+    if sig_df is not None:
+        sig = sig_df
+    else:
+        band_keys = _dedup_band_keys_udf()
+        extra = []
+        if new_col is not None:
+            guarded = F.when(
+                F.col(new_col).isNull(),
+                F.raise_error(
+                    F.lit(f"incremental embedding dedup: null {new_col} arrival flag")
+                ).cast("boolean"),
+            ).otherwise(F.col(new_col).cast("boolean"))
+            extra = [guarded.alias("is_new")]
+        sig = e.select(
+            "vec_id",
+            "embedding",
+            *extra,
+            F.explode(band_keys(F.col("embedding"))).alias("bk"),
+        )
     # ONE wide shuffle for both variants: the cap routes inside the
     # Python worker (see _partition_neardup_pairs), where the bucket
     # is already co-located — a Spark-side window/star-union variant
@@ -1056,6 +1071,83 @@ def dedup_embedding_incremental_capped(spark: SparkSession, sf_dir: str) -> Data
         e.withColumn("__arr", (F.col("vec_id") % 5) == 0),
         bucket_cap=EMB_BUCKET_CAP,
         new_col="__arr",
+    )
+
+
+# one staged corpus band-signature index per (process, sf_dir) — the
+# steady-state embedding query's point is that batch N never re-signs
+# corpus vectors (the band-key UDF is the only Python crossing), so
+# the index build is paid once and later invocations measure the pure
+# probe. staging_path roots are atexit-swept. Arrival split: vec_id ≡
+# 0 (mod 10) — CLONE_OFFSET % 10 == 0 keeps clone arrival-ness aligned
+# with its source, like the mod-5 split of the cold-start twins.
+_STEADY_EMB_INDEX: dict[str, str] = {}
+
+
+def _steady_emb_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _STEADY_EMB_INDEX.get(sf_dir)
+    if path is None:
+        from oamap_spark.sources.staging import staging_path
+
+        e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
+        corpus = e.where((F.col("vec_id") % 10) != 0)
+        band_keys = _dedup_band_keys_udf()
+        sig = corpus.select(
+            "vec_id",
+            "embedding",
+            F.explode(band_keys(F.col("embedding"))).alias("bk"),
+        )
+        path = staging_path("oamap_steady_embidx_", "index")
+        sig.write.parquet(path)
+        _STEADY_EMB_INDEX[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_embedding_incremental_steady",
+    tags=("llm", "dedup", "embedding", "lsh", "banded", "incremental",
+          "steady_state", "skew_guard"),
+    bench=True,
+    # capped batch replay restricted to arrival-touching pairs — exact
+    # for the same reason as the cold-start capped twin (cnt/bmin are
+    # FULL-bucket quantities in both forms), with the mod-10 split.
+    oracle=f"""
+WITH {capped_pairs_ctes()}
+SELECT id_a, id_b, cos_sim FROM cap_pairs
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+""",
+)
+def dedup_embedding_incremental_steady(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STEADY-STATE incremental semantic near-dedup — the production
+    shape for a continuously-arriving embedding corpus: the corpus
+    band-signature table (vec_id, embedding, bk; 90% of vectors,
+    vec_id ≢ 0 mod 10) is PERSISTED parquet built once per corpus
+    snapshot with the operator's own band-key UDF; the 10% arrival
+    batch signs only itself, unions onto the loaded index, and runs
+    the capped rectangular new×all gram. Unlike
+    ``dedup_embedding_incremental_capped`` (cold-start: every vector
+    re-signed per run), corpus vectors never cross to Python again —
+    the probe's Python cost is proportional to the arrival batch.
+    The verify side stays a plain JVM projection of the vectors.
+    Oracle: capped batch replay restricted to arrival-touching pairs."""
+    idx_path = _steady_emb_index(spark, sf_dir)
+    e = _dedup_corpus(load_table(spark, sf_dir, "embeddings"))
+    band_keys = _dedup_band_keys_udf()
+    arr_sig = e.where((F.col("vec_id") % 10) == 0).select(
+        "vec_id",
+        "embedding",
+        F.lit(True).alias("is_new"),
+        F.explode(band_keys(F.col("embedding"))).alias("bk"),
+    )
+    sig = (
+        spark.read.parquet(idx_path)
+        .select("vec_id", "embedding", F.lit(False).alias("is_new"), "bk")
+        .unionByName(arr_sig)
+    )
+    return _banded_neardup_pairs(
+        e, bucket_cap=EMB_BUCKET_CAP, new_col="is_new", sig_df=sig
     )
 
 

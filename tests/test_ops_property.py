@@ -275,3 +275,48 @@ def test_span_removal_probe_restriction_commutes(spark, data):
         ).collect()
     }
     assert restricted == full
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=30),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_span_removal_steady_seam_commutes(spark, data):
+    """The STEADY-STATE form's soundness claim: df restricted to
+    arrivals + an injected window table (corpus index ∪ arrival
+    windows, built by the operator's own positional_window_table)
+    equals the full batch run filtered to arrivals — for ANY corpus
+    and split. This is exactly what dedup_span_removal_steady's oracle
+    replays, minus the parquet round-trip."""
+    from oamap_spark.operators.dedup import (
+        duplicated_span_removal,
+        positional_window_table,
+    )
+
+    docs = [(i, " ".join(tk)) for i, tk in enumerate(data)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    arr = df.where("doc_id % 2 = 0")
+    w_df = positional_window_table(
+        df.where("doc_id % 2 = 1"), "doc_id", "text", 8
+    ).unionByName(positional_window_table(arr, "doc_id", "text", 8))
+    full = {
+        r["id"]: tuple(r)
+        for r in duplicated_span_removal(df, "doc_id", "text", n=8).collect()
+        if r["id"] % 2 == 0
+    }
+    steady = {
+        r["id"]: tuple(r)
+        for r in duplicated_span_removal(
+            arr,
+            "doc_id",
+            "text",
+            n=8,
+            probe_ids=arr.select("doc_id"),
+            w_df=w_df,
+        ).collect()
+    }
+    assert steady == full

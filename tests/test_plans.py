@@ -228,6 +228,7 @@ def test_no_python_eval_outside_udf_surface(spark):
         "dedup_embedding_banded_capped",  # same Arrow gram path, cap-guarded
         "dedup_embedding_incremental",  # rectangular new×all gram, same path
         "dedup_embedding_incremental_capped",  # + restricted-star cap route
+        "dedup_embedding_incremental_steady",  # arrival-only signing, same path
         "dedup_embedding_cosine",
         "dedup_clusters_all_signals",  # unions the banded Arrow gram path's edges
         "pack_sequences_slots",  # per-bucket greedy scan is applyInPandas by design
@@ -730,6 +731,47 @@ def test_steady_state_probe_reads_persisted_index(spark, queries):
     # one md5-bearing tokenize branch: the arrivals'. The corpus side
     # must not re-derive signatures from text.
     assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+
+
+def test_containment_steady_probe_reads_persisted_index(spark, queries):
+    """dedup_containment_incremental_steady probes the SAME persisted
+    shingle index as the minhash steady twin (tokenize once, probe
+    many detectors): the plan must scan the staged index path, and the
+    only documents scan is the arrival batch's tokenize (the cached
+    arr_ids table — a corpus re-tokenize would add unfiltered
+    documents scans)."""
+    df = queries["dedup_containment_incremental_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_idx" in p, p[:2000]
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+
+
+def test_embedding_steady_probe_reads_persisted_index(spark, queries):
+    """dedup_embedding_incremental_steady: the corpus band signatures
+    come from the persisted parquet index — exactly ONE band-key UDF
+    node (the arrival batch's; formatted explain prints each node
+    twice, tree + detail) and three embeddings scans (verify side
+    ×2 for the id_a/id_b joins + arrival signing). Re-signing the
+    corpus would add a second ArrowEvalPython node and a fourth
+    scan."""
+    df = queries["dedup_embedding_incremental_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_embidx" in p, p[:2000]
+    assert p.count("ArrowEvalPython") == 2, p.count("ArrowEvalPython")
+    assert p.count("embeddings.parquet") == 3, p.count("embeddings.parquet")
+
+
+def test_span_steady_probe_reads_persisted_index(spark, queries):
+    """dedup_span_removal_steady: the corpus half of the (id, pos,
+    wid) window table is the persisted parquet index — the plan scans
+    it, and every documents scan is arrival-restricted: toks/T branch,
+    the arrival window build, and the probe semi-join's two uses (4
+    scan nodes). A corpus re-tokenize would add a fifth, unfiltered
+    scan."""
+    df = queries["dedup_span_removal_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_spanidx" in p, p[:2000]
+    assert p.count("documents.parquet") == 4, p.count("documents.parquet")
 
 
 def test_incremental_bloom_prunes_corpus_side(spark):
