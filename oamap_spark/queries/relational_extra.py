@@ -501,6 +501,51 @@ def zorder_write_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_incremental_filtered_agg",
+    tags=("layout", "zorder", "pruning", "incremental", "maintenance",
+          "source"),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey < 500 AND o_totalprice > 50000
+GROUP BY o_orderstatus
+""",
+)
+def zorder_incremental_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance-loop counterpart of ``zorder_write_filtered_agg``:
+    90% of orders are laid out with the full z-order write, then the
+    10% arrival batch is merged with ``zorder_incremental`` — placed
+    on the table's persisted z-grid (``_zorder_meta.json``) and only
+    the slice files it lands in are rewritten (untouched files stay
+    byte-stable; test_layout pins that + the preserved skip fraction).
+    The read-back filtered agg over BOTH clustering columns must hash-
+    match the whole-table oracle — the merge lost and duplicated
+    nothing. At 100 TB this is the daily OPTIMIZE that keeps pruning
+    alive without rewriting the table."""
+    from oamap_spark.operators.layout import zorder_incremental, zorder_write
+
+    stage = _staged(sf_dir, "orders_zorder_incr")
+    orders = load_table(spark, sf_dir, "orders")
+    zorder_write(
+        orders.where(F.col("o_orderkey") % 10 != 0),
+        stage,
+        ["o_custkey", "o_totalprice"],
+    )
+    zorder_incremental(
+        spark, stage, orders.where(F.col("o_orderkey") % 10 == 0)
+    )
+    back = spark.read.parquet(stage).where(
+        (F.col("o_custkey") < 500) & (F.col("o_totalprice") > 50000.0)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "batch_session_window_stats",
     bench=True,
     tags=("session_window", "batch", "events"),

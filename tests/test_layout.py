@@ -206,3 +206,70 @@ def test_compact_small_files_reduces_count(spark, tmp_path):
     files = glob.glob(os.path.join(out, "*.parquet"))
     assert n_written == 1 and len(files) == 1, (n_written, files)
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_zorder_incremental_rewrites_only_touched_files(spark, tmp_path):
+    """Two-batch maintenance loop: the incremental write must leave
+    every untouched slice file byte-identical, land the arrivals in
+    the slices the meta grid routes them to, preserve the merged
+    content exactly, and keep the pruning payoff."""
+    import glob
+    import hashlib
+    import os
+
+    from oamap_spark.operators.layout import zorder_incremental
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where("o_orderkey % 10 != 0")
+    # arrivals concentrated at the low end of BOTH clustering columns
+    # so they land in few z slices
+    arrivals = orders.where("o_orderkey % 10 = 0").where(
+        (F.col("o_custkey") < 200) & (F.col("o_totalprice") < 60000.0)
+    )
+    assert arrivals.count() > 0
+    path = str(tmp_path / "ztab")
+    zorder_write(base, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+
+    def digests():
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        }
+
+    before = digests()
+    stats = zorder_incremental(spark, path, arrivals)
+    after = digests()
+
+    # some, but not all, slices rewritten
+    assert 0 < stats["rewritten_files"] < N_FILES, stats
+    assert len(stats["touched_slices"]) == stats["rewritten_files"]
+    # untouched files byte-stable (same path, same bytes)
+    survivors = set(before) & set(after)
+    assert len(survivors) == N_FILES - stats["rewritten_files"]
+    assert all(before[f] == after[f] for f in survivors)
+    # content equals base ∪ arrivals exactly
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(tuple(r) for r in base.unionByName(arrivals).collect())
+    assert got == want
+    # pruning payoff preserved: a low-range predicate still skips
+    # most files after the incremental rewrite
+    spans = file_column_ranges(path, "o_custkey")
+    lo = orders.agg(F.min("o_custkey")).collect()[0][0]
+    assert pruning_fraction(spans, lo, lo + 50) >= 0.5
+
+
+def test_zorder_incremental_requires_meta(spark, tmp_path):
+    """A table without the _zorder_meta.json sidecar (not written by
+    zorder_write) must fail loudly, not guess a grid."""
+    import pytest as _pt
+
+    from oamap_spark.operators.layout import zorder_incremental
+
+    p = str(tmp_path / "plain")
+    spark.range(100).write.parquet(p)
+    with _pt.raises(ValueError, match="_zorder_meta"):
+        zorder_incremental(spark, p, spark.range(5).toDF("id"))
