@@ -23,6 +23,35 @@ def test_every_declared_query_fingerprint_is_tracked():
     missing = declared - set(verdicts)
     assert not missing, f"untracked queries: {sorted(missing)}"
     orphans = set(verdicts) - declared
+    if orphans:
+        # Documented background-run race (r8 ask #8 / r9 "What's wrong
+        # #2"): a long pytest run collects the registry BEFORE a later
+        # commit lands a new query + its --add-missing stub, then reads
+        # the sidecar fresh from disk here. Before failing, re-derive
+        # the declaration set from the CURRENT on-disk code in a clean
+        # interpreter — only a sidecar entry with no declaration in
+        # HEAD is a real orphan.
+        import json
+        import pathlib
+        import subprocess
+
+        root = pathlib.Path(fp.__file__).resolve().parents[2]
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import json, __spark_entry__\n"
+                "from oamap_spark.queries import registry\n"
+                "print(json.dumps(sorted(registry.registration_order())))",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=root,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        declared_now = set(json.loads(out.stdout.strip().splitlines()[-1]))
+        orphans = set(fp.load_verdicts()) - declared_now
     assert not orphans, f"sidecar entries for undeclared queries: {sorted(orphans)}"
 
 
