@@ -104,25 +104,37 @@ def main() -> None:
         spark.catalog.clearCache()
 
     # Noisy-window retry (VERDICT r9 ask #3): a headline query whose
-    # measurement window saw 1-min load above the threshold gets ONE
-    # extra timing run after a short wait-for-quiet, min'd into its
-    # record — so one background spike doesn't smear a fake +25%
-    # across the round-over-round diff. Bounded to 8 retries.
+    # measurement window saw 1-min load above the threshold is re-run
+    # after a short wait-for-quiet and min'd into its record — so one
+    # background spike doesn't smear a fake +25% across the
+    # round-over-round diff. The retry replicates the SAME best-of-3
+    # protocol as the main loop: for persist-heavy queries the
+    # original min is a warm-cache run, and a single cold retry could
+    # never beat a load-smeared warm number. Bounded to 8 queries;
+    # any noisy windows beyond the cap are stamped noisy_unretried so
+    # the record never reads 'retried and clean' when it wasn't.
     names_in_order = list(bench)
-    noisy = [
+    noisy_all = [
         n
         for i, n in enumerate(names_in_order)
         if max(load_samples[i], load_samples[i + 1]) > load_thresh
-    ][:8]
+    ]
+    noisy, noisy_unretried = noisy_all[:8], noisy_all[8:]
     for n in noisy:
         _wait_for_quiet(load_thresh, 30.0)
-        t0 = time.perf_counter()
-        bench[n](spark, sf_dir).count()
-        extra = round(time.perf_counter() - t0, 4)
-        all_runs[n].append(extra)
-        timings[n] = min(timings[n], extra)
+        retry_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bench[n](spark, sf_dir).count()
+            retry_runs.append(round(time.perf_counter() - t0, 4))
+        all_runs[n].extend(retry_runs)
+        timings[n] = min(timings[n], *retry_runs)
         load_samples.append(round(os.getloadavg()[0], 2))
-        print(f"# retry (noisy window) {n}: {extra:.3f}s", file=sys.stderr)
+        print(
+            f"# retry (noisy window) {n}: best {min(retry_runs):.3f}s "
+            f"of {retry_runs}",
+            file=sys.stderr,
+        )
         cache.sweep()
         spark.catalog.clearCache()
 
@@ -510,6 +522,8 @@ def main() -> None:
         # start above threshold, or a mid-run spike past 2× start
         "loadavg_start_1min": load_start,
         "load_threshold": load_thresh,
+        "noisy_retried": noisy,
+        "noisy_unretried": noisy_unretried,
         "ambient_load_warning": bool(
             load_start > load_thresh
             or max(load_samples) > max(load_thresh, 2 * max(load_start, 1.0))
@@ -558,6 +572,8 @@ def main() -> None:
         "cpus": out["cpus"],
         "sf": sf_val,
     }
+    if noisy_unretried:  # only spend stdout bytes when it happened
+        compact["noisy_unretried"] = len(noisy_unretried)
     line = json.dumps(compact)
     if len(line) >= 1900:  # degrade loudly, never exceed the cap
         compact["queries"] = {n: round(t, 2) for n, t in timings.items()}

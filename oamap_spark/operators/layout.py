@@ -191,47 +191,38 @@ def zorder_write(
     — so ``zorder_incremental`` can later place arrival batches on the
     SAME grid and rewrite only the slice files they touch."""
     df = df.persist()
-    col_bps = _column_breakpoints(df, cols, bits, 10000)
-    zdf = z_value(df, cols, bits=bits, breakpoints=col_bps)
-    # Deterministic file ownership, balanced under ANY joint
-    # distribution: per-column levels are rank-uniform, but CORRELATED
-    # clustering columns concentrate z near the Morton diagonal, so
-    # fixed equal-width slices would leave files empty and others
-    # oversized. Slice at the quantiles of __z itself instead (one
-    # more tiny agg). Binning by breakpoint count keeps every equal z
-    # value in one file — a sketch-error shift moves a boundary
-    # BETWEEN z values (slightly uneven file sizes), it can never
-    # bleed one slice's edge rows into the neighboring file, which is
-    # what widens min/max spans and kills pruning.
-    zbps = []
-    if n_files > 1:
-        zdf = zdf.persist()
-        zprobs = [k / n_files for k in range(1, n_files)]
-        (got,) = zdf.agg(
-            F.percentile_approx("__z", zprobs, 10000).alias("b")
-        ).collect()[0]
-        zbps = list(got or [])  # None only for an empty frame
-        df.unpersist()  # zdf is materialized; the input cache is done
-    pid = _slice_id([int(b) for b in zbps])  # shared with zorder_incremental
-    # Route each slice to its own task EXACTLY: repartitionByRange's
-    # reservoir sampling merges adjacent slices at small batch sizes
-    # (equal-key bounds can skip a value), so instead hash-partition on
-    # a per-slice token chosen so pmod(murmur3(token), n_files) == pid.
-    # No sampling, one shuffle, each file owns its exact z-slice.
-    tokens = _exact_partition_tokens(zdf.sparkSession, n_files)
-    tok = F.element_at(
-        F.create_map(
-            # longs on both sides: murmur3 is type-sensitive — hash of
-            # int32 token != hash of the long the probe job measured
-            *[
-                x
-                for p, t in enumerate(tokens)
-                for x in (F.lit(p).cast("long"), F.lit(t).cast("long"))
-            ]
-        ),
-        pid,
-    )
+    zdf = df  # placeholder until built — the finally below unpersists both
     try:
+        col_bps = _column_breakpoints(df, cols, bits, 10000)
+        zdf = z_value(df, cols, bits=bits, breakpoints=col_bps)
+        # Deterministic file ownership, balanced under ANY joint
+        # distribution: per-column levels are rank-uniform, but
+        # CORRELATED clustering columns concentrate z near the Morton
+        # diagonal, so fixed equal-width slices would leave files empty
+        # and others oversized. Slice at the quantiles of __z itself
+        # instead (one more tiny agg). Binning by breakpoint count
+        # keeps every equal z value in one file — a sketch-error shift
+        # moves a boundary BETWEEN z values (slightly uneven file
+        # sizes), it can never bleed one slice's edge rows into the
+        # neighboring file, which is what widens min/max spans and
+        # kills pruning.
+        zbps = []
+        if n_files > 1:
+            zdf = zdf.persist()
+            zprobs = [k / n_files for k in range(1, n_files)]
+            (got,) = zdf.agg(
+                F.percentile_approx("__z", zprobs, 10000).alias("b")
+            ).collect()[0]
+            zbps = list(got or [])  # None only for an empty frame
+            df.unpersist()  # zdf is materialized; the input cache is done
+        pid = _slice_id([int(b) for b in zbps])  # shared w/ zorder_incremental
+        # Route each slice to its own task EXACTLY: repartitionByRange's
+        # reservoir sampling merges adjacent slices at small batch
+        # sizes (equal-key bounds can skip a value), so instead
+        # hash-partition on a per-slice token chosen so
+        # pmod(murmur3(token), n_files) == pid. No sampling, one
+        # shuffle, each file owns its exact z-slice.
+        tok = _pid_token_column(zdf.sparkSession, n_files, pid)
         (
             zdf.withColumn("__tok", tok)
             .repartition(n_files, F.col("__tok"))
@@ -241,8 +232,12 @@ def zorder_write(
             .parquet(path)
         )
     finally:
+        # both unpersists are no-ops when the frame was never cached or
+        # was already released — this also covers a raise out of the
+        # breakpoint agg / quantile collect, which would otherwise leak
+        # the cached input
         zdf.unpersist()
-        df.unpersist()  # no-op when already released above (n_files > 1)
+        df.unpersist()
     _write_zorder_meta(
         path,
         {
@@ -313,6 +308,27 @@ def _slice_id(zbps: Sequence[int]) -> "F.Column":
     )
 
 
+def _pid_token_column(spark, n_files: int, pid: "F.Column") -> "F.Column":
+    """Routing token for a slice-id column: element_at of the exact
+    murmur3 token map, so ``repartition(n_files, token)`` sends slice
+    p to partition index p. Longs on BOTH map sides — murmur3 is
+    type-sensitive (hash of an int32 token != hash of the long the
+    probe job measured). Shared by zorder_write and
+    zorder_incremental so the two writers' routing cannot drift (the
+    part-index ≡ slice-id invariant _slice_files depends on)."""
+    tokens = _exact_partition_tokens(spark, n_files)
+    return F.element_at(
+        F.create_map(
+            *[
+                x
+                for p, t in enumerate(tokens)
+                for x in (F.lit(p).cast("long"), F.lit(t).cast("long"))
+            ]
+        ),
+        pid,
+    )
+
+
 def _slice_files(path: str) -> dict[int, list[str]]:
     """Map slice id → parquet files, parsed from Spark's part-XXXXX
     task index (zorder_write's exact token routing makes partition
@@ -351,13 +367,17 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
     rewritten through the SAME exact murmur3 token routing as the full
     write (partition index ≡ slice id, so the part-XXXXX name keeps
     encoding the slice), staged to a temp dir, then swapped in with
-    O(touched) driver-side renames. Untouched slices are never read.
+    O(touched) driver-side renames — replacements move IN before the
+    old files are removed, so a crash mid-swap leaves extra rows
+    (re-runnable, visible) rather than silently losing slices.
+    Untouched slices are never read.
 
     Returns ``{"touched_slices", "rewritten_files", "total_files"}``."""
     import glob
     import os
     import shutil
-    import tempfile
+
+    from oamap_spark.sources.staging import staging_path
 
     meta = _read_zorder_meta(path)
     cols, bits, n_files = meta["cols"], meta["bits"], meta["n_files"]
@@ -386,19 +406,11 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
                 old, cols, bits=bits, breakpoints=col_bps
             ).withColumn("__pid", _slice_id(zbps))
             merged = oldz.unionByName(azdf)
-        tokens = _exact_partition_tokens(spark, n_files)
-        tok = F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for p, t in enumerate(tokens)
-                    for x in (F.lit(p).cast("long"), F.lit(t).cast("long"))
-                ]
-            ),
-            F.col("__pid"),
-        )
-        staging = tempfile.mkdtemp(prefix="oamap_zorder_incr_")
-        stage_dir = os.path.join(staging, "out")
+        tok = _pid_token_column(spark, n_files, F.col("__pid"))
+        # staging_path roots are atexit-swept, so a failed write/swap
+        # cannot leak a GB-scale orphan copy past process exit; the
+        # success path still removes it eagerly below
+        stage_dir = staging_path("oamap_zorder_incr_", "out")
         (
             merged.withColumn("__tok", tok)
             .repartition(n_files, F.col("__tok"))
@@ -407,14 +419,19 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
             .write.parquet(stage_dir)
         )
         staged = glob.glob(os.path.join(stage_dir, "*.parquet"))
-        # swap: remove the touched slices' old files, move the staged
-        # replacements in (fresh uuids — no name clash); the slice ids
-        # of staged files are exactly `touched` by the token routing
-        for f in old_files:
-            os.remove(f)
+        # swap order matters: move the staged replacements IN first
+        # (fresh uuids — no name clash), remove the superseded files
+        # LAST. A crash between the two leaves the touched slices
+        # doubled (old + new rows both present) — wrong but loud and
+        # re-runnable after removing the stale part files; the reverse
+        # order has a window where the slices' rows exist nowhere but
+        # a temp dir. The slice ids of staged files are exactly
+        # `touched` by the token routing.
         for f in staged:
             shutil.move(f, os.path.join(path, os.path.basename(f)))
-        shutil.rmtree(staging, ignore_errors=True)
+        for f in old_files:
+            os.remove(f)
+        shutil.rmtree(os.path.dirname(stage_dir), ignore_errors=True)
         return {
             "touched_slices": [int(p) for p in touched],
             "rewritten_files": len(staged),

@@ -21,38 +21,46 @@ def test_every_declared_query_fingerprint_is_tracked():
     verdicts = fp.load_verdicts()
     declared = set(registry.registration_order())
     missing = declared - set(verdicts)
-    assert not missing, f"untracked queries: {sorted(missing)}"
     orphans = set(verdicts) - declared
-    if orphans:
+    if missing or orphans:
         # Documented background-run race (r8 ask #8 / r9 "What's wrong
-        # #2"): a long pytest run collects the registry BEFORE a later
-        # commit lands a new query + its --add-missing stub, then reads
-        # the sidecar fresh from disk here. Before failing, re-derive
-        # the declaration set from the CURRENT on-disk code in a clean
-        # interpreter — only a sidecar entry with no declaration in
-        # HEAD is a real orphan.
-        import json
-        import pathlib
-        import subprocess
-
-        root = pathlib.Path(fp.__file__).resolve().parents[2]
-        out = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                "import json, __spark_entry__\n"
-                "from oamap_spark.queries import registry\n"
-                "print(json.dumps(sorted(registry.registration_order())))",
-            ],
-            capture_output=True,
-            text=True,
-            cwd=root,
-            timeout=300,
-        )
-        assert out.returncode == 0, out.stderr[-2000:]
-        declared_now = set(json.loads(out.stdout.strip().splitlines()[-1]))
-        orphans = set(fp.load_verdicts()) - declared_now
+        # #2"), BOTH directions: a long pytest run collects the
+        # registry BEFORE a later commit lands a new query + its
+        # --add-missing stub (phantom orphan), or before a commit
+        # removes a query + prunes its sidecar entry (phantom
+        # missing) — then reads the sidecar fresh from disk here.
+        # Before failing, re-derive the declaration set from the
+        # CURRENT on-disk code in a clean interpreter; only a mismatch
+        # against HEAD is real.
+        declared_now = _declared_in_fresh_interpreter()
+        now = fp.load_verdicts()
+        missing = declared_now - set(now)
+        orphans = set(now) - declared_now
+    assert not missing, f"untracked queries: {sorted(missing)}"
     assert not orphans, f"sidecar entries for undeclared queries: {sorted(orphans)}"
+
+
+def _declared_in_fresh_interpreter() -> set[str]:
+    import json
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(fp.__file__).resolve().parents[2]
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import json, __spark_entry__\n"
+            "from oamap_spark.queries import registry\n"
+            "print(json.dumps(sorted(registry.registration_order())))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=root,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return set(json.loads(out.stdout.strip().splitlines()[-1]))
 
 
 def test_fingerprints_are_deterministic_and_complete():
