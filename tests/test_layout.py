@@ -273,3 +273,56 @@ def test_zorder_incremental_requires_meta(spark, tmp_path):
     spark.range(100).write.parquet(p)
     with _pt.raises(ValueError, match="_zorder_meta"):
         zorder_incremental(spark, p, spark.range(5).toDF("id"))
+
+
+def test_zorder_incremental_consecutive_batches(spark, tmp_path):
+    """The maintenance LOOP: two successive incremental merges on the
+    same table (grid metadata untouched by design — bins stay stable
+    until the next full write) must keep content exact and the
+    part-index ≡ slice-id invariant parseable for the next run."""
+    from oamap_spark.operators.layout import zorder_incremental
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where("o_orderkey % 3 = 0")
+    b1 = orders.where("o_orderkey % 3 = 1")
+    b2 = orders.where("o_orderkey % 3 = 2")
+    path = str(tmp_path / "zloop")
+    zorder_write(base, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+    s1 = zorder_incremental(spark, path, b1)
+    s2 = zorder_incremental(spark, path, b2)
+    assert s1["rewritten_files"] > 0 and s2["rewritten_files"] > 0
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    want = sorted(tuple(r) for r in orders.collect())
+    assert got == want
+
+
+def test_zorder_incremental_empty_batch_is_noop(spark, tmp_path):
+    """An empty arrival batch must touch nothing."""
+    import glob
+    import hashlib
+    import os
+
+    from oamap_spark.operators.layout import zorder_incremental
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zempty")
+    zorder_write(orders, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+    before = {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    stats = zorder_incremental(spark, path, orders.where("o_orderkey < 0"))
+    assert stats == {
+        "touched_slices": [],
+        "rewritten_files": 0,
+        "total_files": N_FILES,
+    }
+    after = {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+    assert after == before
