@@ -278,3 +278,93 @@ def test_snippet_layout_levers(spark, tmp_path):
     docs.write.partitionBy("lang").parquet(str(tmp_path / "docs_by_lang"))
     part = spark.read.parquet(str(tmp_path / "docs_by_lang"))
     assert part.count() == docs.count()
+
+
+def test_snippet_steady_state_shared_index(spark, tmp_path):
+    from oamap_spark.operators.dedup import (
+        containment_pairs_incremental,
+        flagged_shingle_ids_table,
+        minhash_lsh_pairs_incremental,
+        shingle_ids_table,
+    )
+
+    docs = _docs(spark)
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = docs.where(src_num < 10)
+    batch = docs.where(src_num >= 10)
+    idx_path = str(tmp_path / "shingle_idx")
+    shingle_ids_table(corpus, "doc_id", "text").write.parquet(idx_path)
+    arr = flagged_shingle_ids_table(
+        batch.withColumn("nw", F.lit(True)), "doc_id", "text", "nw"
+    )
+    ids = (
+        spark.read.parquet(idx_path)
+        .select("id", F.lit(False).alias("is_new"), "ids")
+        .unionByName(arr)
+    )
+    mh = minhash_lsh_pairs_incremental(
+        None, "doc_id", "text", "nw", threshold=0.8, ids_df=ids
+    )
+    ct = containment_pairs_incremental(None, "doc_id", "text", "nw", ids_df=ids)
+    # the persisted-index probe must give the same answers as the
+    # cold-start run that re-derives everything from text
+    flagged = docs.withColumn("is_new", src_num >= 10)
+    assert {(r["id_a"], r["id_b"]) for r in mh.collect()} == {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_incremental(
+            flagged, "doc_id", "text", "is_new", threshold=0.8
+        ).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in ct.collect()} == {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs_incremental(
+            flagged, "doc_id", "text", "is_new"
+        ).collect()
+    }
+
+
+def test_snippet_steady_span_removal(spark, tmp_path):
+    from oamap_spark.operators.dedup import (
+        duplicated_span_removal,
+        positional_window_table,
+    )
+
+    docs = _docs(spark)
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = docs.where(src_num < 10)
+    batch = docs.where(src_num >= 10)
+    wpath = str(tmp_path / "window_idx")
+    positional_window_table(corpus, "doc_id", "text", 8).write.parquet(wpath)
+    w = spark.read.parquet(wpath).unionByName(
+        positional_window_table(batch, "doc_id", "text", 8)
+    )
+    cleaned = duplicated_span_removal(
+        batch, "doc_id", "text", n=8, probe_ids=batch.select("doc_id"), w_df=w
+    )
+    got = {r["id"]: tuple(r) for r in cleaned.collect()}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    full = {
+        r["id"]: tuple(r)
+        for r in duplicated_span_removal(docs, "doc_id", "text", n=8).collect()
+        if r["id"] in batch_ids
+    }
+    assert got == full
+
+
+def test_snippet_zorder_incremental(spark, tmp_path):
+    from oamap_spark.operators.layout import zorder_incremental, zorder_write
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_z")
+    todays_orders = orders.where("o_orderkey % 10 = 0")
+    zorder_write(
+        orders.where("o_orderkey % 10 != 0"),
+        path,
+        ["o_custkey", "o_totalprice"],
+        n_files=8,
+    )
+    stats = zorder_incremental(spark, path, todays_orders)
+    assert stats["total_files"] == 8 and stats["rewritten_files"] >= 1
+    assert spark.read.parquet(path).count() == orders.count()
