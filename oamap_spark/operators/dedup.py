@@ -315,7 +315,7 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_incremental(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     new_col: str,
@@ -362,6 +362,12 @@ def minhash_lsh_pairs_incremental(
     instead of re-deriving everything from text.
     """
     n_bands = k // rows_per_band
+    if df is None and ids_df is None:
+        raise ValueError(
+            "minhash_lsh_pairs_incremental: df=None is the steady-state "
+            "form and requires ids_df (the persisted index unioned with "
+            "the arrival rows)"
+        )
     if ids_df is None:
         ids_df = flagged_shingle_ids_table(df, id_col, text_col, new_col, n)
     sig_df = ids_df.select(
@@ -702,7 +708,7 @@ def _containment_prune_verify(
 
 
 def containment_pairs_incremental(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     new_col: str,
@@ -733,6 +739,12 @@ def containment_pairs_incremental(
     :func:`flagged_shingle_ids_table` (same ``n``), shared with
     :func:`minhash_lsh_pairs_incremental` so incremental
     multi-detector pipelines tokenize the batch+corpus once."""
+    if df is None and ids_df is None:
+        raise ValueError(
+            "containment_pairs_incremental: df=None is the steady-state "
+            "form and requires ids_df (the persisted index unioned with "
+            "the arrival rows)"
+        )
     if ids_df is None:
         ids_df = flagged_shingle_ids_table(df, id_col, text_col, new_col, n)
     post = ids_df.select("id", "is_new", F.explode("ids").alias("sid"))

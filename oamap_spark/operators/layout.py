@@ -348,6 +348,51 @@ def _slice_files(path: str) -> dict[int, list[str]]:
     return out
 
 
+_SWAP_MANIFEST = "_zorder_swap.json"
+
+
+def recover_pending_swap(path: str) -> str:
+    """Repair an interrupted ``zorder_incremental`` file swap (called
+    automatically at the start of every incremental run; exposed for
+    out-of-band repair). The swap protocol writes a ``_zorder_swap``
+    intent manifest, moves every replacement IN, removes the
+    superseded files, then deletes the manifest — so on finding a
+    manifest:
+
+    - every ``add`` present → the swap reached the remove phase:
+      COMPLETE it (delete whatever ``remove`` files linger);
+    - any ``add`` missing → the crash hit the add phase, before any
+      removal started (removals strictly follow the last add): ROLL
+      BACK by deleting the partial adds — the old generation is still
+      complete on disk.
+
+    Either way the table is exactly one generation afterwards; a
+    re-run can then apply the arrival batch once, never twice.
+    Returns "completed", "rolled_back", or "clean"."""
+    import json
+    import os
+
+    manifest = os.path.join(path, _SWAP_MANIFEST)
+    if not os.path.exists(manifest):
+        return "clean"
+    with open(manifest) as fh:
+        m = json.load(fh)
+    adds = [os.path.join(path, b) for b in m["add"]]
+    removes = [os.path.join(path, b) for b in m["remove"]]
+    if all(os.path.exists(f) for f in adds):
+        for f in removes:
+            if os.path.exists(f):
+                os.remove(f)
+        outcome = "completed"
+    else:
+        for f in adds:
+            if os.path.exists(f):
+                os.remove(f)
+        outcome = "rolled_back"
+    os.remove(manifest)
+    return outcome
+
+
 def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
     """OPTIMIZE-style incremental maintenance of a ``zorder_write``
     table: place the arrival batch on the table's ORIGINAL z-grid (the
@@ -366,19 +411,29 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
     touched slices' existing files + their arrivals are re-sorted and
     rewritten through the SAME exact murmur3 token routing as the full
     write (partition index ≡ slice id, so the part-XXXXX name keeps
-    encoding the slice), staged to a temp dir, then swapped in with
-    O(touched) driver-side renames — replacements move IN before the
-    old files are removed, so a crash mid-swap leaves extra rows
-    (re-runnable, visible) rather than silently losing slices.
-    Untouched slices are never read.
+    encoding the slice), staged to a temp dir, then swapped in with a
+    TWO-PHASE commit: a ``_zorder_swap.json`` intent manifest (the
+    add/remove basenames) is written first, replacements move in, old
+    files are removed, the manifest is deleted. A crash anywhere
+    mid-swap is repaired by the next zorder_incremental /
+    ``recover_pending_swap`` call: with every add present the swap
+    completes (removes finish); otherwise it rolls back (partial adds
+    deleted — the old generation is still complete because removals
+    only start after the add loop ends). No window loses rows, and a
+    re-run after a crash cannot double arrivals. Single-writer
+    assumption throughout (like every table writer here); a
+    concurrent reader mid-swap can see both generations of a touched
+    slice.
 
     Returns ``{"touched_slices", "rewritten_files", "total_files"}``."""
     import glob
+    import json
     import os
     import shutil
 
     from oamap_spark.sources.staging import staging_path
 
+    recover_pending_swap(path)
     meta = _read_zorder_meta(path)
     cols, bits, n_files = meta["cols"], meta["bits"], meta["n_files"]
     zbps = meta["z_breakpoints"]
@@ -419,18 +474,25 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
             .write.parquet(stage_dir)
         )
         staged = glob.glob(os.path.join(stage_dir, "*.parquet"))
-        # swap order matters: move the staged replacements IN first
-        # (fresh uuids — no name clash), remove the superseded files
-        # LAST. A crash between the two leaves the touched slices
-        # doubled (old + new rows both present) — wrong but loud and
-        # re-runnable after removing the stale part files; the reverse
-        # order has a window where the slices' rows exist nowhere but
-        # a temp dir. The slice ids of staged files are exactly
-        # `touched` by the token routing.
+        # two-phase swap: record intent, add, remove, clear intent.
+        # Adds precede removes so no window loses rows; the manifest
+        # makes a crash at ANY point repairable (see
+        # recover_pending_swap). The slice ids of staged files are
+        # exactly `touched` by the token routing.
+        manifest = os.path.join(path, _SWAP_MANIFEST)
+        with open(manifest, "w") as fh:
+            json.dump(
+                {
+                    "add": [os.path.basename(f) for f in staged],
+                    "remove": [os.path.basename(f) for f in old_files],
+                },
+                fh,
+            )
         for f in staged:
             shutil.move(f, os.path.join(path, os.path.basename(f)))
         for f in old_files:
             os.remove(f)
+        os.remove(manifest)
         shutil.rmtree(os.path.dirname(stage_dir), ignore_errors=True)
         return {
             "touched_slices": [int(p) for p in touched],
@@ -495,6 +557,22 @@ def pruning_fraction(spans: list[tuple], lo, hi) -> float:
         return 0.0
     skipped = sum(1 for mn, mx in spans if mx < lo or mn > hi)
     return skipped / len(spans)
+
+
+def file_digests(path: str) -> dict[str, str]:
+    """Per-parquet-file md5 of the full bytes — THE byte-stability
+    probe behind zorder_incremental's untouched-files guarantee
+    (shared by test_layout and tools/zorder_incr_curve so the
+    SCALE.md 'md5-byte-stable' claim is always measured one way)."""
+    import glob
+    import hashlib
+    import os
+
+    out = {}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        with open(f, "rb") as fh:
+            out[f] = hashlib.md5(fh.read()).hexdigest()
+    return out
 
 
 def table_bytes(path: str) -> int:

@@ -213,11 +213,7 @@ def test_zorder_incremental_rewrites_only_touched_files(spark, tmp_path):
     every untouched slice file byte-identical, land the arrivals in
     the slices the meta grid routes them to, preserve the merged
     content exactly, and keep the pruning payoff."""
-    import glob
-    import hashlib
-    import os
-
-    from oamap_spark.operators.layout import zorder_incremental
+    from oamap_spark.operators.layout import file_digests, zorder_incremental
 
     orders = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -232,15 +228,9 @@ def test_zorder_incremental_rewrites_only_touched_files(spark, tmp_path):
     path = str(tmp_path / "ztab")
     zorder_write(base, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
 
-    def digests():
-        return {
-            f: hashlib.md5(open(f, "rb").read()).hexdigest()
-            for f in glob.glob(os.path.join(path, "*.parquet"))
-        }
-
-    before = digests()
+    before = file_digests(path)
     stats = zorder_incremental(spark, path, arrivals)
-    after = digests()
+    after = file_digests(path)
 
     # some, but not all, slices rewritten
     assert 0 < stats["rewritten_files"] < N_FILES, stats
@@ -300,29 +290,86 @@ def test_zorder_incremental_consecutive_batches(spark, tmp_path):
 
 def test_zorder_incremental_empty_batch_is_noop(spark, tmp_path):
     """An empty arrival batch must touch nothing."""
-    import glob
-    import hashlib
-    import os
-
-    from oamap_spark.operators.layout import zorder_incremental
+    from oamap_spark.operators.layout import file_digests, zorder_incremental
 
     orders = load_table(spark, SF_SMOKE, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     path = str(tmp_path / "zempty")
     zorder_write(orders, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
-    before = {
-        f: hashlib.md5(open(f, "rb").read()).hexdigest()
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    }
+    before = file_digests(path)
     stats = zorder_incremental(spark, path, orders.where("o_orderkey < 0"))
     assert stats == {
         "touched_slices": [],
         "rewritten_files": 0,
         "total_files": N_FILES,
     }
-    after = {
-        f: hashlib.md5(open(f, "rb").read()).hexdigest()
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    }
-    assert after == before
+    assert file_digests(path) == before
+
+
+def test_zorder_swap_recovery_completes_and_rolls_back(spark, tmp_path):
+    """The two-phase swap's crash repair, both branches: with every
+    'add' file present the interrupted swap COMPLETES (lingering
+    'remove' files deleted); with a partial add it ROLLS BACK (adds
+    deleted, old generation intact). Either way exactly one generation
+    remains and a re-run cannot double arrivals."""
+    import json
+    import os
+
+    from oamap_spark.operators.layout import (
+        file_digests,
+        recover_pending_swap,
+        zorder_incremental,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where("o_orderkey % 10 != 0")
+    arrivals = orders.where("o_orderkey % 10 = 0")
+    path = str(tmp_path / "zswap")
+    zorder_write(base, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+
+    # branch 1: crash AFTER all adds, BEFORE removes — simulate by
+    # copying one real file to a fake new-generation name and leaving
+    # a manifest that says the old one should be removed
+    import shutil
+
+    files = sorted(file_digests(path))
+    old_f, keep = files[0], files[1]
+    new_name = os.path.basename(old_f).replace("part-", "part-", 1) + ".new.parquet"
+    shutil.copy(old_f, os.path.join(path, new_name))
+    with open(os.path.join(path, "_zorder_swap.json"), "w") as fh:
+        json.dump(
+            {"add": [new_name], "remove": [os.path.basename(old_f)]}, fh
+        )
+    assert recover_pending_swap(path) == "completed"
+    assert not os.path.exists(old_f)
+    assert os.path.exists(os.path.join(path, new_name))
+    assert not os.path.exists(os.path.join(path, "_zorder_swap.json"))
+
+    # branch 2: crash DURING adds — manifest lists an add that never
+    # landed plus one that did; rollback must delete the partial add
+    # and keep the old generation (the remove list untouched)
+    partial = os.path.join(path, "partial-add.parquet")
+    shutil.copy(keep, partial)
+    with open(os.path.join(path, "_zorder_swap.json"), "w") as fh:
+        json.dump(
+            {
+                "add": [os.path.basename(partial), "never-written.parquet"],
+                "remove": [os.path.basename(keep)],
+            },
+            fh,
+        )
+    assert recover_pending_swap(path) == "rolled_back"
+    assert not os.path.exists(partial)
+    assert os.path.exists(keep)
+
+    # a clean table reports clean, and the next incremental run
+    # (which self-recovers first) still merges exactly
+    assert recover_pending_swap(path) == "clean"
+    zorder_incremental(spark, path, arrivals)
+    got = spark.read.parquet(path).count()
+    # branch 1 replaced old_f with a COPY of itself under a new name,
+    # so content is unchanged: base ∪ arrivals exactly
+    assert got == orders.count()

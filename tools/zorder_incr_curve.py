@@ -21,8 +21,6 @@ bench protocol); one JSON line per (SF, shape) on stdout.
 
 from __future__ import annotations
 
-import glob
-import hashlib
 import json
 import os
 import shutil
@@ -36,18 +34,12 @@ from pyspark.sql import functions as F
 
 from oamap_spark.operators.layout import (
     file_column_ranges,
+    file_digests,
     pruning_fraction,
     zorder_incremental,
     zorder_write,
 )
 from oamap_spark.session import get_spark
-
-
-def _digests(path: str) -> dict[str, str]:
-    return {
-        f: hashlib.md5(open(f, "rb").read()).hexdigest()
-        for f in glob.glob(os.path.join(path, "*.parquet"))
-    }
 
 
 def main() -> None:
@@ -79,13 +71,13 @@ def main() -> None:
             zorder_write(
                 base_df, ztab, ["o_custkey", "o_totalprice"], n_files=8
             )
-            before = _digests(ztab)
+            before = file_digests(ztab)
 
             t0 = time.perf_counter()
             stats = zorder_incremental(spark, ztab, arrivals)
             t_incr = time.perf_counter() - t0
 
-            after = _digests(ztab)
+            after = file_digests(ztab)
             survivors = set(before) & set(after)
             byte_stable = sum(1 for f in survivors if before[f] == after[f])
 
@@ -105,7 +97,10 @@ def main() -> None:
                 lo_tp,
                 lo_tp + (hi_tp - lo_tp) / 20,
             )
-            want_rows = merged_df.count()
+            # footer-only counts: zfull was just written from the same
+            # merged frame, so its count is the expected total without
+            # re-executing the union lineage
+            want_rows = spark.read.parquet(zfull).count()
             merged_rows = spark.read.parquet(ztab).count()
             out = {
                 "sf": sf,
