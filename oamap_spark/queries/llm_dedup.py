@@ -745,6 +745,80 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _incremental_exact_counts(spark, sf_dir)
 
 
+# one staged corpus digest index per (process, sf_dir) — the exact-
+# dedup member of the steady-state family (see _STEADY_INDEX): 32
+# chars per corpus doc, built once per snapshot.
+_STEADY_DIGEST_INDEX: dict[str, str] = {}
+
+
+def _steady_digest_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _STEADY_DIGEST_INDEX.get(sf_dir)
+    if path is None:
+        from oamap_spark.sources.staging import staging_path
+
+        d = load_table(spark, sf_dir, "documents")
+        corpus = (
+            d.where(F.substring("source", 4, 10).cast("int") < 18)
+            .select(D.canonical_text_digest("text").alias("digest"))
+            .distinct()
+        )
+        path = staging_path("oamap_steady_digidx_", "index")
+        corpus.write.parquet(path)
+        _STEADY_DIGEST_INDEX[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_exact_incremental_steady",
+    tags=("llm", "dedup", "incremental", "steady_state", "anti_join"),
+    bench=True,
+    oracle="""
+WITH corpus AS (
+  SELECT DISTINCT md5(array_to_string(string_split(text, ' '), ' ')) AS digest
+  FROM documents
+  WHERE CAST(substring(source, 4) AS INT) < 18
+), arrivals AS (
+  SELECT source,
+         md5(array_to_string(string_split(text, ' '), ' ')) AS digest
+  FROM documents
+  WHERE CAST(substring(source, 4) AS INT) >= 18
+)
+SELECT a.source,
+       count(*) AS n_arrivals,
+       CAST(sum(CASE WHEN c.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_corpus,
+       CAST(sum(CASE WHEN c.digest IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM arrivals a LEFT JOIN corpus c USING (digest)
+GROUP BY a.source
+""",
+)
+def dedup_exact_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE exact dedup — the last member of the persisted-
+    index family (minhash bands, containment postings, embedding
+    buckets, span windows, and now exact digests): the corpus's
+    DISTINCT canonical digests (src0–src17) are PERSISTED parquet —
+    32 chars per corpus doc, ~3 GB per 100M docs, built once per
+    snapshot — and the 10% arrival batch (src18–19) digests only
+    itself and LEFT-joins the loaded index for its per-source dup/new
+    census. Unlike ``dedup_incremental_vs_corpus`` (cold-start: the
+    corpus digest table re-derived from text per run), corpus text is
+    never re-read. Same split convention as every steady twin; oracle
+    replays the digest arithmetic on both halves."""
+    idx_path = _steady_digest_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18).select(
+        "source", D.canonical_text_digest("text").alias("digest")
+    )
+    corpus = spark.read.parquet(idx_path).withColumn("in_corpus", F.lit(1))
+    j = arrivals.join(corpus, "digest", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum(F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)).alias(
+            "n_dup_vs_corpus"
+        ),
+        F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias("n_new"),
+    )
+
+
 @register(
     "dedup_minhash_incremental",
     tags=("llm", "dedup", "minhash", "lsh", "incremental"),

@@ -802,3 +802,13 @@ def test_incremental_bloom_prunes_corpus_side(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", keep)
+
+
+def test_exact_steady_probe_reads_persisted_index(spark, queries):
+    """dedup_exact_incremental_steady: the corpus digest set comes
+    from the persisted parquet index — one documents scan (the
+    arrivals'), zero Python nodes, pure JVM digest + left join."""
+    df = queries["dedup_exact_incremental_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_digidx" in p, p[:2000]
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
