@@ -373,3 +373,58 @@ def test_zorder_swap_recovery_completes_and_rolls_back(spark, tmp_path):
     # branch 1 replaced old_f with a COPY of itself under a new name,
     # so content is unchanged: base ∪ arrivals exactly
     assert got == orders.count()
+
+
+def test_slice_files_rejects_foreign_files(tmp_path):
+    """A non-part parquet file in a zorder table means the table was
+    written (or polluted) by something else — the slice-id parse must
+    fail loudly, not mis-map files to slices."""
+    import pytest as _pt
+
+    from oamap_spark.operators.layout import _slice_files
+
+    d = tmp_path / "tab"
+    d.mkdir()
+    (d / "part-00003-abc.parquet").write_bytes(b"x")
+    (d / "rogue.parquet").write_bytes(b"x")
+    with _pt.raises(ValueError, match="unexpected file"):
+        _slice_files(str(d))
+    (d / "rogue.parquet").unlink()
+    assert _slice_files(str(d)) == {3: [str(d / "part-00003-abc.parquet")]}
+
+
+def test_pid_token_column_routes_exactly(spark):
+    """The shared routing token must send slice p to partition index p
+    for every p — the invariant both writers and _slice_files rely on."""
+    from oamap_spark.operators.layout import _pid_token_column
+
+    n = 8
+    df = spark.range(64).select((F.col("id") % n).alias("__pid"))
+    tok = _pid_token_column(spark, n, F.col("__pid"))
+    got = (
+        df.withColumn("__tok", tok)
+        .repartition(n, F.col("__tok"))
+        .select("__pid", F.spark_partition_id().alias("part"))
+        .distinct()
+        .collect()
+    )
+    assert {(r["__pid"], r["part"]) for r in got} == {(p, p) for p in range(n)}
+
+
+def test_restore_breakpoints_decimal_exact(spark):
+    """JSON-round-tripped decimal breakpoints must come back as exact
+    Decimals (a float detour would distort ordering past 2^53)."""
+    import json
+    from decimal import Decimal
+
+    from oamap_spark.operators.layout import _restore_breakpoints
+
+    d = spark.range(10).select(
+        "id", F.lit("12345678901234.5678").cast("decimal(38,4)").alias("dec")
+    )
+    stored = json.loads(
+        json.dumps({"dec": [Decimal("12345678901234.5678")]}, default=str)
+    )
+    out = _restore_breakpoints(d, ["dec"], stored)
+    assert out["dec"] == [Decimal("12345678901234.5678")]
+    assert isinstance(out["dec"][0], Decimal)
