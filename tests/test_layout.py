@@ -428,3 +428,23 @@ def test_restore_breakpoints_decimal_exact(spark):
     out = _restore_breakpoints(d, ["dec"], stored)
     assert out["dec"] == [Decimal("12345678901234.5678")]
     assert isinstance(out["dec"][0], Decimal)
+
+
+def test_window_table_plan_computes_md5_once(spark):
+    """Regression pin for the InferFiltersFromGenerate trap (r10,
+    measured 60×): a plain explode makes Catalyst infer size(pw) > 0
+    and push it below the projections, inlining the md5 token
+    transform once per element_at reference into a per-row Filter
+    (~10 md5 occurrences in the plan, 95 s at sf0.1). The outer-
+    explode form keeps exactly ONE md5 site (the tids projection) and
+    no md5-bearing Filter."""
+    from oamap_spark.operators.dedup import positional_window_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    w = positional_window_table(d, "doc_id", "text", 8)
+    p = w._jdf.queryExecution().executedPlan().toString()
+    assert p.count("md5") == 1, p.count("md5")
+    assert not any(
+        "md5" in line for line in p.splitlines() if "Filter" in line
+    ), p
