@@ -349,6 +349,50 @@ def _slice_files(path: str) -> dict[int, list[str]]:
 
 
 _SWAP_MANIFEST = "_zorder_swap.json"
+_SWAP_TMP_SUFFIX = ".inprogress"
+
+
+def _write_swap_manifest(
+    manifest: str, staged: list[str], old_files: list[str]
+) -> None:
+    """Write the swap intent manifest via temp-file + rename so a
+    crash mid-write can never leave truncated JSON at the final name
+    (which would wedge every later recover_pending_swap on
+    json.load). ``add_sizes`` lets recovery verify each add really
+    completed before choosing the complete-the-swap branch."""
+    import json
+    import os
+
+    body = {
+        "add": [os.path.basename(f) for f in staged],
+        "add_sizes": {
+            os.path.basename(f): os.path.getsize(f) for f in staged
+        },
+        "remove": [os.path.basename(f) for f in old_files],
+    }
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, manifest)
+
+
+def _move_into_table(src: str, path: str) -> None:
+    """Move a staged file into the table directory in two steps:
+    copy under a temp name first (the staging dir is usually a
+    different filesystem — /tmp — so shutil.move degrades to
+    copy+unlink, which is NOT atomic), then os.rename (atomic on the
+    same fs) to the final part name. A crash mid-copy leaves only a
+    truncated ``*.inprogress`` file that recover_pending_swap sweeps;
+    a file sitting at its final part name is always complete."""
+    import os
+    import shutil
+
+    final = os.path.join(path, os.path.basename(src))
+    tmp = final + _SWAP_TMP_SUFFIX
+    shutil.move(src, tmp)
+    os.rename(tmp, final)
 
 
 def recover_pending_swap(path: str) -> str:
@@ -369,17 +413,47 @@ def recover_pending_swap(path: str) -> str:
     Either way the table is exactly one generation afterwards; a
     re-run can then apply the arrival batch once, never twice.
     Returns "completed", "rolled_back", or "clean"."""
+    import glob
     import json
     import os
 
     manifest = os.path.join(path, _SWAP_MANIFEST)
+    # Mid-copy temps (_move_into_table) and a half-written manifest
+    # temp are never part of a committed generation — sweep them
+    # unconditionally before anything else.
+    for t in glob.glob(os.path.join(path, "*" + _SWAP_TMP_SUFFIX)):
+        os.remove(t)
+    if os.path.exists(manifest + ".tmp"):
+        os.remove(manifest + ".tmp")
     if not os.path.exists(manifest):
         return "clean"
-    with open(manifest) as fh:
-        m = json.load(fh)
+    try:
+        with open(manifest) as fh:
+            m = json.load(fh)
+    except ValueError:
+        # Truncated manifest (a crash mid-write, possible only for a
+        # pre-temp+rename writer): adds strictly follow a COMPLETED
+        # manifest write, so nothing has moved and the old generation
+        # is intact — treat as the rollback branch instead of wedging
+        # every subsequent call on json.load.
+        os.remove(manifest)
+        return "rolled_back"
     adds = [os.path.join(path, b) for b in m["add"]]
     removes = [os.path.join(path, b) for b in m["remove"]]
-    if all(os.path.exists(f) for f in adds):
+    sizes = m.get("add_sizes") or {}
+
+    def _add_ok(f: str) -> bool:
+        # An add counts as present only at its recorded size: the
+        # temp+rename move means our own crashes never leave a
+        # truncated file at a final name, but a legacy cross-fs
+        # copy crash could — completing a swap over one would
+        # silently lose data when the old generation is removed.
+        if not os.path.exists(f):
+            return False
+        want = sizes.get(os.path.basename(f))
+        return want is None or os.path.getsize(f) == want
+
+    if all(_add_ok(f) for f in adds):
         for f in removes:
             if os.path.exists(f):
                 os.remove(f)
@@ -427,7 +501,6 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
 
     Returns ``{"touched_slices", "rewritten_files", "total_files"}``."""
     import glob
-    import json
     import os
     import shutil
 
@@ -473,23 +546,27 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
             .drop("__z", "__pid", "__tok")
             .write.parquet(stage_dir)
         )
-        staged = glob.glob(os.path.join(stage_dir, "*.parquet"))
+        # Spark emits a part file for partition 0 even when that
+        # partition is empty — an arrival batch that does not touch
+        # slice 0 would otherwise swap an empty part-00000 in BESIDE
+        # slice 0's real file (never in the remove list), over-count
+        # rewritten_files vs touched_slices, and leak one empty file
+        # per high-z batch. Keep only parts whose task index (≡ slice
+        # id under the exact token routing) is actually touched.
+        touched_set = {int(p) for p in touched}
+        staged = [
+            f
+            for f in glob.glob(os.path.join(stage_dir, "*.parquet"))
+            if int(os.path.basename(f).split("-")[1]) in touched_set
+        ]
         # two-phase swap: record intent, add, remove, clear intent.
         # Adds precede removes so no window loses rows; the manifest
         # makes a crash at ANY point repairable (see
-        # recover_pending_swap). The slice ids of staged files are
-        # exactly `touched` by the token routing.
+        # recover_pending_swap).
         manifest = os.path.join(path, _SWAP_MANIFEST)
-        with open(manifest, "w") as fh:
-            json.dump(
-                {
-                    "add": [os.path.basename(f) for f in staged],
-                    "remove": [os.path.basename(f) for f in old_files],
-                },
-                fh,
-            )
+        _write_swap_manifest(manifest, staged, old_files)
         for f in staged:
-            shutil.move(f, os.path.join(path, os.path.basename(f)))
+            _move_into_table(f, path)
         for f in old_files:
             os.remove(f)
         os.remove(manifest)

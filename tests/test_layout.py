@@ -448,3 +448,142 @@ def test_window_table_plan_computes_md5_once(spark):
     assert not any(
         "md5" in line for line in p.splitlines() if "Filter" in line
     ), p
+
+
+def test_zorder_incremental_high_z_batch_filters_empty_part0(spark, tmp_path):
+    """Spark emits a part file for partition 0 even when empty; an
+    arrival batch touching only HIGH z slices must not swap that
+    empty part-00000 in beside slice 0's real file. Pin: rewritten
+    == touched (slice 0 absent), every slice keeps exactly one file,
+    and content is exact."""
+    import glob
+    import os
+
+    from oamap_spark.operators.layout import (
+        _slice_files,
+        file_digests,
+        zorder_incremental,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where("o_orderkey % 10 != 0")
+    hi_cust = orders.approxQuantile("o_custkey", [0.9], 0.001)[0]
+    hi_price = orders.approxQuantile("o_totalprice", [0.9], 0.001)[0]
+    arrivals = orders.where("o_orderkey % 10 = 0").where(
+        (F.col("o_custkey") > hi_cust) & (F.col("o_totalprice") > hi_price)
+    )
+    assert arrivals.count() > 0
+    path = str(tmp_path / "zhigh")
+    zorder_write(base, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+
+    before = file_digests(path)
+    stats = zorder_incremental(spark, path, arrivals)
+    assert 0 not in stats["touched_slices"], stats  # the premise
+    assert len(stats["touched_slices"]) == stats["rewritten_files"], stats
+    # one file per slice — no duplicate slice-0 generation, no leak
+    by_slice = _slice_files(path)
+    assert sorted(by_slice) == list(range(N_FILES))
+    assert all(len(fs) == 1 for fs in by_slice.values()), by_slice
+    # slice 0's original file is byte-identical
+    (f0,) = by_slice[0]
+    assert file_digests(path)[f0] == before[f0]
+    # no empty parquet landed (an empty part is ~hundreds of bytes of
+    # footer; every real slice file here carries rows)
+    assert spark.read.parquet(path).count() == base.count() + arrivals.count()
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        assert spark.read.parquet(f).count() > 0, f
+
+
+def test_zorder_swap_recovery_truncated_manifest_rolls_back(spark, tmp_path):
+    """A truncated (unparseable) swap manifest means the crash hit
+    the manifest write itself — nothing has moved, the table is
+    intact. Recovery must clear it and report rolled_back, not raise
+    on every later call."""
+    import os
+
+    from oamap_spark.operators.layout import (
+        file_digests,
+        recover_pending_swap,
+        zorder_incremental,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = orders.where("o_orderkey % 10 != 0")
+    path = str(tmp_path / "ztrunc")
+    zorder_write(base, path, ["o_custkey", "o_totalprice"], n_files=N_FILES)
+    before = file_digests(path)
+    with open(os.path.join(path, "_zorder_swap.json"), "w") as fh:
+        fh.write('{"add": ["part-00001-x.par')  # truncated mid-write
+    assert recover_pending_swap(path) == "rolled_back"
+    assert not os.path.exists(os.path.join(path, "_zorder_swap.json"))
+    assert file_digests(path) == before
+    # the table is not wedged: a normal incremental run succeeds
+    arrivals = orders.where("o_orderkey % 10 = 0")
+    zorder_incremental(spark, path, arrivals)
+    assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_zorder_swap_recovery_size_mismatch_rolls_back(tmp_path):
+    """An 'add' present at its final name but NOT at its recorded
+    size (a legacy cross-filesystem copy truncated by a crash) must
+    take the ROLLBACK branch — completing the swap over a truncated
+    file and deleting the old generation would silently lose data."""
+    import json
+    import os
+
+    from oamap_spark.operators.layout import recover_pending_swap
+
+    d = tmp_path / "zsz"
+    d.mkdir()
+    old = d / "part-00002-old.parquet"
+    old.write_bytes(b"x" * 100)
+    trunc = d / "part-00002-new.parquet"
+    trunc.write_bytes(b"y" * 40)  # recorded as 90 below: mid-copy crash
+    with open(d / "_zorder_swap.json", "w") as fh:
+        json.dump(
+            {
+                "add": [trunc.name],
+                "add_sizes": {trunc.name: 90},
+                "remove": [old.name],
+            },
+            fh,
+        )
+    assert recover_pending_swap(str(d)) == "rolled_back"
+    assert old.exists() and not trunc.exists()
+    # and an add at the RIGHT size completes
+    good = d / "part-00002-new.parquet"
+    good.write_bytes(b"y" * 90)
+    with open(d / "_zorder_swap.json", "w") as fh:
+        json.dump(
+            {
+                "add": [good.name],
+                "add_sizes": {good.name: 90},
+                "remove": [old.name],
+            },
+            fh,
+        )
+    assert recover_pending_swap(str(d)) == "completed"
+    assert good.exists() and not old.exists()
+
+
+def test_zorder_swap_recovery_sweeps_inprogress_temps(tmp_path):
+    """Leftover *.inprogress copies (and a half-written manifest
+    temp) are never part of a committed generation — recovery sweeps
+    them in every branch, including 'clean'."""
+    from oamap_spark.operators.layout import recover_pending_swap
+
+    d = tmp_path / "zswp"
+    d.mkdir()
+    keep = d / "part-00000-k.parquet"
+    keep.write_bytes(b"x")
+    tmp1 = d / "part-00001-n.parquet.inprogress"
+    tmp1.write_bytes(b"partial")
+    mtmp = d / "_zorder_swap.json.tmp"
+    mtmp.write_bytes(b'{"add"')
+    assert recover_pending_swap(str(d)) == "clean"
+    assert keep.exists()
+    assert not tmp1.exists() and not mtmp.exists()
