@@ -412,10 +412,29 @@ def ngram_window_overlap(
 
     Output: one row per document that has at least one window —
     (id, n_windows, n_dup_windows, dup_ratio)."""
-    ids = df.select(
-        F.col(id_col).alias("id"), token_id_array(text_col).alias("tids")
-    ).select("id", combine_shingle_ids(F.col("tids"), n).alias("wids"))
-    exploded = ids.select("id", F.explode("wids").alias("wid"))
+    from oamap_spark.cache import track
+
+    # One narrow, PERSISTED window-id table feeds both consumers (the
+    # explode below and the final n_windows join) — unpersisted, the
+    # md5 tokenize pass would run once per plan branch. Caller owns
+    # the cache lifetime (cache.track), same as shingle_ids_table.
+    ids = track(
+        df.select(
+            F.col(id_col).alias("id"), token_id_array(text_col).alias("tids")
+        ).select("id", combine_shingle_ids(F.col("tids"), n).alias("wids"))
+    )
+    # explode_outer + null filter, NOT plain explode: a plain explode
+    # triggers InferFiltersFromGenerate — Catalyst infers
+    # size(wids) > 0, pushes it below the projections, and inlines the
+    # FULL window expression (md5 token transform re-evaluated per
+    # element_at reference) into a per-row Filter. Measured 60× on the
+    # identical shape in positional_window_table (commit f86e8e3).
+    # The outer explode infers no filter; a windowless doc emits one
+    # null row that the cheap attribute filter drops — output rows
+    # are identical to the plain-explode form.
+    exploded = ids.select("id", F.explode_outer("wids").alias("wid")).where(
+        F.col("wid").isNotNull()
+    )
     shared = (
         exploded.groupBy("wid")
         .agg(F.count_distinct("id").alias("ndocs"))

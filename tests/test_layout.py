@@ -450,6 +450,32 @@ def test_window_table_plan_computes_md5_once(spark):
     ), p
 
 
+def test_ngram_window_overlap_plan_dodges_inferred_filter(spark):
+    """Regression pin for the LAST known InferFiltersFromGenerate
+    instance (r11): ngram_window_overlap's explode over the window-id
+    array. The fixed form (persisted ids table + explode_outer +
+    attribute null filter) must show NO md5-bearing Filter node (the
+    trap inlines the full token transform into a per-row Filter,
+    measured 60x on the identical positional_window_table shape) and
+    must read the window-id table through the cache on BOTH plan
+    branches (shared-window discovery AND the final n_windows join)
+    so the tokenize pass runs once, not per consumer."""
+    from oamap_spark.operators.dedup import ngram_window_overlap
+    from tests.conftest import SF_SMOKE
+
+    spark.catalog.clearCache()
+    try:
+        d = load_table(spark, SF_SMOKE, "documents")
+        out = ngram_window_overlap(d, "doc_id", "text", 8)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert not any(
+            "md5" in line for line in p.splitlines() if "Filter" in line
+        ), p
+        assert p.count("InMemoryTableScan") >= 2, p.count("InMemoryTableScan")
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_zorder_incremental_high_z_batch_filters_empty_part0(spark, tmp_path):
     """Spark emits a part file for partition 0 even when empty; an
     arrival batch touching only HIGH z slices must not swap that
