@@ -43,6 +43,18 @@ def connected_components_min_id(
     silent cap would mislabel clusters). With pointer doubling the
     iteration count is O(log diameter), so 40 covers any diameter up
     to ~2⁴⁰."""
+    if getattr(pairs, "_oamap_all_pairs_edges", False):
+        # A policy operator must never consume the O(n²) ground-truth
+        # edge path (guard_all_pairs' sf ceiling makes it REFUSE, not
+        # run, at production size — so a query wired this way is
+        # broken at scale by construction). Re-source the edges from a
+        # banded detector (minhash_lsh_pairs & co.); the all-pairs
+        # form exists only for oracle/recall verification.
+        raise ValueError(
+            "connected_components_min_id: refusing all-pairs "
+            "ground-truth edges as clustering input — use a banded "
+            "scale path (e.g. minhash_lsh_pairs) instead"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

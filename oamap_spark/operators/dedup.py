@@ -97,7 +97,7 @@ def all_pairs_jaccard(
     a, b = t.alias("a"), t.alias("b")
     pair = a.join(b, F.col("a.id") < F.col("b.id"))
     jac = jaccard_set(F.col("a.s"), F.col("b.s"))
-    return (
+    out = (
         pair.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -105,6 +105,14 @@ def all_pairs_jaccard(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # Declaration-time tripwire: downstream POLICY operators
+    # (connected_components_min_id) refuse frames carrying this marker
+    # — all-pairs edges are sf-bounded ground truth, never a
+    # clustering input (r10 census: two policy queries silently fed by
+    # this path cost ~455 s each at sf0.1). Best-effort by design: the
+    # attribute rides THIS DataFrame object only, not derived frames.
+    out._oamap_all_pairs_edges = True
+    return out
 
 
 def shingle_ids_table(

@@ -14,30 +14,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oamap_spark.functions import text as X
 from oamap_spark.operators import clustering as C
 from oamap_spark.operators import dedup as D
 from oamap_spark.operators import sampling as S
+
+# DuckDB replays of the banded pair pipelines, shared with the
+# standalone oracles (one prefix-parameterized source of truth per
+# family — r8 review: hand-edited copies drift). llm_dedup is always
+# fully imported before this module (queries.__init__._load_all
+# order), so this costs nothing and cannot reorder registration.
+from oamap_spark.queries.llm_dedup import (
+    containment_pairs_ctes,
+    minhash_pairs_ctes,
+)
 from oamap_spark.queries.registry import register
 from oamap_spark.sources.tables import load_table
 
-# Shared DuckDB CTE: exact 3-shingle Jaccard ≥ 0.9 pair edges (same
-# text pipeline as dedup_jaccard_pairs — the ground-truth near-dup
-# edge set the clustering queries resolve into components).
-_PAIRS_CTES = f"""
-t AS (
-  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-), tok AS (
-  SELECT doc_id, {X.SQL_SHINGLES.format(tk="tk")} AS s FROM t
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
+# Shared DuckDB CTE tail: MinHash-LSH pair edges (the banded SCALE
+# path, replayed verbatim by minhash_pairs_ctes — one source of truth
+# with the dedup_minhash_lsh oracle) resolved to components via a
+# recursive-CTE transitive closure. r11: the single-signal clustering
+# queries used to build edges from exact all-pairs Jaccard (~455 s
+# each at sf0.1, refuses >20k rows); policy queries now consume the
+# same banded edge discipline production would, like
+# dedup_clusters_all_signals always did.
+_PAIRS_CTES = f"""{minhash_pairs_ctes('m')},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mmh_pairs
   UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs
+  SELECT id_b AS src, id_a AS dst FROM mmh_pairs
 ), reach AS (
   SELECT src, dst FROM edges
   UNION
@@ -122,18 +127,29 @@ SELECT node, cluster_id FROM comp
 """,
 )
 def dedup_clusters_minid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair edges (exact 3-shingle Jaccard ≥ 0.9) resolved
-    into duplicate clusters: every graph node labeled with the min id
-    reachable through the edge set — transitive, so A~B~C clusters
-    A,C together even though the pair A,C was never emitted.
+    """Near-dup pair edges resolved into duplicate clusters: every
+    graph node labeled with the min id reachable through the edge set
+    — transitive, so A~B~C clusters A,C together even though the pair
+    A,C was never emitted.
+
+    Edges come from the banded SCALE path (MinHash-LSH candidates,
+    exact-Jaccard-verified ≥ 0.9), not the all-pairs ground-truth
+    form: this is a POLICY query — the clustering a production dedup
+    actually runs — so its edge source must be the one that survives
+    100 TB (r11; previously all_pairs_jaccard, ~455 s at sf0.1 and a
+    hard refusal >20k rows; connected_components_min_id now rejects
+    all-pairs frames outright). The oracle replays the identical
+    banded pipeline (minhash_pairs_ctes — shared verbatim with the
+    dedup_minhash_lsh gate), so both engines see the same graph.
+
     Spark side: distributed min-label propagation to an exact fixpoint
-    (operators/clustering.py; one shuffle per hop, iterations = cluster
-    diameter ≈ 2–4 for near-dup graphs). Oracle side: recursive CTE
-    transitive closure — same fixpoint, quadratic blowup, tiny-SF only;
-    at 100 TB the propagation loop (or its large-star/small-star
-    variant) is the only viable form."""
+    (operators/clustering.py; pointer doubling, O(log diameter)
+    bounded-shuffle rounds). Oracle side: recursive CTE transitive
+    closure — same fixpoint, quadratic blowup, tiny-SF only."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.all_pairs_jaccard(d, "doc_id", "text", 0.9)
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9
+    )
     return C.connected_components_min_id(pairs)
 
 
@@ -152,9 +168,13 @@ def dedup_keep_canonical_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup policy applied end-to-end: resolve near-dup clusters,
     keep each cluster's canonical (min-id) member plus all singleton
     documents, count survivors per language — i.e. the corpus a
-    training run would actually consume after near-dedup."""
+    training run would actually consume after near-dedup. Edges from
+    the banded MinHash-LSH scale path (see dedup_clusters_minid —
+    same r11 re-sourcing, same shared-CTE oracle discipline)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.all_pairs_jaccard(d, "doc_id", "text", 0.9)
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9
+    )
     comp = C.connected_components_min_id(pairs)
     kept = C.dedup_keepers(d, "doc_id", comp)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
@@ -292,15 +312,9 @@ from oamap_spark.queries import llm_similarity as SIM  # noqa: E402
 
 # DuckDB replay of all three pair pipelines, assembled from the SAME
 # prefix-parameterized CTE builders the standalone oracles use
-# (minhash_pairs_ctes / containment_pairs_ctes in llm_dedup,
-# neardup_pairs_ctes in llm_similarity) — one source of truth per
-# family, so a pipeline fix automatically reaches this composition
-# (r8 review: this block used to be a hand-edited 90-line copy).
-from oamap_spark.queries.llm_dedup import (  # noqa: E402
-    containment_pairs_ctes,
-    minhash_pairs_ctes,
-)
-
+# (imports at module top) — one source of truth per family, so a
+# pipeline fix automatically reaches this composition (r8 review:
+# this block used to be a hand-edited 90-line copy).
 _ALL_SIGNALS_CTES = f"""{minhash_pairs_ctes('m')},
 {containment_pairs_ctes('c')},
 {SIM.neardup_pairs_ctes('e')},

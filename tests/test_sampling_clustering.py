@@ -93,6 +93,23 @@ def test_connected_components_nonconvergence_raises(spark):
         C.connected_components_min_id(pairs, max_iter=1)
 
 
+def test_connected_components_refuses_all_pairs_edges(spark):
+    """Declaration-time tripwire (r11): policy clustering must never
+    consume the O(n^2) all-pairs ground-truth edge path — at
+    production size guard_all_pairs makes that path REFUSE, so a
+    query wired this way is broken at scale by construction. The
+    marker rides the all_pairs_jaccard return frame."""
+    from oamap_spark.operators.dedup import all_pairs_jaccard
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    pairs = all_pairs_jaccard(df, "doc_id", "text", 0.9)
+    with pytest.raises(ValueError, match="all-pairs"):
+        C.connected_components_min_id(pairs)
+
+
 def test_dedup_keepers_one_per_cluster_plus_singletons(spark):
     df = spark.range(10).select(F.col("id").alias("doc_id"))
     pairs = spark.createDataFrame([(1, 3), (3, 5), (7, 8)], ["id_a", "id_b"])
