@@ -476,14 +476,14 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_window_overlap",
-    tags=("llm", "dedup", "exact_substring", "ngram"),
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
+# Shared CTE chain + final select for the ngram-window contamination
+# flag oracles: the batch gate uses it bare; the steady-state arm
+# appends a WHERE on the arrival split (restriction commutes — a wid
+# in no arrival window cannot affect an arrival doc's dup count).
+_NGRAM_OVERLAP_CTES = f"""t AS (
+  SELECT doc_id, source, {X.SQL_TOKEN_ID_ARRAY.format(col='text')} AS tids FROM documents
 ), w AS (
-  SELECT doc_id, {X.sql_combine_shingle_ids('tids', 8)} AS wids FROM t
+  SELECT doc_id, source, {X.sql_combine_shingle_ids('tids', 8)} AS wids FROM t
 ), e AS (
   SELECT doc_id, unnest(wids) AS wid FROM w
 ), shared AS (
@@ -492,12 +492,20 @@ WITH t AS (
   SELECT e.doc_id, count(*) AS n_dup_windows
   FROM e JOIN shared USING (wid)
   GROUP BY e.doc_id
-)
+)"""
+_NGRAM_OVERLAP_SELECT = """
 SELECT w.doc_id AS id,
        len(w.wids) AS n_windows,
        COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
        round(COALESCE(dup.n_dup_windows, 0) / len(w.wids), 4) AS dup_ratio
-FROM w LEFT JOIN dup USING (doc_id)
+FROM w LEFT JOIN dup USING (doc_id)"""
+
+
+@register(
+    "dedup_ngram_window_overlap",
+    tags=("llm", "dedup", "exact_substring", "ngram"),
+    oracle=f"""
+WITH {_NGRAM_OVERLAP_CTES}{_NGRAM_OVERLAP_SELECT}
 """,
 )
 def dedup_ngram_window_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +681,85 @@ def dedup_span_removal_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=8,
         probe_ids=arrivals.select("doc_id"),
         w_df=w_df,
+    )
+
+
+@register(
+    "dedup_ngram_overlap_steady",
+    tags=("llm", "dedup", "exact_substring", "ngram", "incremental",
+          "steady_state"),
+    oracle=f"""
+WITH {_NGRAM_OVERLAP_CTES}{_NGRAM_OVERLAP_SELECT}
+WHERE CAST(substring(w.source, 4) AS INT) >= 18
+""",
+)
+def dedup_ngram_overlap_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE ngram-window contamination FLAG — the daily-batch
+    form of ``dedup_ngram_window_overlap``, and one more consumer of
+    the persisted span window index that ``dedup_span_removal_steady``
+    already maintains (same ``_steady_span_index`` seam, same
+    positional_window_table builder — no drift possible): the corpus
+    half (sources src0–17, 90%) of the (id, pos, wid) window table is
+    loaded from parquet; the 10% arrival batch (src18–19) tokenizes
+    only itself. A wid counts as duplicated for an arrival document
+    iff some OTHER document contains it, which restricted to arrivals
+    decomposes into (a) the wid occurs in the corpus index — an
+    arrival-wid probe of the index, the only full-index scan — or
+    (b) two distinct arrival docs share it — an arrival-sized groupBy.
+    Output equals the batch flag over the full corpus filtered to
+    arrival ids (restriction commutes with the shared-wid set, which
+    is never restricted), which is exactly what the oracle replays.
+
+    Scale shape: corpus text never re-tokenized; the index scan
+    streams against a broadcast arrival-wid set (ids only in every
+    shuffle); everything else is arrival-sized."""
+    idx = spark.read.parquet(_steady_span_index(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
+    aw = D.positional_window_table(arrivals, "doc_id", "text", 8)
+    from oamap_spark.cache import track
+
+    # two consumers below (corpus probe + per-doc counts): persist so
+    # arrivals tokenize once. Caller owns lifetime (cache.track).
+    aw = track(aw)
+    aw_wids = aw.select("wid").distinct()
+    # (a) arrival wids present in the corpus index: stream the index
+    # once against the broadcast arrival-wid set (left-semi keeps
+    # index rows, so project+distinct collapses to the wid set —
+    # bounded by |arrival wids|)
+    in_corpus = (
+        idx.join(F.broadcast(aw_wids), "wid", "left_semi")
+        .select("wid")
+        .distinct()
+    )
+    # (b) wids shared by two distinct arrival docs
+    arr_shared = (
+        aw.groupBy("wid")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wid")
+    )
+    dup_wids = in_corpus.unionByName(arr_shared).distinct()
+    n_dup = (
+        aw.join(dup_wids, "wid")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    n_win = aw.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        arrivals.select(F.col("doc_id").alias("id"))
+        .join(n_win, "id", "left")
+        .join(n_dup, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows"), 4
+            ).alias("dup_ratio"),
+        )
     )
 
 

@@ -774,6 +774,21 @@ def test_span_steady_probe_reads_persisted_index(spark, queries):
     assert p.count("documents.parquet") == 4, p.count("documents.parquet")
 
 
+def test_ngram_steady_probe_reads_persisted_index(spark, queries):
+    """dedup_ngram_overlap_steady: one more consumer of the persisted
+    span window index — the plan scans it; the only documents scans
+    are arrival-restricted (the cached arrival window build + the
+    output id universe = 2 scan nodes); tokenize stays out of Filter
+    nodes (InferFiltersFromGenerate dodge) and fully JVM-side."""
+    df = queries["dedup_ngram_overlap_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_spanidx" in p, p[:2000]
+    assert p.count("documents.parquet") == 2, p.count("documents.parquet")
+    assert not any(
+        "md5" in l for l in p.splitlines() if "Filter" in l
+    ), "md5 inlined into a Filter (InferFiltersFromGenerate trap)"
+
+
 def test_incremental_bloom_prunes_corpus_side(spark):
     """dedup_incremental_bloom_pruned: the Bloom position probes
     (LeftSemi hash joins on xxhash64 of the digest) must sit on the
