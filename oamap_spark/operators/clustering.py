@@ -130,3 +130,72 @@ def dedup_keepers(
     )
     canonical = in_graph.join(keep_ids, df[id_col] == F.col("node"), "left_semi")
     return canonical.unionByName(singletons)
+
+
+def incremental_components_min_id(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Incremental connected components: merge a batch of new edges
+    into a PERSISTED cluster assignment without touching the corpus
+    graph — the daily-ingest form of :func:`connected_components_min_id`
+    (rep-graph contraction; the "large-star on the contracted graph"
+    move of Kiveris et al. SoCC 2014, done once because the corpus
+    side is already a fixpoint).
+
+    Preconditions (both hold for any assignment this module produced):
+    ``assignment`` (node, cluster_id) is a fixpoint of some corpus
+    edge set E_c — every corpus component fully labeled with its min
+    member id — and ``pairs`` contains every NEW edge, i.e. the full
+    graph is exactly E_c ∪ pairs (true for banded dedup signals:
+    signatures are per-document, so adding arrival docs adds only
+    arrival-touching candidate pairs and never changes corpus×corpus
+    candidacy).
+
+    Then each endpoint contracts to its rep — its persisted
+    cluster_id, or itself when absent from ``assignment`` (arrival
+    docs, corpus singletons) — and one exact fixpoint over the
+    CONTRACTED edges suffices: paths through corpus edges collapse
+    into the rep, paths through new edges are present verbatim, and
+    because every rep id is the min of its underlying cluster, the
+    min over a merged rep component equals the min over all underlying
+    nodes. Output: (node, cluster_id) for every node appearing in
+    ``pairs``, where cluster_id is the min id reachable in the FULL
+    graph — bit-identical to rerunning batch CC over E_c ∪ pairs and
+    restricting to these nodes (pinned by tests).
+
+    Scale shape: the assignment join is |pairs|-sized (arrival-batch,
+    not corpus, cardinality); the fixpoint runs on the contracted
+    graph, whose node count is bounded by the arrival-touched
+    components — at 100 TB the corpus graph is never re-shuffled."""
+    rep = assignment.select(
+        F.col("node").alias("__n"), F.col("cluster_id").alias("__rep")
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .join(rep, F.col("node") == F.col("__n"), "left")
+        .select("node", F.coalesce("__rep", "node").alias("__noderep"))
+    )
+    contracted = (
+        pairs.join(rep, pairs[id_a] == F.col("__n"), "left")
+        .select(F.coalesce("__rep", id_a).alias("__ra"), F.col(id_b))
+        .join(rep, F.col(id_b) == F.col("__n"), "left")
+        .select("__ra", F.coalesce("__rep", id_b).alias("__rb"))
+    )
+    comp_rep = connected_components_min_id(contracted, "__ra", "__rb")
+    return (
+        nodes.join(comp_rep, nodes["__noderep"] == comp_rep["node"], "left")
+        .select(
+            nodes["node"],
+            # a self-loop-only contracted edge still appears in the
+            # fixpoint, so the left join always resolves; coalesce is
+            # belt-and-braces for a rep with no surviving edge row
+            F.coalesce(comp_rep["cluster_id"], nodes["__noderep"]).alias(
+                "cluster_id"
+            ),
+        )
+    )

@@ -24,6 +24,7 @@ from oamap_spark.operators import sampling as S
 # fully imported before this module (queries.__init__._load_all
 # order), so this costs nothing and cannot reorder registration.
 from oamap_spark.queries.llm_dedup import (
+    _steady_corpus_index,
     containment_pairs_ctes,
     minhash_pairs_ctes,
 )
@@ -591,3 +592,100 @@ def mixture_temperature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
     )
+
+
+# persisted corpus CLUSTER ASSIGNMENT, one per (process, sf_dir) —
+# the steady-state clustering query's state: built once per corpus
+# snapshot (banded MinHash pairs over src0-17 resolved to min-id
+# components), then only PROBED by each arrival batch. Same staging
+# discipline as llm_dedup's signature/digest/window indexes
+# (atexit-swept staging_path roots).
+_STEADY_CLUSTERS: dict[str, str] = {}
+
+
+def _steady_cluster_assignment(spark: SparkSession, sf_dir: str) -> str:
+    path = _STEADY_CLUSTERS.get(sf_dir)
+    if path is None:
+        from oamap_spark.sources.staging import staging_path
+
+        d = load_table(spark, sf_dir, "documents")
+        corpus = d.where(F.substring("source", 4, 10).cast("int") < 18)
+        pairs = D.minhash_lsh_pairs(
+            corpus, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9
+        )
+        comp = C.connected_components_min_id(pairs)
+        path = staging_path("oamap_steady_clusters_", "assignment")
+        comp.write.parquet(path)
+        _STEADY_CLUSTERS[sf_dir] = path
+    return path
+
+
+@register(
+    "dedup_clusters_steady",
+    tags=("llm", "dedup", "clustering", "incremental", "steady_state"),
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES}
+SELECT c.node, c.cluster_id
+FROM comp c JOIN documents d ON d.doc_id = c.node
+WHERE CAST(substring(d.source, 4) AS INT) >= 18
+""",
+)
+def dedup_clusters_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE cluster resolution — the daily-batch form of
+    ``dedup_clusters_minid``, completing the persisted-index family
+    for the POLICY layer (every dedup signal already has a steady arm;
+    this gives the clustering those signals feed one too). State is
+    two parquet tables built once per corpus snapshot: the corpus
+    signature index (src0-17; shared seam with
+    ``dedup_minhash_incremental_steady`` — same builder, no drift) and
+    the corpus cluster ASSIGNMENT (banded pairs resolved to min-id
+    components). A 10% arrival batch (src18-19) tokenizes only
+    itself, probes the signature index through the asymmetric band
+    join for its arrival-touching pairs, and merges those edges into
+    the assignment by rep-graph contraction
+    (operators/clustering.py:incremental_components_min_id): corpus
+    endpoints collapse to their persisted cluster id, ONE fixpoint
+    runs over the contracted (arrival-batch-sized) graph, and an
+    arrival bridging two old clusters merges them without the corpus
+    graph ever being re-shuffled. Output: (node, cluster_id) for
+    every arrival doc with at least one near-dup edge, where
+    cluster_id is the min id reachable in the FULL graph — the oracle
+    replays batch clustering over all documents and restricts to
+    arrivals, which is bit-identical because banding is per-document
+    (adding arrivals never changes corpus x corpus candidacy) and the
+    assignment is a fixpoint of the corpus edges.
+
+    Scale shape at 100 TB: corpus text never re-tokenized, corpus
+    graph never recomputed; per batch the full-index work is the one
+    streamed band probe; the contraction join and the fixpoint are
+    sized by the arrival-touched components, not the corpus."""
+    from oamap_spark.cache import track
+
+    asg = spark.read.parquet(_steady_cluster_assignment(spark, sf_dir))
+    idx_path = _steady_corpus_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
+    arr_ids = D.flagged_shingle_ids_table(
+        arrivals.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
+    )
+    ids_df = (
+        spark.read.parquet(idx_path)
+        .select("id", F.lit(False).alias("is_new"), "ids")
+        .unionByName(arr_ids)
+    )
+    pairs = D.minhash_lsh_pairs_incremental(
+        None, "doc_id", "text", "__nw", ids_df=ids_df
+    )
+    # two consumers (edge contraction + the node set inside the
+    # operator): persist so the index probe runs once. Caller owns
+    # lifetime (cache.track).
+    pairs = track(pairs.select("id_a", "id_b"))
+    merged = C.incremental_components_min_id(pairs, asg)
+    # restrict to arrival nodes: corpus nodes touched by arrival
+    # edges also get merged labels (the maintenance path would write
+    # those back), but the contamination-facing answer — and the
+    # oracle's restriction — is the arrival docs' assignments
+    return merged.join(
+        arrivals.select(F.col("doc_id").alias("node")), "node", "left_semi"
+    ).select("node", "cluster_id")

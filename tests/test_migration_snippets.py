@@ -156,6 +156,45 @@ def test_snippet_all_signals_dedup(spark):
     assert 0 < kept.count() <= docs.count()
 
 
+def test_snippet_steady_cluster_merge(spark, tmp_path):
+    from oamap_spark.operators.clustering import (
+        connected_components_min_id, incremental_components_min_id)
+    from oamap_spark.operators.dedup import (flagged_shingle_ids_table,
+                                             minhash_lsh_pairs,
+                                             minhash_lsh_pairs_incremental,
+                                             shingle_ids_table)
+
+    docs = _docs(spark)
+    corpus = docs.where(F.substring("source", 4, 10).cast("int") < 18)
+    batch = docs.where(F.substring("source", 4, 10).cast("int") >= 18)
+    idx_path = str(tmp_path / "idx")
+    asg_path = str(tmp_path / "asg")
+    shingle_ids_table(corpus, "doc_id", "text").write.parquet(idx_path)
+    edges = minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.8).select("id_a", "id_b")
+    connected_components_min_id(edges).write.parquet(asg_path)
+    # ... next day ...
+    arr = flagged_shingle_ids_table(
+        batch.withColumn("nw", F.lit(True)), "doc_id", "text", "nw")
+    ids = (spark.read.parquet(idx_path)
+           .select("id", F.lit(False).alias("is_new"), "ids")
+           .unionByName(arr))
+    mh = minhash_lsh_pairs_incremental(
+        None, "doc_id", "text", "nw", threshold=0.8, ids_df=ids)
+    merged = incremental_components_min_id(
+        mh.select("id_a", "id_b"), spark.read.parquet(asg_path))
+    # bit-identical to rerunning batch CC over the whole corpus,
+    # restricted to the arrival-touched nodes
+    full = connected_components_min_id(
+        minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+        .select("id_a", "id_b"))
+    touched = {r["node"] for r in merged.select("node").collect()}
+    want = {(r["node"], r["cluster_id"])
+            for r in full.collect() if r["node"] in touched}
+    got = {(r["node"], r["cluster_id"]) for r in merged.collect()}
+    assert got == want and got
+
+
 def test_snippet_span_removal_and_quality_keeper(spark):
     from pyspark.sql import Window
 

@@ -789,6 +789,23 @@ def test_ngram_steady_probe_reads_persisted_index(spark, queries):
     ), "md5 inlined into a Filter (InferFiltersFromGenerate trap)"
 
 
+def test_clusters_steady_probes_persisted_state(spark, queries):
+    """dedup_clusters_steady: BOTH pieces of persisted state appear as
+    parquet scans — the corpus signature index (shared with the
+    minhash steady twin) and the corpus cluster assignment — and the
+    only documents scans are arrival-restricted (the cached pair
+    probe's tokenize + the output's left-semi id universe; a corpus
+    re-tokenize or an in-query corpus re-clustering would add
+    unfiltered scans). The contraction + fixpoint stay JVM-side."""
+    df = queries["dedup_clusters_steady"](spark, SF_SMOKE)
+    p = audit.plan_string(df)
+    assert "oamap_steady_idx" in p, p[:2000]
+    assert "oamap_steady_clusters" in p, p[:2000]
+    assert p.count("documents.parquet") == 3, p.count("documents.parquet")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
+
+
+
 def test_incremental_bloom_prunes_corpus_side(spark):
     """dedup_incremental_bloom_pruned: the Bloom position probes
     (LeftSemi hash joins on xxhash64 of the digest) must sit on the

@@ -272,3 +272,74 @@ def test_greedy_pack_slots_enforces_preconditions(spark):
     nul_id = spark.createDataFrame([(1, 10), (None, 5)], "doc_id long, n_tok long")
     with pytest.raises(Exception, match="null doc_id"):
         greedy_pack_slots(nul_id, "doc_id", "n_tok", capacity=100).collect()
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a: long, id_b: long")
+
+
+def test_incremental_components_bridge_merges_old_clusters(spark):
+    # corpus: two separate clusters {1,2,3} and {10,11}, singleton 20
+    corpus = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    asg = C.connected_components_min_id(corpus)
+    # arrival 50 bridges the two old clusters; arrival 60 touches the
+    # corpus singleton 20; arrivals 70,71 know only each other
+    arrivals = _edges(spark, [(3, 50), (50, 11), (20, 60), (70, 71)])
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in C.incremental_components_min_id(arrivals, asg).collect()
+    }
+    assert got == {
+        (3, 1),  # corpus node touched by an arrival edge, relabeled
+        (50, 1),
+        (11, 1),  # its whole old cluster merged under min id 1
+        (20, 20),
+        (60, 20),
+        (70, 70),
+        (71, 70),
+    }
+
+
+def test_incremental_components_equals_batch_on_union_graph(spark):
+    # randomized-but-deterministic graphs: batch CC over the union
+    # must equal corpus CC + incremental merge, restricted to the
+    # nodes the arrival edges touch
+    import random
+
+    rng = random.Random(11)
+    for _ in range(5):
+        corpus_pairs = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(25)
+        ]
+        arrival_pairs = [
+            (rng.randrange(25), 100 + rng.randrange(10)) for _ in range(12)
+        ] + [(100 + rng.randrange(10), 100 + rng.randrange(10)) for _ in range(4)]
+        corpus = _edges(spark, corpus_pairs)
+        arrivals = _edges(spark, arrival_pairs)
+        asg = C.connected_components_min_id(corpus)
+        inc = {
+            (r["node"], r["cluster_id"])
+            for r in C.incremental_components_min_id(arrivals, asg).collect()
+        }
+        batch = C.connected_components_min_id(corpus.unionByName(arrivals))
+        touched = {x for p in arrival_pairs for x in p}
+        want = {
+            (r["node"], r["cluster_id"])
+            for r in batch.collect()
+            if r["node"] in touched
+        }
+        assert inc == want
+
+
+def test_incremental_components_empty_assignment(spark):
+    # no persisted state at all (cold start): contraction is the
+    # identity and the result is plain batch CC over the new edges
+    arrivals = _edges(spark, [(5, 6), (6, 7)])
+    empty = arrivals.select(
+        F.col("id_a").alias("node"), F.col("id_a").alias("cluster_id")
+    ).limit(0)
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in C.incremental_components_min_id(arrivals, empty).collect()
+    }
+    assert got == {(5, 5), (6, 5), (7, 5)}
