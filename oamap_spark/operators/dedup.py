@@ -88,21 +88,78 @@ def all_pairs_jaccard(
     df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3,
     *, force: bool = False,
 ) -> DataFrame:
-    """Exact all-pairs shingle-set Jaccard ≥ threshold. O(n²) — oracle /
-    small-partition verification path only; the scale path is
-    minhash_lsh_pairs. Guarded: raises above ALL_PAIRS_MAX_ROWS rows
-    unless force=True."""
+    """EXACT all-pairs shingle-set Jaccard ≥ threshold — the
+    ground-truth near-dup definition, oracle / recall-gate path only;
+    the scale path is minhash_lsh_pairs. Guarded: raises above
+    ALL_PAIRS_MAX_ROWS rows unless force=True.
+
+    Candidate generation is prefix-filtered (SSJoin / "Scaling Up All
+    Pairs Similarity Search", Bayardo et al. WWW 2007), NOT a blind
+    n²/2 self-join — with verification unchanged the output is
+    bit-identical to the brute-force form (property-pinned against an
+    inline brute-force join in test_llm_ops), but the r10 census's
+    554 s at sf0.1 drops to tens of seconds:
+
+    - every shingle set is sorted by ascending document frequency
+      (rarest first; ties by token — a deterministic total order);
+    - J(a,b) ≥ t forces |a∩b| ≥ t·max(|a|,|b|), so a matching pair
+      must share a token inside each side's first
+      sz − ⌈t·sz⌉ + 1 tokens (the prefix) — all-common-in-the-suffix
+      would cap the overlap below ⌈t·sz⌉;
+    - candidates = prefix-token equi-join (+ the size filter
+      t·sz_a ≤ sz_b ≤ sz_a/t, also implied by J ≥ t), then the same
+      exact jaccard_set verify as before.
+
+    Float care: ⌈t·sz⌉ computed as ceil(t·sz − 1e-9) — an upward
+    float error at an integer boundary would SHORTEN the prefix and
+    drop true pairs; the epsilon can only lengthen it (admitting a
+    spurious candidate, which verify discards). The guard stays:
+    adversarial corpora (all docs identical) still verify
+    quadratically — this is a verification artifact, not a scale
+    path."""
+    from oamap_spark.cache import track
+
     guard_all_pairs(df, "all_pairs_jaccard", force=force)
-    t = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("s"))
-    a, b = t.alias("a"), t.alias("b")
-    pair = a.join(b, F.col("a.id") < F.col("b.id"))
-    jac = jaccard_set(F.col("a.s"), F.col("b.s"))
-    out = (
-        pair.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard"),
+    t = track(
+        df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("s"))
+    )
+    toks = t.select("id", F.explode_outer("s").alias("tok")).where(
+        F.col("tok").isNotNull()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfq"))
+    ordered = (
+        toks.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("dfq", "tok"))).alias("os"))
+    )
+    plen = (
+        F.size("os")
+        - F.ceil(F.lit(threshold) * F.size("os") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    ptoks = (
+        ordered.select(
+            "id", F.size("os").alias("sz"), F.explode(F.slice("os", F.lit(1), plen)).alias("p")
         )
+        .select("id", "sz", F.col("p.tok").alias("tok"))
+    )
+    pa, pb = ptoks.alias("pa"), ptoks.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            & (F.col("pa.sz") >= F.col("pb.sz") * threshold - F.lit(1e-9))
+            & (F.col("pb.sz") >= F.col("pa.sz") * threshold - F.lit(1e-9)),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    jac = jaccard_set(F.col("sa"), F.col("sb"))
+    out = (
+        cand.join(t.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(t.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     # Declaration-time tripwire: downstream POLICY operators

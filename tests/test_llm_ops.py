@@ -211,6 +211,39 @@ def test_all_pairs_guard_refuses_large_input(spark):
     assert guard_all_pairs(small, "t").count() == 10
 
 
+def test_all_pairs_jaccard_equals_brute_force(spark):
+    """all_pairs_jaccard generates candidates by prefix filtering
+    (rarest-df-first token order + size filter), not a blind n²/2
+    self-join — the whole point of the lemma is that the output is
+    BIT-IDENTICAL to brute force. Pin that against an inline
+    brute-force join at thresholds that stress the prefix-length
+    ceiling arithmetic (0.5 and 0.9 hit integer t·sz boundaries on
+    common set sizes)."""
+    from oamap_spark.functions.text import shingles
+    from oamap_spark.operators.dedup import all_pairs_jaccard, jaccard_set
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    t = d.select(F.col("doc_id").alias("id"), shingles("text", 3).alias("s"))
+    a, b = t.alias("a"), t.alias("b")
+    for thr in (0.5, 0.9):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in all_pairs_jaccard(d, "doc_id", "text", thr).collect()
+        }
+        brute = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                jaccard_set(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= thr)
+            .collect()
+        }
+        assert got == brute and got  # non-vacuous: sf0.001 has near-dups
+
+
 def test_minhash_lsh_capped_cluster_equivalence(spark, queries):
     """The shipped scale path (dedup_minhash_lsh_capped) may drop
     pairwise edges inside over-cap buckets, but the star keeps every
