@@ -170,6 +170,29 @@ def incremental_components_min_id(
     not corpus, cardinality); the fixpoint runs on the contracted
     graph, whose node count is bounded by the arrival-touched
     components — at 100 TB the corpus graph is never re-shuffled."""
+    nodes, comp_rep = _contracted_fixpoint(pairs, assignment, id_a, id_b)
+    return (
+        nodes.join(comp_rep, nodes["__noderep"] == comp_rep["node"], "left")
+        .select(
+            nodes["node"],
+            # a self-loop-only contracted edge still appears in the
+            # fixpoint, so the left join always resolves; coalesce is
+            # belt-and-braces for a rep with no surviving edge row
+            F.coalesce(comp_rep["cluster_id"], nodes["__noderep"]).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+def _contracted_fixpoint(
+    pairs: DataFrame, assignment: DataFrame, id_a: str, id_b: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared contraction step of the incremental family: returns
+    ``(nodes, comp_rep)`` where ``nodes`` is every node of ``pairs``
+    with its rep (``__noderep`` = persisted cluster_id, or itself when
+    absent from ``assignment``) and ``comp_rep`` is the exact min-id
+    fixpoint over the CONTRACTED edge set (rep ids as nodes)."""
     rep = assignment.select(
         F.col("node").alias("__n"), F.col("cluster_id").alias("__rep")
     )
@@ -186,16 +209,51 @@ def incremental_components_min_id(
         .join(rep, F.col(id_b) == F.col("__n"), "left")
         .select("__ra", F.coalesce("__rep", id_b).alias("__rb"))
     )
-    comp_rep = connected_components_min_id(contracted, "__ra", "__rb")
-    return (
-        nodes.join(comp_rep, nodes["__noderep"] == comp_rep["node"], "left")
-        .select(
-            nodes["node"],
-            # a self-loop-only contracted edge still appears in the
-            # fixpoint, so the left join always resolves; coalesce is
-            # belt-and-braces for a rep with no surviving edge row
-            F.coalesce(comp_rep["cluster_id"], nodes["__noderep"]).alias(
-                "cluster_id"
-            ),
-        )
+    return nodes, connected_components_min_id(contracted, "__ra", "__rb")
+
+
+def apply_components_update(
+    assignment: DataFrame,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The MAINTENANCE half of the incremental-clustering loop: the
+    NEXT corpus assignment after merging a batch of new edges — what a
+    daily pipeline persists back so tomorrow's batch probes today's
+    state (:func:`incremental_components_min_id` is the read side,
+    answering only for the batch's own nodes; this writes the new
+    fixpoint for EVERYONE).
+
+    Three row sources, all exact under the same contraction lemma:
+    old rows whose cluster rep merged get the merged label (an
+    |assignment|-sized join against the batch-bounded rep relabel map
+    — broadcastable, so map-side only at 100 TB); old rows whose rep
+    is untouched pass through unchanged; nodes of ``pairs`` absent
+    from the old assignment (arrivals, prior singletons) enter with
+    their merged label. The result is again a min-id fixpoint —
+    bit-identical to batch CC over E_c ∪ pairs on the full node set
+    (pinned by tests, incl. idempotence: re-applying the same batch
+    is a no-op)."""
+    nodes, comp_rep = _contracted_fixpoint(pairs, assignment, id_a, id_b)
+    relabel = comp_rep.select(
+        F.col("node").alias("__rep"), F.col("cluster_id").alias("__new")
     )
+    old = assignment.join(
+        F.broadcast(relabel),
+        assignment["cluster_id"] == F.col("__rep"),
+        "left",
+    ).select(
+        assignment["node"],
+        F.coalesce("__new", assignment["cluster_id"]).alias("cluster_id"),
+    )
+    fresh = nodes.join(assignment.select("node"), "node", "left_anti")
+    new_nodes = fresh.join(
+        comp_rep, fresh["__noderep"] == comp_rep["node"], "left"
+    ).select(
+        fresh["node"],
+        F.coalesce(comp_rep["cluster_id"], fresh["__noderep"]).alias(
+            "cluster_id"
+        ),
+    )
+    return old.unionByName(new_nodes)

@@ -193,6 +193,14 @@ def test_snippet_steady_cluster_merge(spark, tmp_path):
             for r in full.collect() if r["node"] in touched}
     got = {(r["node"], r["cluster_id"]) for r in merged.collect()}
     assert got == want and got
+    # persist the NEXT state back — full-node-set fixpoint
+    from oamap_spark.operators.clustering import apply_components_update
+    apply_components_update(
+        spark.read.parquet(asg_path), mh.select("id_a", "id_b")
+    ).write.parquet(asg_path + ".next")
+    nxt = {(r["node"], r["cluster_id"])
+           for r in spark.read.parquet(asg_path + ".next").collect()}
+    assert nxt == {(r["node"], r["cluster_id"]) for r in full.collect()}
 
 
 def test_snippet_span_removal_and_quality_keeper(spark):

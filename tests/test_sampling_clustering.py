@@ -343,3 +343,60 @@ def test_incremental_components_empty_assignment(spark):
         for r in C.incremental_components_min_id(arrivals, empty).collect()
     }
     assert got == {(5, 5), (6, 5), (7, 5)}
+
+
+def test_apply_components_update_equals_batch_on_all_nodes(spark):
+    # the maintenance half: the persisted-back assignment must equal
+    # batch CC over the union graph on the FULL node set — including
+    # untouched old clusters (pass-through) and merged ones (relabel)
+    corpus = _edges(spark, [(1, 2), (2, 3), (10, 11), (30, 31)])
+    asg = C.connected_components_min_id(corpus)
+    arrivals = _edges(spark, [(3, 50), (50, 11), (70, 71)])
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in C.apply_components_update(asg, arrivals).collect()
+    }
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in C.connected_components_min_id(
+            corpus.unionByName(arrivals)
+        ).collect()
+    }
+    assert got == want
+    assert (30, 30) in got and (31, 30) in got  # untouched pass-through
+
+
+def test_apply_components_update_idempotent(spark):
+    # re-applying the same batch to the updated assignment is a no-op:
+    # all contracted edges become self-loops, no node is new
+    corpus = _edges(spark, [(1, 2), (10, 11)])
+    asg = C.connected_components_min_id(corpus)
+    arrivals = _edges(spark, [(2, 50), (50, 10)])
+    once = C.apply_components_update(asg, arrivals)
+    twice = C.apply_components_update(once, arrivals)
+    a = {(r["node"], r["cluster_id"]) for r in once.collect()}
+    b = {(r["node"], r["cluster_id"]) for r in twice.collect()}
+    assert a == b == {(1, 1), (2, 1), (10, 1), (11, 1), (50, 1)}
+
+
+def test_apply_components_update_chained_batches(spark):
+    # two consecutive daily batches: maintain state through the first,
+    # merge the second against the UPDATED assignment — final state
+    # equals batch CC over all edges at once
+    import random
+
+    rng = random.Random(7)
+    e1 = [(rng.randrange(20), rng.randrange(20)) for _ in range(15)]
+    e2 = [(rng.randrange(15), 100 + rng.randrange(8)) for _ in range(10)]
+    e3 = [(100 + rng.randrange(8), 200 + rng.randrange(8)) for _ in range(10)]
+    asg = C.connected_components_min_id(_edges(spark, e1))
+    asg = C.apply_components_update(asg, _edges(spark, e2))
+    asg = C.apply_components_update(asg, _edges(spark, e3))
+    got = {(r["node"], r["cluster_id"]) for r in asg.collect()}
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in C.connected_components_min_id(
+            _edges(spark, e1 + e2 + e3)
+        ).collect()
+    }
+    assert got == want
