@@ -320,3 +320,48 @@ def test_span_removal_steady_seam_commutes(spark, data):
         ).collect()
     }
     assert steady == full
+
+
+@settings(**_SETTINGS)
+@given(
+    # small vocab + short docs ⇒ dense overlap structure: many ties,
+    # sets of size 1, identical docs — exactly the shapes that stress
+    # the prefix-length ceiling and the df tie-break ordering
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    thr=st.sampled_from([0.3, 0.5, 0.75, 0.9, 1.0]),
+)
+def test_all_pairs_jaccard_prefix_filter_complete(spark, texts, thr):
+    """all_pairs_jaccard's prefix-filtered candidate generation must be
+    COMPLETE — bit-identical to the brute-force n²/2 join — for every
+    corpus shape and threshold, including J = 1.0 (identical docs,
+    prefix length exactly 1) and single-shingle sets."""
+    from oamap_spark.functions.text import shingles
+    from oamap_spark.operators.dedup import all_pairs_jaccard, jaccard_set
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in all_pairs_jaccard(df, "doc_id", "text", thr).collect()
+    }
+    t = df.select(F.col("doc_id").alias("id"), shingles("text", 3).alias("s"))
+    a, b = t.alias("a"), t.alias("b")
+    brute = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard_set(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= thr)
+        .collect()
+    }
+    assert got == brute
