@@ -407,3 +407,80 @@ def foreach_batch_incremental_minhash(
         .start()
     )
     q.awaitTermination()
+
+
+def cluster_maintenance_batch_body(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    asg_dir: str,
+) -> None:
+    """One micro-batch of the continuous CLUSTER-MAINTENANCE loop:
+    the incremental-dedup body first (this batch's arrival-touching
+    pairs vs the accumulated signature index), then the assignment
+    fold — the batch's pairs merge into the previous generation via
+    operators/clustering.py:apply_components_update, and the NEXT
+    generation lands at ``gen=<batch_id>``.
+
+    Replay idempotency (foreachBatch is at-least-once): a replayed
+    batch folds against the latest generation STRICTLY BELOW its own
+    id — never its own first attempt — and ``overwrite``s its own
+    generation directory; apply_components_update is deterministic
+    and idempotent on its inputs, so the rewrite is byte-equal in
+    content. Module-level so the contract is directly testable."""
+    import glob
+
+    from oamap_spark.operators.clustering import apply_components_update
+
+    incremental_dedup_batch_body(batch, batch_id, index_dir, pairs_dir)
+    bspark = batch.sparkSession
+    pairs = bspark.read.parquet(
+        os.path.join(pairs_dir, f"batch={batch_id}")
+    ).select("id_a", "id_b")
+    gens = sorted(
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(asg_dir, "gen=*"))
+        if int(os.path.basename(p).split("=")[1]) < batch_id
+    )
+    if gens:
+        asg = bspark.read.parquet(os.path.join(asg_dir, f"gen={gens[-1]}"))
+    else:  # first batch: no prior state
+        asg = bspark.createDataFrame([], "node long, cluster_id long")
+    apply_components_update(asg, pairs).write.mode("overwrite").parquet(
+        os.path.join(asg_dir, f"gen={batch_id}")
+    )
+
+
+def foreach_batch_cluster_maintenance(
+    docs: DataFrame,
+    spark: SparkSession,
+    index_dir: str,
+    pairs_dir: str,
+    asg_dir: str,
+) -> None:
+    """Streaming continuous-ingestion CLUSTERING: every micro-batch
+    extends :func:`foreach_batch_incremental_minhash`'s loop with the
+    policy layer — near-dup edges fold into a generation-versioned
+    cluster assignment, so at any point ``gen=<latest>`` IS the
+    corpus's current duplicate-cluster state (what a decontamination
+    or keeper pass would consume), without any batch ever re-reading
+    corpus text or re-shuffling the corpus graph. The final
+    generation equals one-shot batch clustering over the full pair
+    list however the stream was sliced — the incremental pair
+    emission is exactly-once per pair, and apply_components_update
+    folds to the same fixpoint in any arrival order (both halves of
+    that claim are driver-gated through the recursive-CTE oracle)."""
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        cluster_maintenance_batch_body(
+            batch, batch_id, index_dir, pairs_dir, asg_dir
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(body)
+        .option("checkpointLocation", asg_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

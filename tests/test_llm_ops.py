@@ -953,6 +953,39 @@ def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert idx.count() == idx.select("id").distinct().count()
 
 
+def test_cluster_maintenance_batch_replay_is_idempotent(spark, tmp_path):
+    """The clustering fold on top of the dedup loop keeps the same
+    at-least-once contract: a replayed batch folds against the latest
+    generation STRICTLY BELOW its own id (never its own first
+    attempt's gen) and overwrites its own generation — so the
+    assignment content is identical after the crash-replay, and every
+    generation is a valid min-id fixpoint (each cluster contains its
+    own root)."""
+    from oamap_spark.streaming.pipelines import cluster_maintenance_batch_body
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    b0, b1 = d.where(src_num < 10), d.where(src_num >= 10)
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    asg_dir = str(tmp_path / "asg")
+
+    cluster_maintenance_batch_body(b0, 0, index_dir, pairs_dir, asg_dir)
+    cluster_maintenance_batch_body(b1, 1, index_dir, pairs_dir, asg_dir)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{asg_dir}/gen=1").collect()
+    )
+    assert first  # non-vacuous
+    cluster_maintenance_batch_body(b1, 1, index_dir, pairs_dir, asg_dir)
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(f"{asg_dir}/gen=1").collect()
+    )
+    assert again == first
+    # fixpoint sanity: every cluster id is a member node of the gen
+    nodes = {r[0] for r in first}
+    assert {r[1] for r in first} <= nodes
+
+
 def test_stream_incremental_dedup_cumulative_equals_batch(spark, queries):
     """The streaming continuous-dedup invariant: the pairs accumulated
     across all micro-batches equal the one-shot batch MinHash pair

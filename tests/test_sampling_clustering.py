@@ -400,3 +400,14 @@ def test_apply_components_update_chained_batches(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_apply_components_update_empty_batch_is_identity(spark):
+    # a day with no near-dup edges: the persisted-back state must be
+    # exactly the old assignment (no-op maintenance)
+    corpus = _edges(spark, [(1, 2), (10, 11)])
+    asg = C.connected_components_min_id(corpus)
+    out = C.apply_components_update(asg, _edges(spark, []))
+    assert {(r["node"], r["cluster_id"]) for r in out.collect()} == {
+        (r["node"], r["cluster_id"]) for r in asg.collect()
+    }
