@@ -411,3 +411,75 @@ def test_apply_components_update_empty_batch_is_identity(spark):
     assert {(r["node"], r["cluster_id"]) for r in out.collect()} == {
         (r["node"], r["cluster_id"]) for r in asg.collect()
     }
+
+
+# ---- property: the maintenance fold vs a pure-Python union-find ----
+#
+# The contraction lemma (operators/clustering.py) claims any sequence
+# of apply_components_update folds reaches the same min-id fixpoint as
+# one-shot CC over the union graph. The example tests above pin chosen
+# shapes; this drives it with adversarial ones — duplicate edges across
+# batches, self-loops dropped, singleton batches, bridges that merge
+# k>2 old clusters at once — against an INDEPENDENT oracle (union-find
+# in plain Python, no Spark code shared).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HYP = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+def _union_find_min_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(**_HYP)
+@given(
+    tagged=st.lists(
+        st.tuples(
+            st.integers(0, 18), st.integers(0, 18), st.integers(0, 2)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_apply_components_update_matches_union_find(spark, tagged):
+    batches = [[], [], []]
+    for a, b, k in tagged:
+        if a != b:  # banded detectors never emit self-pairs
+            batches[k].append((min(a, b), max(a, b)))
+    all_edges = [e for b in batches for e in b]
+
+    asg = _edges(spark, []).select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("cluster_id")
+    )
+    for b in batches:
+        # materialize between folds, as the maintenance loop's parquet
+        # write-back does — each fold starts from persisted rows
+        folded = C.apply_components_update(asg, _edges(spark, b)).collect()
+        asg = spark.createDataFrame(
+            [(r["node"], r["cluster_id"]) for r in folded],
+            "node: long, cluster_id: long",
+        )
+    got = {(r["node"], r["cluster_id"]) for r in asg.collect()}
+    assert got == set(_union_find_min_labels(all_edges).items())
