@@ -844,3 +844,29 @@ def test_exact_steady_probe_reads_persisted_index(spark, queries):
     p = audit.plan_string(df)
     assert "oamap_steady_digidx" in p, p[:2000]
     assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+
+
+def test_apply_components_update_broadcasts_relabel_map(spark):
+    """apply_components_update's 100 TB claim (operators/clustering.py):
+    the |assignment|-sized relabel join runs against a BROADCAST of the
+    batch-bounded rep relabel map — the corpus-wide assignment is never
+    shuffled to merge a daily batch. Pinned with
+    autoBroadcastJoinThreshold=-1 so only the explicit hint can produce
+    a BroadcastHashJoin: the plan must carry exactly one."""
+    import re
+
+    from oamap_spark.operators import clustering as C
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "id_a: long, id_b: long")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        asg = C.connected_components_min_id(edges([(1, 2), (10, 11)]))
+        out = C.apply_components_update(asg, edges([(2, 50), (50, 10)]))
+        p = audit.plan_string(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    hits = re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)
+    assert len(hits) == 1, p
