@@ -28,6 +28,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _refuse_all_pairs_edges(pairs: DataFrame, op: str) -> None:
+    """A policy operator must never consume the O(n²) ground-truth
+    edge path (guard_all_pairs' sf ceiling makes it REFUSE, not run,
+    at production size — so a query wired this way is broken at scale
+    by construction). Re-source the edges from a banded detector
+    (minhash_lsh_pairs & co.); the all-pairs form exists only for
+    oracle/recall verification. Checked at every clustering entry
+    point — batch, incremental read, and maintenance fold — because
+    the marker rides the all_pairs_jaccard return frame and is lost
+    on derived frames."""
+    if getattr(pairs, "_oamap_all_pairs_edges", False):
+        raise ValueError(
+            f"{op}: refusing all-pairs ground-truth edges as "
+            "clustering input — use a banded scale path "
+            "(e.g. minhash_lsh_pairs) instead"
+        )
+
+
 def connected_components_min_id(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -43,18 +61,7 @@ def connected_components_min_id(
     silent cap would mislabel clusters). With pointer doubling the
     iteration count is O(log diameter), so 40 covers any diameter up
     to ~2⁴⁰."""
-    if getattr(pairs, "_oamap_all_pairs_edges", False):
-        # A policy operator must never consume the O(n²) ground-truth
-        # edge path (guard_all_pairs' sf ceiling makes it REFUSE, not
-        # run, at production size — so a query wired this way is
-        # broken at scale by construction). Re-source the edges from a
-        # banded detector (minhash_lsh_pairs & co.); the all-pairs
-        # form exists only for oracle/recall verification.
-        raise ValueError(
-            "connected_components_min_id: refusing all-pairs "
-            "ground-truth edges as clustering input — use a banded "
-            "scale path (e.g. minhash_lsh_pairs) instead"
-        )
+    _refuse_all_pairs_edges(pairs, "connected_components_min_id")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -193,6 +200,7 @@ def _contracted_fixpoint(
     with its rep (``__noderep`` = persisted cluster_id, or itself when
     absent from ``assignment``) and ``comp_rep`` is the exact min-id
     fixpoint over the CONTRACTED edge set (rep ids as nodes)."""
+    _refuse_all_pairs_edges(pairs, "incremental clustering")
     rep = assignment.select(
         F.col("node").alias("__n"), F.col("cluster_id").alias("__rep")
     )

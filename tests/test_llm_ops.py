@@ -1013,3 +1013,40 @@ def test_stream_incremental_dedup_cumulative_equals_batch(spark, queries):
     assert any(slice_of[a] != slice_of[b] for a, b, _ in stream), (
         "no cross-micro-batch pair — the accumulated-index probe was never hit"
     )
+
+
+def test_cluster_maintenance_final_gen_invariant_to_slicing(spark, tmp_path):
+    """The streamed clustering loop's headline claim: the final
+    generation equals one-shot batch clustering over the full banded
+    pair graph HOWEVER the stream was sliced. Fold the same corpus as
+    2 batches and as 4 differently-cut batches; both final assignments
+    must be identical to each other and to batch
+    minhash_lsh_pairs -> connected_components_min_id."""
+    from oamap_spark.operators.clustering import connected_components_min_id
+    from oamap_spark.operators.dedup import minhash_lsh_pairs
+    from oamap_spark.streaming.pipelines import cluster_maintenance_batch_body
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+
+    def run(slices):
+        root = tmp_path / f"slicing_{len(slices)}"
+        dirs = [str(root / x) for x in ("index", "pairs", "asg")]
+        for i, (lo, hi) in enumerate(slices):
+            batch = d.where((src_num >= lo) & (src_num < hi))
+            cluster_maintenance_batch_body(batch, i, *dirs)
+        final = spark.read.parquet(f"{dirs[2]}/gen={len(slices) - 1}")
+        return {(r["node"], r["cluster_id"]) for r in final.collect()}
+
+    two = run([(0, 10), (10, 20)])
+    four = run([(0, 3), (3, 11), (11, 16), (16, 20)])
+    want = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_min_id(
+            minhash_lsh_pairs(
+                d, "doc_id", "text", k=16, rows_per_band=2, threshold=0.9
+            )
+        ).collect()
+    }
+    assert two == four == want
+    assert want  # non-vacuous: the corpus does contain near-dup edges

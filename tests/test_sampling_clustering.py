@@ -483,3 +483,22 @@ def test_apply_components_update_matches_union_find(spark, tagged):
         )
     got = {(r["node"], r["cluster_id"]) for r in asg.collect()}
     assert got == set(_union_find_min_labels(all_edges).items())
+
+
+def test_incremental_entry_points_refuse_all_pairs_edges(spark):
+    # the tripwire must cover the incremental read and the maintenance
+    # fold too — the marker rides the all_pairs_jaccard frame, and a
+    # steady-state query wired to it would be just as broken at scale
+    from oamap_spark.operators.dedup import all_pairs_jaccard
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    pairs = all_pairs_jaccard(df, "doc_id", "text", 0.9)
+    asg = _edges(spark, []).select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("cluster_id")
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        C.incremental_components_min_id(pairs, asg)
+    with pytest.raises(ValueError, match="all-pairs"):
+        C.apply_components_update(asg, pairs)
