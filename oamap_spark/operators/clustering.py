@@ -35,10 +35,15 @@ def _refuse_all_pairs_edges(pairs: DataFrame, op: str) -> None:
     by construction). Re-source the edges from a banded detector
     (minhash_lsh_pairs & co.); the all-pairs form exists only for
     oracle/recall verification. Checked at every clustering entry
-    point — batch, incremental read, and maintenance fold — because
-    the marker rides the all_pairs_jaccard return frame and is lost
-    on derived frames."""
-    if getattr(pairs, "_oamap_all_pairs_edges", False):
+    point — batch, incremental read, and maintenance fold. Two
+    detection layers: the frame attribute (the frame itself) and
+    column metadata stamped on id_a (survives select / filter /
+    persist / cache.track / parquet round-trips — the idioms that
+    would launder a plain attribute)."""
+    tainted = any(
+        f.metadata.get("oamap_all_pairs_edges") for f in pairs.schema.fields
+    )
+    if tainted or getattr(pairs, "_oamap_all_pairs_edges", False):
         raise ValueError(
             f"{op}: refusing all-pairs ground-truth edges as "
             "clustering input — use a banded scale path "

@@ -119,6 +119,17 @@ def all_pairs_jaccard(
     path."""
     from oamap_spark.cache import track
 
+    # The prefix-filter lemma needs t ∈ (0, 1]: at t = 0 every pair
+    # qualifies including shingle-DISJOINT ones, which no equi-join on
+    # a shared token can emit (and "all pairs of the corpus" needs no
+    # similarity machinery anyway); t > 1 makes the prefix length
+    # non-positive (F.slice would raise mid-job). Fail loud at
+    # declaration instead of silently under-reporting. (r11 review)
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"all_pairs_jaccard: threshold must be in (0, 1], got "
+            f"{threshold}"
+        )
     guard_all_pairs(df, "all_pairs_jaccard", force=force)
     t = track(
         df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("s"))
@@ -162,12 +173,17 @@ def all_pairs_jaccard(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    # Declaration-time tripwire: downstream POLICY operators
-    # (connected_components_min_id) refuse frames carrying this marker
-    # — all-pairs edges are sf-bounded ground truth, never a
-    # clustering input (r10 census: two policy queries silently fed by
-    # this path cost ~455 s each at sf0.1). Best-effort by design: the
-    # attribute rides THIS DataFrame object only, not derived frames.
+    # Declaration-time tripwire: downstream POLICY operators (the
+    # clustering entry points) refuse frames carrying this marker —
+    # all-pairs edges are sf-bounded ground truth, never a clustering
+    # input (r10 census: two policy queries silently fed by this path
+    # cost ~455 s each at sf0.1). Two layers (r11 review): COLUMN
+    # METADATA on id_a survives the idioms that launder a plain Python
+    # attribute — select/filter/persist/cache.track, even a parquet
+    # round-trip — while the attribute still catches the frame itself.
+    # A rename/rebuild of id_a can still strip it; the guard is a
+    # tripwire, not a security boundary.
+    out = out.withMetadata("id_a", {"oamap_all_pairs_edges": True})
     out._oamap_all_pairs_edges = True
     return out
 

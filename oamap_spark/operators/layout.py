@@ -352,6 +352,31 @@ _SWAP_MANIFEST = "_zorder_swap.json"
 _SWAP_TMP_SUFFIX = ".inprogress"
 
 
+def _fsync_path(p: str) -> None:
+    """fsync a file or directory by path. Directory fsync makes the
+    rename/unlink entries inside it durable — without it the swap
+    protocol is only process-crash-safe, not power-loss-safe: the
+    kernel may persist a LATER write (an add's data blocks) while an
+    EARLIER metadata op (the manifest's rename) is still only in the
+    page cache, and on reboot recover_pending_swap would see adds
+    beside the old generation with no manifest — 'clean', rows
+    double-counted. Best-effort on filesystems that reject directory
+    fds (the protocol degrades to process-crash safety, never worse).
+    (r11 review)"""
+    import os
+
+    try:
+        fd = os.open(p, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _write_swap_manifest(
     manifest: str, staged: list[str], old_files: list[str]
 ) -> None:
@@ -376,6 +401,9 @@ def _write_swap_manifest(
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, manifest)
+    # the manifest's directory entry must be durable BEFORE any add
+    # moves in: adds-present-without-manifest reads as 'clean'
+    _fsync_path(os.path.dirname(manifest))
 
 
 def _move_into_table(src: str, path: str) -> None:
@@ -392,6 +420,10 @@ def _move_into_table(src: str, path: str) -> None:
     final = os.path.join(path, os.path.basename(src))
     tmp = final + _SWAP_TMP_SUFFIX
     shutil.move(src, tmp)
+    # data blocks durable before the rename publishes the final name:
+    # a power loss must never leave a hole-y file at a name recovery's
+    # size check would accept (the copy wrote the full length)
+    _fsync_path(tmp)
     os.rename(tmp, final)
 
 
@@ -463,7 +495,13 @@ def recover_pending_swap(path: str) -> str:
             if os.path.exists(f):
                 os.remove(f)
         outcome = "rolled_back"
+    # unlinks durable BEFORE the manifest goes: a power loss that
+    # persisted the manifest removal but not the file removals would
+    # otherwise leave both generations merged with nothing left to
+    # trigger repair (same ordering hazard as the swap itself)
+    _fsync_path(path)
     os.remove(manifest)
+    _fsync_path(path)
     return outcome
 
 
@@ -567,9 +605,15 @@ def zorder_incremental(spark, path: str, arrivals: DataFrame) -> dict:
         _write_swap_manifest(manifest, staged, old_files)
         for f in staged:
             _move_into_table(f, path)
+        # all add renames durable before the first removal: otherwise
+        # a power loss could persist the unlinks but not the renames,
+        # and recovery's all-adds-present check would roll back a swap
+        # whose old generation is already gone
+        _fsync_path(path)
         for f in old_files:
             os.remove(f)
         os.remove(manifest)
+        _fsync_path(path)
         shutil.rmtree(os.path.dirname(stage_dir), ignore_errors=True)
         return {
             "touched_slices": [int(p) for p in touched],

@@ -689,26 +689,51 @@ def dedup_span_removal_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "exact_substring", "ngram", "incremental",
           "steady_state"),
     oracle=f"""
-WITH {_NGRAM_OVERLAP_CTES}{_NGRAM_OVERLAP_SELECT}
-WHERE CAST(substring(w.source, 4) AS INT) >= 18
+WITH {span_removal_ctes()},
+st_nwin AS (
+  SELECT doc_id, count(*) AS n_windows FROM sr_w GROUP BY doc_id
+), st_ndup AS (
+  SELECT w.doc_id, count(*) AS n_dup_windows
+  FROM sr_w w JOIN sr_shared USING (wid)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(nw.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(nd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       round(COALESCE(nd.n_dup_windows, 0) / nw.n_windows, 4) AS dup_ratio
+FROM documents d
+LEFT JOIN st_nwin nw ON nw.doc_id = d.doc_id
+LEFT JOIN st_ndup nd ON nd.doc_id = d.doc_id
+WHERE CAST(substring(d.source, 4) AS INT) >= 18
 """,
 )
 def dedup_ngram_overlap_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STEADY-STATE ngram-window contamination FLAG — the daily-batch
-    form of ``dedup_ngram_window_overlap``, and one more consumer of
-    the persisted span window index that ``dedup_span_removal_steady``
+    sibling of ``dedup_ngram_window_overlap``, and one more consumer
+    of the persisted span window index that ``dedup_span_removal_steady``
     already maintains (same ``_steady_span_index`` seam, same
     positional_window_table builder — no drift possible): the corpus
     half (sources src0–17, 90%) of the (id, pos, wid) window table is
     loaded from parquet; the 10% arrival batch (src18–19) tokenizes
-    only itself. A wid counts as duplicated for an arrival document
-    iff some OTHER document contains it, which restricted to arrivals
-    decomposes into (a) the wid occurs in the corpus index — an
-    arrival-wid probe of the index, the only full-index scan — or
-    (b) two distinct arrival docs share it — an arrival-sized groupBy.
-    Output equals the batch flag over the full corpus filtered to
-    arrival ids (restriction commutes with the shared-wid set, which
-    is never restricted), which is exactly what the oracle replays.
+    only itself.
+
+    Semantics are POSITIONAL — deliberately the span family's, not the
+    batch flag's: ``n_windows`` counts window OCCURRENCES (a doc
+    repeating an 8-gram counts it each time, so ``n_dup_windows`` is
+    the contamination MASS span surgery would cut), and a document
+    shorter than 8 tokens has no windows (n_windows = 0, NULL ratio) —
+    exactly the rows the persisted index contains. The distinct-wid
+    whole-corpus fraction remains ``dedup_ngram_window_overlap``'s
+    contract; this query's oracle replays the positional arithmetic
+    via the span CTEs (``sr_w``/``sr_shared``), so the two semantics
+    are gated independently and cannot be conflated silently.
+
+    A wid counts as duplicated for an arrival document iff some OTHER
+    document contains it, which restricted to arrivals decomposes into
+    (a) the wid occurs in the corpus index — an arrival-wid probe of
+    the index, the only full-index scan — or (b) two distinct arrival
+    docs share it — an arrival-sized groupBy. Restriction commutes
+    because the shared-wid set is never restricted.
 
     Scale shape: corpus text never re-tokenized; the index scan
     streams against a broadcast arrival-wid set (ids only in every

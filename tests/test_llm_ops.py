@@ -1050,3 +1050,95 @@ def test_cluster_maintenance_final_gen_invariant_to_slicing(spark, tmp_path):
     }
     assert two == four == want
     assert want  # non-vacuous: the corpus does contain near-dup edges
+
+
+def test_ngram_overlap_steady_positional_semantics(spark):
+    """The steady contamination flag's contract is POSITIONAL (r11
+    review fix): window OCCURRENCES, not distinct wids, and <8-token
+    docs have zero windows — the exact shapes where the old
+    distinct-wid oracle diverged. Crafted corpus/arrival frames drive
+    the query's own decomposition (index probe ∪ arrival-shared over
+    positional_window_table) against brute-force positional counts."""
+    from collections import Counter
+
+    from oamap_spark.operators.dedup import positional_window_table
+
+    base = "t0 t1 t2 t3 t4 t5 t6 t7"  # one 8-token window
+    corpus_rows = [(1, base + " x1 x2"), (2, "c0 c1 c2 c3 c4 c5 c6 c7")]
+    arrival_rows = [
+        # repeats the corpus window TWICE (positions 1 and 9):
+        # positional n_dup_windows = 2, distinct semantics would say 1
+        (10, base + " " + base),
+        # short doc (<8 tokens): zero windows, NULL ratio — the old
+        # oracle's whole-stream fallback wid would have said 1 window
+        (11, "t0 t1 t2"),
+        # no overlap with anything
+        (12, "z0 z1 z2 z3 z4 z5 z6 z7 z8"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    arrivals = spark.createDataFrame(arrival_rows, ["doc_id", "text"])
+
+    idx = positional_window_table(corpus, "doc_id", "text", 8)
+    aw = positional_window_table(arrivals, "doc_id", "text", 8)
+    aw_wids = aw.select("wid").distinct()
+    in_corpus = idx.join(aw_wids, "wid", "left_semi").select("wid").distinct()
+    arr_shared = (
+        aw.groupBy("wid")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wid")
+    )
+    dup_wids = in_corpus.unionByName(arr_shared).distinct()
+    got = {
+        r["id"]: r["cnt"]
+        for r in aw.join(dup_wids, "wid")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n_win = {r["id"]: r["cnt"] for r in aw.groupBy("id").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+
+    # brute-force positional reference in plain Python
+    def windows(text):
+        toks = text.split(" ")
+        return [tuple(toks[i:i + 8]) for i in range(len(toks) - 7)]
+
+    docs = dict(corpus_rows) | dict(arrival_rows)
+    owners = {}
+    for did, text in docs.items():
+        for w in set(windows(text)):
+            owners.setdefault(w, set()).add(did)
+    for did, text in dict(arrival_rows).items():
+        ws = windows(text)
+        want_dup = sum(1 for w in ws if len(owners[w]) > 1)
+        assert n_win.get(did, 0) == len(ws), did
+        assert got.get(did, 0) == want_dup, did
+
+    # the divergence shapes, explicitly: occurrences not distinct...
+    assert got[10] == 2 and n_win[10] == 9
+    # ...and the short doc has no windows at all
+    assert 11 not in n_win and 11 not in got
+
+
+def test_all_pairs_jaccard_threshold_domain(spark):
+    """The prefix-filter lemma holds for t in (0,1] only: t=0 admits
+    shingle-DISJOINT pairs no shared-token equi-join can emit, t>1
+    drives the prefix length non-positive (F.slice would raise
+    mid-job). Out-of-domain thresholds fail loud at declaration
+    instead of silently under-reporting (r11 review)."""
+    from oamap_spark.operators.dedup import all_pairs_jaccard
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], ["doc_id", "text"]
+    )
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            all_pairs_jaccard(df, "doc_id", "text", bad)
+    # the boundary that IS valid: t=1 (exact duplicates only)
+    dup = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "q r s t")],
+        ["doc_id", "text"],
+    )
+    rows = all_pairs_jaccard(dup, "doc_id", "text", 1.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]

@@ -502,3 +502,25 @@ def test_incremental_entry_points_refuse_all_pairs_edges(spark):
         C.incremental_components_min_id(pairs, asg)
     with pytest.raises(ValueError, match="all-pairs"):
         C.apply_components_update(asg, pairs)
+
+
+def test_all_pairs_refusal_survives_derived_frames(spark):
+    # the r11 review's laundering case: select/persist/track on the
+    # all-pairs frame drops the Python attribute, but the id_a column
+    # metadata still trips the guard — including after a parquet
+    # round-trip
+    from oamap_spark.cache import track
+    from oamap_spark.operators.dedup import all_pairs_jaccard
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    pairs = all_pairs_jaccard(df, "doc_id", "text", 0.9)
+    derived = track(pairs.select("id_a", "id_b"))
+    with pytest.raises(ValueError, match="all-pairs"):
+        C.connected_components_min_id(derived)
+    asg = _edges(spark, []).select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("cluster_id")
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        C.incremental_components_min_id(derived.where("id_a < 100"), asg)
