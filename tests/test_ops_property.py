@@ -365,3 +365,67 @@ def test_all_pairs_jaccard_prefix_filter_complete(spark, texts, thr):
         .collect()
     }
     assert got == brute
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=24),
+        min_size=2,
+        max_size=10,
+    ),
+    split=st.integers(1, 9),
+)
+def test_ngram_steady_decomposition_matches_bruteforce(spark, docs, split):
+    """dedup_ngram_overlap_steady's decomposition — dup(arrival wid) =
+    (wid in corpus index) OR (wid shared by >=2 arrival docs) — against
+    brute-force positional window counting in plain Python, over random
+    corpora with tiny alphabets (forcing repeated windows within and
+    across docs) and random corpus/arrival splits. n=4 windows instead
+    of the query's 8 so short random docs still produce windows."""
+    from oamap_spark.operators.dedup import positional_window_table
+
+    n = 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    k = min(split, len(rows) - 1)
+    corpus_rows, arrival_rows = rows[:k], rows[k:]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    arrivals = spark.createDataFrame(arrival_rows, ["doc_id", "text"])
+
+    idx = positional_window_table(corpus, "doc_id", "text", n)
+    aw = positional_window_table(arrivals, "doc_id", "text", n)
+    in_corpus = (
+        idx.join(aw.select("wid").distinct(), "wid", "left_semi")
+        .select("wid")
+        .distinct()
+    )
+    arr_shared = (
+        aw.groupBy("wid")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("wid")
+    )
+    dup_wids = in_corpus.unionByName(arr_shared).distinct()
+    got_dup = {
+        r["id"]: r["c"]
+        for r in aw.join(dup_wids, "wid").groupBy("id").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    }
+    got_win = {
+        r["id"]: r["c"]
+        for r in aw.groupBy("id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    def wins(toks):
+        return [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    owners = {}
+    for did, text in rows:
+        for w in set(wins(text.split(" "))):
+            owners.setdefault(w, set()).add(did)
+    for did, text in arrival_rows:
+        ws = wins(text.split(" "))
+        assert got_win.get(did, 0) == len(ws)
+        assert got_dup.get(did, 0) == sum(
+            1 for w in ws if len(owners[w]) > 1
+        )
