@@ -991,6 +991,32 @@ def _steady_corpus_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# the corpus BAND table (id, band_idx, band_key) persisted next to the
+# shingle-ids index — the r11 optimization lever SCALE.md's clustering
+# curve identified: without it every steady-state probe recomputes the
+# k=16 minhashes over the whole corpus index per batch (the measured
+# 0.068 ms/doc/batch O(corpus) term); with it the corpus half of the
+# band join is a columnar parquet scan and only arrivals are hashed.
+_STEADY_BANDS: dict[str, str] = {}
+
+
+def _steady_corpus_bands(spark: SparkSession, sf_dir: str) -> str:
+    path = _STEADY_BANDS.get(sf_dir)
+    if path is None:
+        from oamap_spark.sources.staging import staging_path
+
+        idx = spark.read.parquet(_steady_corpus_index(spark, sf_dir))
+        sig = idx.select(
+            "id", X.minhash_signature(F.col("ids"), 16).alias("sig")
+        )
+        # same 8×2 band layout as the probe (k=16, rows_per_band=2)
+        bands = D._explode_bands(sig, 8, 2)
+        path = staging_path("oamap_steady_bands_", "bands")
+        bands.write.parquet(path)
+        _STEADY_BANDS[sf_dir] = path
+    return path
+
+
 @register(
     "dedup_minhash_incremental_steady",
     tags=("llm", "dedup", "minhash", "incremental", "steady_state"),
@@ -1020,6 +1046,7 @@ def dedup_minhash_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFr
     the probe cost itself. Oracle: batch replay restricted to
     arrival-touching pairs, as for every incremental twin."""
     idx_path = _steady_corpus_index(spark, sf_dir)
+    bands_path = _steady_corpus_bands(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
     arr_ids = D.flagged_shingle_ids_table(
@@ -1031,7 +1058,8 @@ def dedup_minhash_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFr
         .unionByName(arr_ids)
     )
     return D.minhash_lsh_pairs_incremental(
-        None, "doc_id", "text", "__nw", ids_df=ids_df
+        None, "doc_id", "text", "__nw", ids_df=ids_df,
+        corpus_bands_df=spark.read.parquet(bands_path),
     )
 
 

@@ -24,6 +24,7 @@ from oamap_spark.operators import sampling as S
 # fully imported before this module (queries.__init__._load_all
 # order), so this costs nothing and cannot reorder registration.
 from oamap_spark.queries.llm_dedup import (
+    _steady_corpus_bands,
     _steady_corpus_index,
     containment_pairs_ctes,
     minhash_pairs_ctes,
@@ -664,6 +665,7 @@ def dedup_clusters_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     asg = spark.read.parquet(_steady_cluster_assignment(spark, sf_dir))
     idx_path = _steady_corpus_index(spark, sf_dir)
+    bands_path = _steady_corpus_bands(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
     arr_ids = D.flagged_shingle_ids_table(
@@ -675,7 +677,8 @@ def dedup_clusters_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(arr_ids)
     )
     pairs = D.minhash_lsh_pairs_incremental(
-        None, "doc_id", "text", "__nw", ids_df=ids_df
+        None, "doc_id", "text", "__nw", ids_df=ids_df,
+        corpus_bands_df=spark.read.parquet(bands_path),
     )
     # two consumers (edge contraction + the node set inside the
     # operator): persist so the index probe runs once. Caller owns

@@ -731,6 +731,10 @@ def test_steady_state_probe_reads_persisted_index(spark, queries):
     # one md5-bearing tokenize branch: the arrivals'. The corpus side
     # must not re-derive signatures from text.
     assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+    # r11: the corpus half of the band join is the persisted BAND
+    # table — re-signing the corpus index per batch (the O(corpus)
+    # k-hash term) would drop the bands scan from the plan
+    assert "oamap_steady_bands" in p, p[:2000]
 
 
 def test_containment_steady_probe_reads_persisted_index(spark, queries):
@@ -801,6 +805,9 @@ def test_clusters_steady_probes_persisted_state(spark, queries):
     p = audit.plan_string(df)
     assert "oamap_steady_idx" in p, p[:2000]
     assert "oamap_steady_clusters" in p, p[:2000]
+    # r11: the pair probe reads the persisted corpus band table
+    # instead of re-signing the corpus index per batch
+    assert "oamap_steady_bands" in p, p[:2000]
     assert p.count("documents.parquet") == 3, p.count("documents.parquet")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p[:2000]
 
