@@ -20,11 +20,41 @@ bounded keyspace (stream-static enrich counts, latest-per-user).
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession):
+    """Size stateful-stream shuffle partitions to state volume, not to
+    the session's batch default (r11, guide §2.2 "fewer, larger
+    partitions"). A stateful streaming query bakes
+    ``spark.sql.shuffle.partitions`` into its state layout at first
+    start, AQE never coalesces it, and EVERY micro-batch then pays one
+    state-store commit (and, for the Python stateful path, one Arrow
+    worker round-trip) per partition — at the bench SFs the per-batch
+    state is a few thousand keys, so 32-200 partitions are pure
+    per-batch overhead (measured at sf0.1: stream_stateful_user_counts
+    15.0 s at 32 partitions → 2.8 s at 8). These pipelines create a
+    fresh checkpoint per run, so the count is free to choose here; a
+    production deployment sizes it to stateful-key volume via
+    $SPARK_GRAFT_STREAM_SHUFFLE (state layout is fixed for the life of
+    a checkpoint, so pick for the target scale, not the first day).
+    Batch jobs inside foreachBatch bodies inherit the same setting
+    while the stream runs; AQE still coalesces those by size. The
+    session value is restored on exit — the driver owns the session.
+    """
+    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 _sink_ids = itertools.count()
 
@@ -75,14 +105,15 @@ def drain_to_memory(
     """Run a bounded replay of the stream (availableNow) into a memory
     sink and return the sink as a batch DataFrame."""
     name = f"oamap_stream_sink_{next(_sink_ids)}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -272,13 +303,14 @@ def foreach_batch_upsert_latest(
             target_dir
         )
 
-    q = (
-        events.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", target_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            events.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", target_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def staged_documents_slices(
@@ -400,13 +432,14 @@ def foreach_batch_incremental_minhash(
     def body(batch: DataFrame, batch_id: int) -> None:
         incremental_dedup_batch_body(batch, batch_id, index_dir, pairs_dir)
 
-    q = (
-        docs.writeStream.foreachBatch(body)
-        .option("checkpointLocation", pairs_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            docs.writeStream.foreachBatch(body)
+            .option("checkpointLocation", pairs_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def cluster_maintenance_batch_body(
@@ -477,10 +510,11 @@ def foreach_batch_cluster_maintenance(
             batch, batch_id, index_dir, pairs_dir, asg_dir
         )
 
-    q = (
-        docs.writeStream.foreachBatch(body)
-        .option("checkpointLocation", asg_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            docs.writeStream.foreachBatch(body)
+            .option("checkpointLocation", asg_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
