@@ -83,6 +83,63 @@ def _column_breakpoints(
             for i, c in enumerate(cols)}
 
 
+def _when_tree_count_le(key, bps: list, offset: int = 0):
+    """``count(b in bps where key >= b)`` as a balanced ``F.when``
+    binary-search tree over a SORTED list — row cost = tree depth.
+    Only for SHORT lists: a 255-breakpoint tree is 511 nested WHEN
+    nodes, which blows past whole-stage codegen limits and measured
+    ~3× SLOWER than the linear scan it replaced (plus a one-off ~70 s
+    janino compile). Duplicates count like a linear scan; a null key
+    takes every ``otherwise`` branch to the leftmost leaf = 0."""
+    if not bps:
+        return F.lit(offset).cast("long")
+    mid = len(bps) // 2
+    return F.when(
+        key >= F.lit(bps[mid]),
+        _when_tree_count_le(key, bps[mid + 1 :], offset + mid + 1),
+    ).otherwise(_when_tree_count_le(key, bps[:mid], offset))
+
+
+_CHUNK = 16
+
+
+def _count_le(key, bps: list):
+    """``count(b in bps where key >= b)`` over the SORTED breakpoint
+    list — the per-row searchsorted that turns a value into its z
+    level. The r11 census found the original single ``F.aggregate``
+    over a ``2^bits − 1``-literal array dominated ``zorder_write``:
+    higher-order-function lambdas evaluate per array ELEMENT through
+    the interpreted expression path, so bits=8 × 2 cols = 510
+    interpreted evals/row made the __z materialization ~5 s of the
+    ~10 s sf0.1 write. Two-level search instead: a depth-4 WHEN tree
+    over the 15 chunk sentinels (every 16th breakpoint — codegen'd)
+    picks the one 16-element chunk the key lands in, and the lambda
+    scan runs over ``F.slice`` of just that chunk — ≤16 interpreted
+    evals/row, ~16× fewer. Chunks before the sentinel count are whole
+    (their sentinel, i.e. their max, is <= key); chunks after cannot
+    contribute (their elements exceed the first sentinel > key).
+    Null keys: sentinel WHENs fall through to 0 and the lambda's
+    ``otherwise(0)`` keeps the chunk scan at 0 — level 0, exactly the
+    original semantics. Counts, hence __z and the written layout, are
+    bit-identical to the linear scan's."""
+    if len(bps) <= _CHUNK:
+        return _when_tree_count_le(key, bps)
+    sentinels = [bps[i] for i in range(_CHUNK - 1, len(bps), _CHUNK)]
+    coarse = _when_tree_count_le(key, sentinels)
+    chunk = F.slice(
+        F.array(*[F.lit(b) for b in bps]),
+        (coarse * _CHUNK + 1).cast("int"),
+        _CHUNK,
+    )
+    fine = F.aggregate(
+        chunk,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(key >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return coarse * _CHUNK + fine
+
+
 def z_value(
     df: DataFrame,
     cols: Sequence[str],
@@ -138,13 +195,7 @@ def z_value(
             qs.append(F.lit(0).cast("long"))
             continue
         key = keys[c]
-        arr = F.array(*[F.lit(b) for b in bps])
-        lvl = F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda acc, b: acc
-            + F.when(key >= b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-        )
+        lvl = _count_le(key, bps)
         qs.append(F.least(lvl, F.lit(nlevels - 1)).cast("long"))
     z = F.lit(0).cast("long")
     # interleave: bit b of column i lands at position b*len(cols)+i

@@ -613,3 +613,43 @@ def test_zorder_swap_recovery_sweeps_inprogress_temps(tmp_path):
     assert recover_pending_swap(str(d)) == "clean"
     assert keep.exists()
     assert not tmp1.exists() and not mtmp.exists()
+
+
+def test_count_le_matches_linear_scan(spark):
+    """r11: `_count_le` (the two-level searchsorted that replaced the
+    single interpreted-HOF scan — 16× fewer lambda evals/row) must
+    count EXACTLY like the linear scan it replaced, or __z and the
+    written layout silently shift. Property-check against Python's
+    bisect over adversarial sorted lists: duplicates (incl. runs that
+    straddle the 16-chunk sentinels), short lists (pure WHEN-tree
+    branch), the 255-long bits=8 shape, and null keys (level 0)."""
+    import bisect
+    import random
+
+    from oamap_spark.operators.layout import _CHUNK, _count_le
+
+    rng = random.Random(11)
+    cases = []
+    # short list → when-tree branch; long lists → two-level branch
+    for n in (1, 3, _CHUNK, _CHUNK + 1, 40, 255):
+        vals = sorted(rng.choice(range(0, 50)) for _ in range(n))
+        cases.append(vals)
+    # heavy duplicate run crossing several chunk boundaries
+    cases.append(sorted([7] * 100 + [9] * 100 + [11] * 55))
+    for bps in cases:
+        probes = sorted({-1, 0, 49, 51, *rng.sample(range(0, 50), 10), *bps})
+        df = spark.createDataFrame(
+            [(float(p),) for p in probes] + [(None,)], "key double"
+        )
+        got = {
+            r["key"]: r["n"]
+            for r in df.select(
+                "key", _count_le(F.col("key"), [float(b) for b in bps]).alias("n")
+            ).collect()
+        }
+        for p in probes:
+            assert got[float(p)] == bisect.bisect_right(bps, p), (
+                f"bps(n={len(bps)}) key={p}: {got[float(p)]} != "
+                f"{bisect.bisect_right(bps, p)}"
+            )
+        assert got[None] == 0, f"null key must bin to 0, got {got[None]}"
