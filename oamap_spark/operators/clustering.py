@@ -119,10 +119,15 @@ def connected_components_min_id(
         lut = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
+        # lazy checkpoint: the convergence count right below is the
+        # materializing action, so each iteration runs ONE job instead
+        # of two (eager localCheckpoint spends a separate job, then the
+        # count re-scans the fresh cache — r11, measured on the same
+        # per-iteration latency budget as the prev-carry change above)
         new_labels = (
             stepped.join(lut, stepped.label == lut.pnode, "left")
             .select("node", "prev", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("label") != F.col("prev")).count()
         labels = new_labels.select("node", "label")

@@ -171,6 +171,15 @@ def pointer_depth_root(
         F.when(F.col(ptr_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
     ).localCheckpoint()
     for _ in range(max_iter):
+        # carry the pre-step ancestor through the checkpoint so
+        # convergence is a filter-count over the checkpointed
+        # partitions instead of an exceptAll(state) — the old check
+        # cost two more wide shuffles + a sort per round (r11, guide
+        # §2.4; same move as the connected-components loop). A row is
+        # converged iff its ancestor did not move: anc(anc) == anc
+        # only at roots (roots self-point via the coalesce above, and
+        # a pointer FOREST has no cycles), and an unmoved ancestor
+        # implies an unmoved depth (the root's own depth term is 0).
         nxt = (
             state.alias("s")
             .join(
@@ -183,14 +192,18 @@ def pointer_depth_root(
             )
             .select(
                 F.col("s.node").alias("node"),
+                F.col("s.anc").alias("prev"),
                 F.col("t_anc").alias("anc"),
                 (F.col("s.depth") + F.col("t_depth")).alias("depth"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below materializes the
+            # checkpoint — one job per round, not two
+            .localCheckpoint(eager=False)
         )
-        if nxt.exceptAll(state).isEmpty():
-            return nxt.select("node", F.col("anc").alias("root_id"), "depth")
-        state = nxt
+        changed = nxt.where(F.col("anc") != F.col("prev")).count()
+        state = nxt.select("node", "anc", "depth")
+        if changed == 0:
+            return state.select("node", F.col("anc").alias("root_id"), "depth")
     raise RuntimeError(f"pointer_depth_root did not converge in {max_iter} rounds")
 
 
