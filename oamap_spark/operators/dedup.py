@@ -765,11 +765,20 @@ def containment_pairs(
     ``ids_df``: optionally pass a precomputed :func:`shingle_ids_table`
     (MUST be built with the same ``n``) so multi-detector pipelines
     tokenize the corpus once instead of once per detector."""
+    from oamap_spark.cache import track
+
     if ids_df is None:
         ids_df = shingle_ids_table(df, id_col, text_col, n)
     post = ids_df.select("id", F.explode("ids").alias("sid"))
     dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
-    kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
+    # THREE consumers re-evaluate this subtree (both sides of the
+    # candidate self-join and the kc aggregation in the prune tail) —
+    # without the persist the explode + df aggregation + cap join run
+    # three times per query (r11, guide §1.4/§2; caller owns the
+    # lifetime via cache.track like the signature tables)
+    kept = track(
+        post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
+    )
     cand = (
         kept.alias("x")
         .join(
@@ -881,11 +890,17 @@ def containment_pairs_incremental(
             "form and requires ids_df (the persisted index unioned with "
             "the arrival rows)"
         )
+    from oamap_spark.cache import track
+
     if ids_df is None:
         ids_df = flagged_shingle_ids_table(df, id_col, text_col, new_col, n)
     post = ids_df.select("id", "is_new", F.explode("ids").alias("sid"))
     dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
-    kept = post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
+    # persist: probe, build and the prune tail's kc aggregation all
+    # re-evaluate this subtree otherwise (see containment_pairs)
+    kept = track(
+        post.join(dfreq.where(F.col("df") <= df_cap).select("sid"), "sid")
+    )
     probe = kept.where(F.col("is_new")).select("id", "sid")
     build = kept.select("id", "is_new", "sid")
     cand = (
