@@ -288,10 +288,8 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: quarter revenue per supplier, keep the max (scalar
-    subquery → window max over an unpartitioned frame on the already-
-    aggregated per-supplier rows, then broadcast-join supplier)."""
-    from pyspark.sql import Window
-
+    max aggregate broadcast back onto the per-supplier rows, then
+    broadcast-join supplier)."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     rev = (
         t["lineitem"]
@@ -306,9 +304,21 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    top = rev.withColumn(
-        "mx", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("mx"))
+    # scalar max as an aggregate + 1-row broadcast, NOT a window over
+    # an unpartitioned frame: the window form moves every per-supplier
+    # row to ONE partition (WindowExec warns exactly this), and the
+    # per-supplier aggregate is data-sized at 100 TB. rev is persisted
+    # (caller-owned via cache.track) so lineitem aggregates ONCE and
+    # both the scalar max and the probe read the cache; the max agg is
+    # map-side combined, and the equality join keeps the same rows
+    # (ties included, nulls dropped) the window filter kept. (r11)
+    from oamap_spark.cache import track
+
+    rev = track(rev)
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+    ).drop("mx")
     return (
         F.broadcast(top)
         .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))

@@ -370,6 +370,15 @@ def incremental_dedup_batch_body(
     arr = flagged_shingle_ids_table(
         batch.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
     )
+    # the corpus BAND table accumulates beside the ids index (r11:
+    # same lever as the steady-state probes' persisted band table —
+    # without it every micro-batch recomputes the k=16 minhashes over
+    # the WHOLE accumulated corpus, an O(corpus)/batch term that grows
+    # with every batch; with it the corpus half of the band join is a
+    # columnar scan and only arrivals are hashed). Derived path, not a
+    # new parameter, so replay-idempotency callers are unchanged.
+    bands_dir = index_dir.rstrip("/") + "_bands"
+    corpus_bands = None
     try:
         # batch < batch_id: a REPLAYED micro-batch (at-least-once
         # foreachBatch) must not read its own first attempt's
@@ -381,6 +390,19 @@ def incremental_dedup_batch_body(
             .select("id", F.lit(False).alias("is_new"), "ids")
         )
         ids_df = corpus.unionByName(arr)
+        try:
+            corpus_bands = (
+                bspark.read.parquet(bands_dir)
+                .where(F.col("batch") < batch_id)
+                .select("id", "band_idx", "band_key")
+            )
+        except AnalysisException as bexc:
+            # ids index present but bands dir absent (pre-bands layout
+            # or foreign staging): fall back to re-signing the corpus
+            # — slower, never wrong. Must NOT drop the corpus itself.
+            if "PATH_NOT_FOUND" not in str(bexc) and "does not exist" not in str(bexc):
+                raise
+            corpus_bands = None
     except AnalysisException as exc:
         # ONLY the first-batch missing-index case may start empty;
         # any other failure must raise — a silently-dropped index
@@ -388,16 +410,29 @@ def incremental_dedup_batch_body(
         if "PATH_NOT_FOUND" not in str(exc) and "does not exist" not in str(exc):
             raise
         ids_df = arr
+        corpus_bands = None
     pairs = minhash_lsh_pairs_incremental(
-        None, "doc_id", "text", "__nw", ids_df=ids_df
+        None, "doc_id", "text", "__nw", ids_df=ids_df,
+        corpus_bands_df=corpus_bands,
     )
-    # pairs BEFORE index write: the pair plan reads index_dir and
-    # must not see this batch's own rows on the corpus side
+    # pairs BEFORE index/bands writes: the pair plan reads both dirs
+    # and must not see this batch's own rows on the corpus side
     pairs.write.mode("overwrite").parquet(
         os.path.join(pairs_dir, f"batch={batch_id}")
     )
     arr.select("id", "ids").write.mode("overwrite").parquet(
         os.path.join(index_dir, f"batch={batch_id}")
+    )
+    # same per-batch overwrite idempotency as the ids index; band keys
+    # are deterministic per document, so a replay is byte-equal
+    from oamap_spark.operators.dedup import _explode_bands, minhash_signature
+
+    _explode_bands(
+        arr.select("id", minhash_signature(F.col("ids"), 16).alias("sig")),
+        8,
+        2,
+    ).write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"batch={batch_id}")
     )
     arr.unpersist()
 

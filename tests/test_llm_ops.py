@@ -1142,3 +1142,69 @@ def test_all_pairs_jaccard_threshold_domain(spark):
     )
     rows = all_pairs_jaccard(dup, "doc_id", "text", 1.0).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+def test_incremental_dedup_batch_bands_accumulate_and_fallback(spark, tmp_path):
+    """r11: each micro-batch persists its BAND table beside the ids
+    index so later batches probe corpus bands instead of re-signing
+    the whole accumulated corpus (the O(corpus)/batch term). Pin the
+    new internals: (a) bands accumulate per batch=<id> partition and a
+    replay rewrites its own partition content-identically (band keys
+    are deterministic); (b) the pair output is IDENTICAL when the
+    bands dir is absent — the fallback re-signs the corpus, slower
+    but never wrong."""
+    import shutil
+
+    from oamap_spark.streaming.pipelines import incremental_dedup_batch_body
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    b0, b1 = d.where(src_num < 10), d.where(src_num >= 10)
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    bands_dir = index_dir + "_bands"
+
+    incremental_dedup_batch_body(b0, 0, index_dir, pairs_dir)
+    incremental_dedup_batch_body(b1, 1, index_dir, pairs_dir)
+    bands = spark.read.parquet(bands_dir)
+    assert sorted(
+        r["batch"] for r in bands.select("batch").distinct().collect()
+    ) == [0, 1]
+    # 8 bands per document in each batch's partition
+    n0 = bands.where(F.col("batch") == 0).count()
+    assert n0 == 8 * b0.count()
+    with_bands = sorted(
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert with_bands
+
+    # replay batch 1: bands partition rewritten, content identical
+    first_bands = sorted(
+        tuple(r)
+        for r in bands.where(F.col("batch") == 1)
+        .select("id", "band_idx", "band_key")
+        .collect()
+    )
+    incremental_dedup_batch_body(b1, 1, index_dir, pairs_dir)
+    again_bands = sorted(
+        tuple(r)
+        for r in spark.read.parquet(bands_dir)
+        .where(F.col("batch") == 1)
+        .select("id", "band_idx", "band_key")
+        .collect()
+    )
+    assert again_bands == first_bands
+
+    # fallback: no bands dir at all -> same pairs via corpus re-sign
+    shutil.rmtree(bands_dir)
+    incremental_dedup_batch_body(b1, 1, index_dir, pairs_dir)
+    no_bands = sorted(
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert no_bands == with_bands
