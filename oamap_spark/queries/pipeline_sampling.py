@@ -457,38 +457,40 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     are embedding-clone graph nodes (not documents) fall out via the
     documents join + HAVING > 1. Scale shape: the edge set and
     fixpoint are shared with the census query (one source of truth,
-    `_all_signal_pairs`); selection adds one doc-partitioned window
-    and one groupBy on cluster_id — no new wide structure."""
-    from pyspark.sql import Window
-
+    `_all_signal_pairs`); selection is ONE hash aggregate on
+    cluster_id — the representative is the lexicographic max of
+    struct(n_chars, −node), exactly the (n_chars DESC, node ASC)
+    row_number()=1 pick the original two cluster-partitioned window
+    sorts computed, but map-side combinable and with no sort at all
+    (r11, guide §2.2: the windows added two per-cluster sorts over the
+    member table for what a max-by aggregate expresses directly)."""
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
     comp = C.connected_components_min_id(_all_signal_pairs(d, e))
     members = comp.join(
         d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
-    wc = Window.partitionBy("cluster_id")
-    wr = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("node").asc()
-    )
-    ranked = (
-        members.withColumn("cnt", F.count(F.lit(1)).over(wc))
-        .where(F.col("cnt") > 1)
-        .withColumn("rn", F.row_number().over(wr))
-    )
-    return ranked.groupBy("cluster_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("node"))).cast("long").alias("rep_id"),
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        (
-            F.sum("n_chars") - F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("nc"), (-F.col("node")).alias("negnode")
         )
-        .cast("long")
-        .alias("chars_saved"),
-    ).select(
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        "rep_id",
-        "n_members",
-        "chars_saved",
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .where(F.col("n_members") > 1)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (-F.col("best.negnode")).cast("long").alias("rep_id"),
+            "n_members",
+            (F.col("sum_chars") - F.col("best.nc")).cast("long").alias(
+                "chars_saved"
+            ),
+        )
     )
 
 
