@@ -490,6 +490,22 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Per-query noise marker for the COMPACT stdout record (VERDICT r11
+    # "Next round #3c"): max/min over the WARM runs (run 1 is always
+    # the cold number — JVM/codegen warmup and one-time staging, not
+    # machine noise). A tight warm spread at a new level is a real plan
+    # change; a wide warm spread is a noisy measurement window — the
+    # r11 verdict had to reconstruct that distinction from a second
+    # full bench run. Only entries over SPREAD_FLOOR are emitted so the
+    # stdout line stays under the driver's capture cap on quiet runs.
+    SPREAD_FLOOR = 1.5
+    spread = {}
+    for n, rs in all_runs.items():
+        warm = rs[1:] if len(rs) > 1 else rs
+        if min(warm) > 0:
+            r = round(max(warm) / min(warm), 1)
+            if r > SPREAD_FLOOR:
+                spread[n] = r
     # headline total = registry bench set ONLY (r7 review finding #4:
     # folding the ad-hoc microbench walls into `value` would read as a
     # multi-second regression on unchanged query code every time a
@@ -528,7 +544,11 @@ def main() -> None:
             load_start > load_thresh
             or max(load_samples) > max(load_thresh, 2 * max(load_start, 1.0))
         ),
-        "cpus": os.cpu_count(),
+        # the HONORED core count (session.py builds local[$SPARK_GRAFT_CPUS]
+        # and sizes shuffle partitions from it) — NOT os.cpu_count(),
+        # which made the r11 8-core scaling artifact claim "cpus": 32
+        # (VERDICT r11 "What's wrong #2")
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "sf": sf_val,
         # wall times at 500 docs are overhead-dominated; the pair
         # counts are the skew-guard signal (linear star vs s²/2 on one
@@ -571,12 +591,20 @@ def main() -> None:
         "ambient_load_warning": out["ambient_load_warning"],
         "cpus": out["cpus"],
         "sf": sf_val,
+        # warm-run max/min per query, only entries > 1.5 (see above):
+        # lets the round-over-round diff separate noise from plan
+        # changes from the stdout line alone
+        "spread_gt1.5": spread,
     }
     if noisy_unretried:  # only spend stdout bytes when it happened
         compact["noisy_unretried"] = len(noisy_unretried)
     line = json.dumps(compact)
     if len(line) >= 1900:  # degrade loudly, never exceed the cap
         compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
+        # the spread marker is an annotation, not a measurement — shed
+        # it before shedding any query's timing
+        if len(json.dumps(compact)) >= 1900:
+            compact["spread_gt1.5"] = {"omitted": len(spread)}
         line = json.dumps(compact)
         while len(line) >= 1900 and compact["queries"]:
             drop = min(compact["queries"], key=compact["queries"].get)

@@ -128,4 +128,16 @@ def oracle_sql() -> dict[str, str]:
 
 
 def bench_queries() -> dict[str, QueryFn]:
-    return {n: _REGISTRY[n].fn for n in _ordered_names() if _REGISTRY[n].bench}
+    """Bench sweep in REGISTRATION order, deliberately NOT the
+    fingerprint-priority order ``queries()`` uses (VERDICT r11 "Next
+    round #3b"): priority ordering rotates the sweep every round, so
+    whichever query lands first after the single warmup absorbs the
+    residual JVM/codegen warmup and the steady family's one-time index
+    staging — in r11 ``dedup_minhash_incremental_steady`` rotated from
+    4th to 1st and posted a 0.23× "regression" the same-code 8-core run
+    contradicted. Pinning to registration order makes round-over-round
+    per-query diffs compare like sweep positions; rotation is only
+    needed for the *correctness* window, which keeps ``_ordered_names``."""
+    return {
+        n: _REGISTRY[n].fn for n in registration_order() if _REGISTRY[n].bench
+    }
