@@ -275,6 +275,19 @@ def _jaccard_verify(cand: DataFrame, ids_df: DataFrame, threshold: float) -> Dat
     )
 
 
+# The ONE MinHash/LSH band layout every persisted band table and every
+# probe must share (ADVICE r11 #3: the layout was hard-coded at each
+# persisted-bands call site while the probes relied on the function
+# defaults — a default change would silently desync persisted band
+# tables from the probe and drop pairs). Builders of persisted band
+# tables (streaming batch bodies, the steady-state staging helpers)
+# reference these; the pair functions' keyword defaults stay literal
+# (16/2) and tests pin that they agree.
+MINHASH_K = 16
+BAND_ROWS = 2
+N_BANDS = MINHASH_K // BAND_ROWS
+
+
 def _explode_bands(sig_df: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
     """Explode a signature table into one row per LSH band. Every
     column except ``sig`` is carried through unchanged, plus
@@ -406,6 +419,7 @@ def minhash_lsh_pairs_incremental(
     n: int = 3,
     ids_df: DataFrame | None = None,
     corpus_bands_df: DataFrame | None = None,
+    arrival_bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash+LSH: near-dup pairs that involve AT LEAST
     ONE new document — the continuous-ingestion shape, where an
@@ -453,6 +467,14 @@ def minhash_lsh_pairs_incremental(
     band join is a pure columnar scan and only arrivals are hashed.
     Band keys are deterministic per document, so the pair output is
     identical either way.
+
+    ``arrival_bands_df``: optionally pass the ARRIVALS' pre-exploded
+    band table under the same layout contract. The streaming batch
+    body persists its arrivals' bands beside the ids index anyway
+    (the accumulating corpus band table) — passing the same tracked
+    frame here means arrivals are hashed ONCE per micro-batch instead
+    of once for the probe and once for the bands write (r12, VERDICT
+    r11 "Next round #5").
     """
     n_bands = k // rows_per_band
     if df is None and ids_df is None:
@@ -463,17 +485,30 @@ def minhash_lsh_pairs_incremental(
         )
     if ids_df is None:
         ids_df = flagged_shingle_ids_table(df, id_col, text_col, new_col, n)
-    if corpus_bands_df is not None:
-        # arrival rows only pay the k-hash signature; the corpus half
-        # is the persisted band table (filter on the literal is_new
-        # flag folds the index branch of a unioned ids_df away, so
-        # the ids parquet is read exactly once — by the verify join)
-        arr_sig = ids_df.where(F.col("is_new")).select(
-            "id", "is_new", minhash_signature(F.col("ids"), k).alias("sig")
-        )
-        bands = corpus_bands_df.select(
-            "id", F.lit(False).alias("is_new"), "band_idx", "band_key"
-        ).unionByName(_explode_bands(arr_sig, n_bands, rows_per_band))
+    if corpus_bands_df is not None or arrival_bands_df is not None:
+        # each half is either a pre-exploded band table or pays its
+        # own k-hash signature; filters on the literal is_new flag
+        # fold the other branch of a unioned ids_df away, so the ids
+        # parquet is read exactly once — by the verify join
+        if arrival_bands_df is not None:
+            arr_bands = arrival_bands_df.select(
+                "id", F.lit(True).alias("is_new"), "band_idx", "band_key"
+            )
+        else:
+            arr_sig = ids_df.where(F.col("is_new")).select(
+                "id", "is_new", minhash_signature(F.col("ids"), k).alias("sig")
+            )
+            arr_bands = _explode_bands(arr_sig, n_bands, rows_per_band)
+        if corpus_bands_df is not None:
+            cor_bands = corpus_bands_df.select(
+                "id", F.lit(False).alias("is_new"), "band_idx", "band_key"
+            )
+        else:
+            cor_sig = ids_df.where(~F.col("is_new")).select(
+                "id", "is_new", minhash_signature(F.col("ids"), k).alias("sig")
+            )
+            cor_bands = _explode_bands(cor_sig, n_bands, rows_per_band)
+        bands = cor_bands.unionByName(arr_bands)
     else:
         sig_df = ids_df.select(
             "id", "is_new", minhash_signature(F.col("ids"), k).alias("sig")
@@ -813,6 +848,20 @@ def _containment_prune_verify(
     ).select(
         "id", "sz", (F.col("sz") - F.coalesce("kc", F.lit(0))).alias("capped")
     )
+    return _containment_prune_verify_stats(
+        cand, stats, ids_df.select("id", "ids"), threshold
+    )
+
+
+def _containment_prune_verify_stats(
+    cand: DataFrame, stats: DataFrame, sets_df: DataFrame, threshold: float
+) -> DataFrame:
+    """The prune + exact-verify tail over PRECOMPUTED per-doc stats
+    (id, sz, capped) — split out of :func:`_containment_prune_verify`
+    so the steady-state form (r12) can feed stats derived from its
+    persisted corpus tables instead of re-aggregating the full kept
+    posting set per batch. ``sets_df`` carries (id, ids) for the exact
+    array verify of prune survivors."""
     bound = (
         F.col("shared_kept") + F.least("capped_a", "capped_b")
     ).cast("double") / F.least("sz_a", "sz_b")
@@ -836,7 +885,7 @@ def _containment_prune_verify(
         .where(bound >= threshold)
         .select("id_a", "id_b")
     )
-    sets = ids_df.select("id", F.col("ids").alias("s"))
+    sets = sets_df.select("id", F.col("ids").alias("s"))
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
     cont = inter.cast("double") / F.least(F.size("s_a"), F.size("s_b"))
     return (
@@ -918,3 +967,148 @@ def containment_pairs_incremental(
     return _containment_prune_verify(
         cand, ids_df.select("id", "ids"), kept.select("id", "sid"), threshold
     )
+
+
+def containment_pairs_incremental_steady(
+    arr_ids: DataFrame,
+    corpus_post: DataFrame,
+    corpus_dfreq: DataFrame,
+    corpus_stats: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float = 0.8,
+    df_cap: int = 16,
+) -> DataFrame:
+    """STEADY-STATE incremental containment: the per-batch probe whose
+    corpus-side inputs are PERSISTED tables built once per corpus
+    snapshot — ``corpus_post`` (id, sid) postings, ``corpus_dfreq``
+    (sid, df), ``corpus_stats`` (id, sz, kc_base) and ``corpus_sets``
+    (id, ids) — so a batch never re-explodes corpus arrays,
+    re-aggregates the full document frequencies, or re-materializes
+    the corpus-wide kept posting set (r12, guide §2.4/§6; VERDICT r11
+    "Next round #1": the O(corpus postings)-per-batch terms left after
+    the r11 persist become O(arrival-touched postings) + narrow
+    columnar corpus scans).
+
+    Output is EXACTLY :func:`containment_pairs_incremental` over
+    corpus ∪ arrivals (what the SQL oracle replays). The argument:
+
+    - df ⊕: df_total(sid) = df_corpus(sid) + df_arrival(sid). Every
+      shared sid of an arrival-touching pair lies in the arrival doc,
+      so candidates and shared_kept counts only ever need kept status
+      on ARRIVAL-TOUCHED sids: ``corpus_dfreq`` is joined against the
+      (arrival-bounded) arrival dfreq, never re-derived.
+    - probe = arrival postings on kept sids; build = corpus postings
+      restricted to those same sids ∪ probe — the arrival-restricted
+      semi-join: corpus postings stream through the join, and corpus
+      postings on untouched sids never enter the candidate join (they
+      could not match the probe anyway).
+    - kc (kept-postings count per doc, feeding the upper-bound prune;
+      ``capped = sz − kc``): arrival docs count their kept postings
+      directly (all their sids are touched). Corpus docs use the
+      persisted baseline kc_base = #postings with df_corpus ≤ cap,
+      minus their postings on CROSSER sids — sids with
+      df_corpus ≤ cap < df_total. Arrivals only ever ADD df, so kept
+      status flips in exactly one direction and crossers are
+      arrival-touched by construction; kc_base − crossed therefore
+      equals the batch kc exactly (pinned by the cap-crossing
+      property test in tests/test_llm_ops.py).
+
+    ``corpus_stats.kc_base`` MUST have been built with this same
+    ``df_cap``.
+    """
+    from oamap_spark.cache import track
+
+    arr_post = arr_ids.select("id", F.explode("ids").alias("sid"))
+    arr_dfreq = arr_post.groupBy("sid").agg(F.count(F.lit(1)).alias("adf"))
+    # df ⊕ on arrival-touched sids that EXIST in the corpus: one
+    # narrow scan of the persisted corpus dfreq joined to the
+    # BROADCAST arrival dfreq — the arrival-restricted semi-join shape
+    # (guide §3.2: broadcast the distinct-key side; arrivals ≪ corpus
+    # is the steady-state contract, and Catalyst's estimate of an
+    # aggregation over a cached frame is too pessimistic to pick the
+    # broadcast itself). Arrival sids ABSENT from the corpus need no
+    # row here: they are kept iff adf ≤ cap and can never cross (no
+    # corpus postings to adjust).
+    matched = track(
+        corpus_dfreq.join(F.broadcast(arr_dfreq), "sid").select(
+            "sid", F.col("df").alias("cdf"), "adf"
+        )
+    )
+    # per-touched-corpus-sid verdicts, restricted to the two classes
+    # any downstream consumer needs: KEPT (dft ≤ cap → candidate build
+    # side) and CROSSED (cdf ≤ cap < dft → kc adjustment). Sids
+    # already over the cap in the corpus alone match neither and are
+    # dropped HERE — their (unbounded, boilerplate-sized) posting
+    # lists must never be pulled through the join below.
+    verdicts = matched.select(
+        "sid",
+        ((F.col("cdf") + F.col("adf")) <= df_cap).alias("kept"),
+        (
+            (F.col("cdf") <= df_cap)
+            & ((F.col("cdf") + F.col("adf")) > df_cap)
+        ).alias("crossed"),
+    ).where(F.col("kept") | F.col("crossed"))
+    # ONE corpus-postings scan serves both consumers: the candidate
+    # build side reads the kept rows, the kc adjustment aggregates the
+    # crossed rows. The restricted result is bounded by
+    # cap × |touched sids| (arrival-bounded), so it persists cheaply.
+    relevant = track(corpus_post.join(F.broadcast(verdicts), "sid"))
+    # arrival sid kept iff df_total ≤ cap: adf ≤ cap pre-filters, the
+    # anti-join removes corpus-matched sids whose ⊕ went over
+    kept_sids = (
+        arr_dfreq.where(F.col("adf") <= df_cap)
+        .join(
+            F.broadcast(matched.where((F.col("cdf") + F.col("adf")) > df_cap).select("sid")),
+            "sid",
+            "left_anti",
+        )
+        .select("sid")
+    )
+
+    probe = track(
+        arr_post.join(F.broadcast(kept_sids), "sid").select("id", "sid")
+    )
+    build = (
+        relevant.where(F.col("kept"))
+        .select("id", F.lit(False).alias("is_new"), "sid")
+        .unionByName(probe.select("id", F.lit(True).alias("is_new"), "sid"))
+    )
+    cand = (
+        probe.alias("x")
+        .join(
+            build.alias("y"),
+            (F.col("x.sid") == F.col("y.sid")) & pair_once_from_probe(),
+        )
+        .groupBy(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_kept"))
+    )
+
+    arr_stats = (
+        arr_ids.select("id", F.size("ids").alias("sz"))
+        .join(
+            probe.groupBy("id").agg(F.count(F.lit(1)).alias("kc")), "id", "left"
+        )
+        .select(
+            "id", "sz", (F.col("sz") - F.coalesce("kc", F.lit(0))).alias("capped")
+        )
+    )
+    crossed = (
+        relevant.where(F.col("crossed"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("xc"))
+    )
+    cor_stats = corpus_stats.join(F.broadcast(crossed), "id", "left").select(
+        "id",
+        "sz",
+        (
+            F.col("sz") - (F.col("kc_base") - F.coalesce("xc", F.lit(0)))
+        ).alias("capped"),
+    )
+    stats = cor_stats.unionByName(arr_stats)
+    sets_df = corpus_sets.select("id", "ids").unionByName(
+        arr_ids.select("id", "ids")
+    )
+    return _containment_prune_verify_stats(cand, stats, sets_df, threshold)

@@ -1103,6 +1103,68 @@ def dedup_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# persisted corpus-side containment tables (r12, VERDICT r11 "Next
+# round #1"): postings (id, sid), document frequencies (sid, df) and
+# per-doc stats (id, sz, kc_base) staged beside the shingle index so
+# the steady-state probe never re-explodes corpus arrays or
+# re-aggregates corpus document frequencies per batch. Keyed on
+# (sf_dir, df_cap) because kc_base bakes the cap in. Same
+# staged-once-per-process lifecycle as _STEADY_INDEX. The memo holds
+# the READER DataFrames, not just paths: re-running spark.read.parquet
+# per probe costs a driver-side footer/schema pass per table per run
+# (measured 0.4 s of the warm wall at sf0.1), and a reader DataFrame
+# is an immutable lazy plan — reusing it caches no data.
+_STEADY_CONTAIN: dict[tuple[str, int], dict] = {}
+
+
+def _steady_contain_tables(
+    spark: SparkSession, sf_dir: str, df_cap: int = 16
+) -> dict:
+    key = (sf_dir, df_cap)
+    cached = _STEADY_CONTAIN.get(key)
+    if cached is None:
+        from oamap_spark.sources.staging import staging_path
+
+        idx = spark.read.parquet(_steady_corpus_index(spark, sf_dir))
+        post_path = staging_path("oamap_steady_cpost_", "postings")
+        idx.select("id", F.explode("ids").alias("sid")).write.parquet(post_path)
+        post = spark.read.parquet(post_path)
+        dfreq_path = staging_path("oamap_steady_cdf_", "dfreq")
+        post.groupBy("sid").agg(F.count(F.lit(1)).alias("df")).write.parquet(
+            dfreq_path
+        )
+        # kc_base = postings with df_corpus ≤ cap, counted per doc as
+        # sz − over-cap postings (over-cap sids are the boilerplate
+        # few, so the join side is small)
+        over = (
+            spark.read.parquet(dfreq_path)
+            .where(F.col("df") > df_cap)
+            .select("sid")
+        )
+        overcap = post.join(over, "sid").groupBy("id").agg(
+            F.count(F.lit(1)).alias("oc")
+        )
+        stats_path = staging_path("oamap_steady_cstats_", "stats")
+        (
+            idx.select("id", F.size("ids").alias("sz"))
+            .join(overcap, "id", "left")
+            .select(
+                "id",
+                "sz",
+                (F.col("sz") - F.coalesce("oc", F.lit(0))).alias("kc_base"),
+            )
+            .write.parquet(stats_path)
+        )
+        cached = {
+            "post": spark.read.parquet(post_path),
+            "dfreq": spark.read.parquet(dfreq_path),
+            "stats": spark.read.parquet(stats_path),
+            "sets": spark.read.parquet(_steady_corpus_index(spark, sf_dir)),
+        }
+        _STEADY_CONTAIN[key] = cached
+    return cached
+
+
 @register(
     "dedup_containment_incremental_steady",
     tags=("llm", "dedup", "containment", "incremental", "steady_state"),
@@ -1129,24 +1191,29 @@ def dedup_containment_incremental_steady(
     100 TB); the 10% arrival batch (src18–19) tokenizes only itself
     and probes through the asymmetric posting join. Unlike
     ``dedup_containment_incremental`` (cold-start: both halves
-    re-derived from text), corpus text is never re-tokenized — the
-    df frequencies, cap, prune and verify are the shared batch tail,
-    so output = batch pair list restricted to arrival-touching pairs,
-    which the oracle replays."""
-    idx_path = _steady_corpus_index(spark, sf_dir)
+    re-derived from text), corpus text is never re-tokenized — and
+    since r12 the corpus arrays are never re-EXPLODED either: the
+    probe reads persisted corpus postings / document frequencies /
+    per-doc stats (`_steady_contain_tables`) and restricts every
+    corpus-side join to arrival-touched sids, so the per-batch work is
+    O(arrival-touched postings) plus narrow columnar corpus scans
+    instead of a full corpus explode + df re-aggregation (VERDICT r11
+    "Next round #1"). Output = batch pair list restricted to
+    arrival-touching pairs, which the oracle replays — the df ⊕ /
+    cap-crossing argument lives on the operator
+    (operators/dedup.py:containment_pairs_incremental_steady)."""
+    tables = _steady_contain_tables(spark, sf_dir, df_cap=16)
     d = load_table(spark, sf_dir, "documents")
     arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
-    arr_ids = D.flagged_shingle_ids_table(
-        arrivals.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
-    )
-    ids_df = (
-        spark.read.parquet(idx_path)
-        .select("id", F.lit(False).alias("is_new"), "ids")
-        .unionByName(arr_ids)
-    )
-    return D.containment_pairs_incremental(
-        None, "doc_id", "text", "__nw", n=3, threshold=0.8, df_cap=16,
-        ids_df=ids_df,
+    arr_ids = D.shingle_ids_table(arrivals, "doc_id", "text", 3)
+    return D.containment_pairs_incremental_steady(
+        arr_ids,
+        corpus_post=tables["post"],
+        corpus_dfreq=tables["dfreq"],
+        corpus_stats=tables["stats"],
+        corpus_sets=tables["sets"],
+        threshold=0.8,
+        df_cap=16,
     )
 
 

@@ -351,6 +351,20 @@ def staged_documents_slices(
     return out
 
 
+def _batch_partitions(d: str, below: int) -> set[int]:
+    """Batch ids of the ``batch=<id>`` partitions present under ``d``
+    that are strictly below ``below`` — a filesystem listing, no Spark
+    job. Used to validate that the accumulated band table COVERS the
+    ids index before trusting it (ADVICE r11 high)."""
+    import glob
+
+    return {
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(d, "batch=*"))
+        if int(os.path.basename(p).split("=")[1]) < below
+    }
+
+
 def incremental_dedup_batch_body(
     batch: DataFrame, batch_id: int, index_dir: str, pairs_dir: str
 ) -> None:
@@ -361,14 +375,36 @@ def incremental_dedup_batch_body(
     :func:`foreach_batch_incremental_minhash` for the invariants."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    from oamap_spark.cache import track
     from oamap_spark.operators.dedup import (
+        BAND_ROWS,
+        MINHASH_K,
+        N_BANDS,
+        _explode_bands,
         flagged_shingle_ids_table,
         minhash_lsh_pairs_incremental,
+        minhash_signature,
     )
 
     bspark = batch.sparkSession
     arr = flagged_shingle_ids_table(
         batch.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
+    )
+    # arrival band table, computed ONCE and tracked: the probe's
+    # arrival half reads it AND it is what accumulates into the corpus
+    # band table — before r12 the arrivals were minhashed twice per
+    # micro-batch, once inside the pair probe and once for the bands
+    # write (VERDICT r11 "Next round #5"). Layout comes from the
+    # shared module constants so the persisted table can never desync
+    # from the probe's defaults (ADVICE r11 #3).
+    arr_bands = track(
+        _explode_bands(
+            arr.select(
+                "id", minhash_signature(F.col("ids"), MINHASH_K).alias("sig")
+            ),
+            N_BANDS,
+            BAND_ROWS,
+        )
     )
     # the corpus BAND table accumulates beside the ids index (r11:
     # same lever as the steady-state probes' persisted band table —
@@ -390,19 +426,34 @@ def incremental_dedup_batch_body(
             .select("id", F.lit(False).alias("is_new"), "ids")
         )
         ids_df = corpus.unionByName(arr)
-        try:
+        # COVERAGE check, not existence (ADVICE r11 high): on the
+        # pre-bands upgrade path the first post-upgrade batch writes
+        # only its own bands partition, so a bare existence check
+        # would let every later batch treat that one partition as the
+        # complete corpus band table and silently drop every
+        # arrival-vs-old-corpus pair. Any index batch whose bands
+        # partition is missing is BACKFILLED here from its persisted
+        # ids (deterministic band keys → replay/backfill idempotent;
+        # one-time cost, after which the loop is covered forever).
+        idx_batches = _batch_partitions(index_dir, batch_id)
+        for b in sorted(idx_batches - _batch_partitions(bands_dir, batch_id)):
+            _explode_bands(
+                bspark.read.parquet(os.path.join(index_dir, f"batch={b}"))
+                .select(
+                    "id",
+                    minhash_signature(F.col("ids"), MINHASH_K).alias("sig"),
+                ),
+                N_BANDS,
+                BAND_ROWS,
+            ).write.mode("overwrite").parquet(
+                os.path.join(bands_dir, f"batch={b}")
+            )
+        if idx_batches:
             corpus_bands = (
                 bspark.read.parquet(bands_dir)
                 .where(F.col("batch") < batch_id)
                 .select("id", "band_idx", "band_key")
             )
-        except AnalysisException as bexc:
-            # ids index present but bands dir absent (pre-bands layout
-            # or foreign staging): fall back to re-signing the corpus
-            # — slower, never wrong. Must NOT drop the corpus itself.
-            if "PATH_NOT_FOUND" not in str(bexc) and "does not exist" not in str(bexc):
-                raise
-            corpus_bands = None
     except AnalysisException as exc:
         # ONLY the first-batch missing-index case may start empty;
         # any other failure must raise — a silently-dropped index
@@ -413,28 +464,36 @@ def incremental_dedup_batch_body(
         corpus_bands = None
     pairs = minhash_lsh_pairs_incremental(
         None, "doc_id", "text", "__nw", ids_df=ids_df,
-        corpus_bands_df=corpus_bands,
+        corpus_bands_df=corpus_bands, arrival_bands_df=arr_bands,
     )
     # pairs BEFORE index/bands writes: the pair plan reads both dirs
     # and must not see this batch's own rows on the corpus side
     pairs.write.mode("overwrite").parquet(
         os.path.join(pairs_dir, f"batch={batch_id}")
     )
-    arr.select("id", "ids").write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"batch={batch_id}")
-    )
-    # same per-batch overwrite idempotency as the ids index; band keys
-    # are deterministic per document, so a replay is byte-equal
-    from oamap_spark.operators.dedup import _explode_bands, minhash_signature
+    # index + bands writes are independent of each other and both read
+    # the tracked arr/arr_bands caches the pairs write just
+    # materialized — run them as concurrent jobs (guide §2.6) instead
+    # of two serial driver round-trips. Same per-batch overwrite
+    # idempotency as before; band keys are deterministic per document,
+    # so a replay is byte-equal.
+    from concurrent.futures import ThreadPoolExecutor
 
-    _explode_bands(
-        arr.select("id", minhash_signature(F.col("ids"), 16).alias("sig")),
-        8,
-        2,
-    ).write.mode("overwrite").parquet(
-        os.path.join(bands_dir, f"batch={batch_id}")
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(
+            lambda: arr.select("id", "ids")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, f"batch={batch_id}"))
+        )
+        fb = pool.submit(
+            lambda: arr_bands.write.mode("overwrite").parquet(
+                os.path.join(bands_dir, f"batch={batch_id}")
+            )
+        )
+        fi.result()
+        fb.result()
     arr.unpersist()
+    arr_bands.unpersist()
 
 
 def foreach_batch_incremental_minhash(

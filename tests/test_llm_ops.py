@@ -782,6 +782,66 @@ def test_containment_incremental_finds_new_quoted_in_old_only(spark):
     assert (3, 4) not in pairs
 
 
+def test_containment_steady_cap_crossing_shifts_kc(spark):
+    """The steady-state containment probe (persisted corpus postings +
+    dfreq + per-doc kc_base; r12) must equal the batch form EXACTLY
+    when an arrival pushes a shared sid's df OVER df_cap — the
+    cap-crossing case (VERDICT r11 "Next round #1"): the crosser sid S
+    must (a) stop generating candidates and (b) shift every corpus
+    doc's kept-count kc down by its S postings, loosening the
+    upper-bound prune's `capped` term. The fixture is built so an
+    UNADJUSTED kc_base would compute bound = (1+0)/2 = 0.5 < 0.8 and
+    wrongly prune the one true pair — the assertion fails unless the
+    crossing adjustment is exact."""
+    from oamap_spark.operators.dedup import (
+        containment_pairs_incremental,
+        containment_pairs_incremental_steady,
+    )
+
+    cap, threshold = 2, 0.8
+    # corpus: c1=[S,T,u1], c2=[S,u2,u3] → df_corpus(S)=2 ≤ cap;
+    # arrival: a1=[S,T] → df_total(S)=3 > cap (S crosses), T kept.
+    # true pair (a1,c1): intersect {S,T} / min(2,3) = 1.0.
+    S, T, u1, u2, u3 = 100, 200, 301, 302, 303
+    corpus = spark.createDataFrame(
+        [(1, [S, T, u1]), (2, [S, u2, u3])], "id long, ids array<long>"
+    )
+    arr = spark.createDataFrame([(10, [S, T])], "id long, ids array<long>")
+
+    # batch reference: the unioned flagged form
+    ids_df = corpus.select(
+        "id", F.lit(False).alias("is_new"), "ids"
+    ).unionByName(arr.select("id", F.lit(True).alias("is_new"), "ids"))
+    batch = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs_incremental(
+            None, "id", "t", "n", threshold=threshold, df_cap=cap, ids_df=ids_df
+        ).collect()
+    )
+
+    # steady form: corpus tables derived exactly as _steady_contain_tables
+    post = corpus.select("id", F.explode("ids").alias("sid"))
+    dfreq = post.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    over = dfreq.where(F.col("df") > cap).select("sid")
+    overcap = post.join(over, "sid").groupBy("id").agg(
+        F.count(F.lit(1)).alias("oc")
+    )
+    stats = (
+        corpus.select("id", F.size("ids").alias("sz"))
+        .join(overcap, "id", "left")
+        .select(
+            "id", "sz", (F.col("sz") - F.coalesce("oc", F.lit(0))).alias("kc_base")
+        )
+    )
+    steady = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs_incremental_steady(
+            arr, post, dfreq, stats, corpus, threshold=threshold, df_cap=cap
+        ).collect()
+    )
+    assert steady == batch == [(1, 10, 1.0)]
+
+
 def test_incremental_null_flag_fails_loudly(spark):
     """A null arrival flag must raise in-plan, not silently demote
     the doc to corpus status (r8 review finding) — checked for the
@@ -1144,6 +1204,22 @@ def test_all_pairs_jaccard_threshold_domain(spark):
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
 
 
+def test_band_layout_constants_match_probe_defaults():
+    """ADVICE r11 #3: every persisted band table is built from the
+    shared module constants while the pair probes rely on keyword
+    defaults — if either drifts, persisted band tables silently desync
+    from the probe layout and pairs are missed. Pin the agreement."""
+    import inspect
+
+    from oamap_spark.operators import dedup as D
+
+    assert D.N_BANDS * D.BAND_ROWS == D.MINHASH_K
+    for fn in (D.minhash_lsh_pairs, D.minhash_lsh_pairs_incremental):
+        sig = inspect.signature(fn)
+        assert sig.parameters["k"].default == D.MINHASH_K, fn.__name__
+        assert sig.parameters["rows_per_band"].default == D.BAND_ROWS, fn.__name__
+
+
 def test_incremental_dedup_batch_bands_accumulate_and_fallback(spark, tmp_path):
     """r11: each micro-batch persists its BAND table beside the ids
     index so later batches probe corpus bands instead of re-signing
@@ -1151,8 +1227,14 @@ def test_incremental_dedup_batch_bands_accumulate_and_fallback(spark, tmp_path):
     new internals: (a) bands accumulate per batch=<id> partition and a
     replay rewrites its own partition content-identically (band keys
     are deterministic); (b) the pair output is IDENTICAL when the
-    bands dir is absent — the fallback re-signs the corpus, slower
-    but never wrong."""
+    bands dir is absent — since r12 a missing corpus bands partition
+    is BACKFILLED from the persisted ids (ADVICE r11 high: the old
+    existence-only fallback re-signed once, wrote only its own batch's
+    bands, and every LATER batch then read that single partition as
+    the complete corpus band table, silently dropping every
+    arrival-vs-old-corpus pair forever). The coverage assert below is
+    the pin: after the upgrade-path replay, bands partitions must
+    again cover every ids partition."""
     import shutil
 
     from oamap_spark.streaming.pipelines import incremental_dedup_batch_body
@@ -1198,7 +1280,10 @@ def test_incremental_dedup_batch_bands_accumulate_and_fallback(spark, tmp_path):
     )
     assert again_bands == first_bands
 
-    # fallback: no bands dir at all -> same pairs via corpus re-sign
+    # upgrade path: no bands dir at all -> same pairs, and the missing
+    # corpus bands partitions are backfilled so the NEXT batch's
+    # coverage check finds a complete table (the poisoned-next-batch
+    # scenario the r11 existence check missed)
     shutil.rmtree(bands_dir)
     incremental_dedup_batch_body(b1, 1, index_dir, pairs_dir)
     no_bands = sorted(
@@ -1208,3 +1293,23 @@ def test_incremental_dedup_batch_bands_accumulate_and_fallback(spark, tmp_path):
         .collect()
     )
     assert no_bands == with_bands
+    import glob
+    import os as _os
+
+    def parts(d):
+        return sorted(
+            int(_os.path.basename(p).split("=")[1])
+            for p in glob.glob(_os.path.join(d, "batch=*"))
+        )
+
+    assert parts(bands_dir) == parts(index_dir) == [0, 1]
+    # and the backfilled batch-0 partition is content-identical to the
+    # one the normal loop wrote (deterministic band keys)
+    refilled = sorted(
+        tuple(r)
+        for r in spark.read.parquet(bands_dir)
+        .where(F.col("batch") == 0)
+        .select("id", "band_idx", "band_key")
+        .collect()
+    )
+    assert refilled and len(refilled) == n0
