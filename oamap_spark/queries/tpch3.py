@@ -298,9 +298,19 @@ def q21_lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers per order (computed from a single lineitem⋈orders join),
     then a line qualifies iff it is late, the order has ≥2 suppliers,
     and exactly 1 late supplier. Two shuffles total (orderkey join +
-    order-level agg) vs the naive triple self-join's four."""
+    order-level agg) vs the naive triple self-join's four.
+
+    The joined (l_orderkey, l_suppkey, is_late) projection is consumed
+    by BOTH the order-level aggregation and the qualifying-line filter
+    — without the persist the lineitem scan and the orders join run
+    twice per query (r12, guide §1.4/§5; VERDICT r11 "Next round #7").
+    Projected to the three columns both consumers need before
+    persisting, so the cache holds narrow rows, not full lineitem.
+    Caller owns the lifetime via cache.track."""
+    from oamap_spark.cache import track
+
     t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
-    lo = (
+    lo = track(
         t["lineitem"]
         .join(
             t["orders"].where(F.col("o_orderstatus") == "F"),
@@ -310,6 +320,7 @@ def q21_lone_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late",
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         )
+        .select("l_orderkey", "l_suppkey", "is_late")
     )
     order_stats = lo.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
