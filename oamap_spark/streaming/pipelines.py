@@ -334,20 +334,28 @@ def staged_documents_slices(
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     src_num = F.substring("source", 4, 10).cast("int")
     per = 20 // n_slices  # sources are src0..src19 at every SF
+    # ONE partitioned write instead of n_slices coalesce(1) jobs (r12,
+    # guide §5 driver round-trips): repartition by the slice id gives
+    # each slice value a single task, so every __slice=<i> directory
+    # holds exactly one part file, renamed into the flat mtime-ordered
+    # layout the maxFilesPerTrigger=1 replay consumes.
+    slice_id = F.least(
+        F.floor(src_num / F.lit(per)).cast("int"), F.lit(n_slices - 1)
+    )
+    tmp = os.path.join(out, "_tmp_slices")
+    (
+        d.withColumn("__slice", slice_id)
+        .repartition(n_slices, "__slice")
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
     for i in range(n_slices):
-        lo = i * per
-        part = (
-            d.where(src_num >= lo)
-            if i == n_slices - 1
-            else d.where((src_num >= lo) & (src_num < lo + per))
-        )
-        tmp = os.path.join(out, f"_tmp_{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        (pf,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        (pf,) = glob.glob(os.path.join(tmp, f"__slice={i}", "part-*.parquet"))
         dst = os.path.join(out, f"slice_{i:02d}.parquet")
         os.rename(pf, dst)
-        shutil.rmtree(tmp)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(tmp)
     return out
 
 
