@@ -164,8 +164,22 @@ class _NpyReader(DataSourceReader):
         # int/float coercion)
         import numpy as np
 
+        # explicit lookup that RAISES on an unknown typeName (ADVICE
+        # r11 #4): the old "anything not long is float64" fallback was
+        # correct while _DTYPE_MAP only emits LongType/DoubleType, but
+        # a future map entry (boolean, timestamp) would have been
+        # silently coerced to float64 by the Arrow path instead of
+        # failing loudly
+        _NP_BY_TYPENAME = {"long": np.int64, "double": np.float64}
+
         def np_dtype(dt):
-            return np.int64 if dt.typeName() == "long" else np.float64
+            name = dt.typeName()
+            if name not in _NP_BY_TYPENAME:
+                raise TypeError(
+                    f"npy datasource: unsupported Spark type {name!r} "
+                    "in the Arrow read path (supported: long, double)"
+                )
+            return _NP_BY_TYPENAME[name]
 
         self.np_types = {
             f.name: np_dtype(
