@@ -240,6 +240,32 @@ def flagged_shingle_ids_table(
     )
 
 
+def steady_ids_with_arrivals(
+    arrivals: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(arr_ids, ids_df) for a steady-state probe: the arrival batch's
+    flagged shingle table (tokenizes ONLY the arrivals) unioned under
+    the persisted corpus index reader (``index_df``: an (id, ids)
+    parquet scan, flagged ``is_new=False`` here). This assembly was
+    copy-pasted at every steady probe site (dedup_clusters_steady,
+    dedup_minhash_incremental_steady, tools/clustering_curve — the r11
+    review's deferred dedup, SCALE.md r12 queue); one body keeps the
+    corpus-never-retokenized contract and the literal is_new flags —
+    which the probes' filters fold, so each half of the union prunes
+    away wherever only one side is consumed — from drifting apart."""
+    arr_ids = flagged_shingle_ids_table(
+        arrivals.withColumn("__nw", F.lit(True)), id_col, text_col, "__nw", n
+    )
+    ids_df = index_df.select(
+        "id", F.lit(False).alias("is_new"), "ids"
+    ).unionByName(arr_ids)
+    return arr_ids, ids_df
+
+
 def pair_once_from_probe() -> Column:
     """Join predicate fragment ensuring each arrival-touching pair is
     generated exactly ONCE from the probe side: a (new, old) pair can

@@ -670,13 +670,8 @@ def dedup_clusters_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_path = _steady_corpus_bands(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     arrivals = d.where(F.substring("source", 4, 10).cast("int") >= 18)
-    arr_ids = D.flagged_shingle_ids_table(
-        arrivals.withColumn("__nw", F.lit(True)), "doc_id", "text", "__nw", 3
-    )
-    ids_df = (
-        spark.read.parquet(idx_path)
-        .select("id", F.lit(False).alias("is_new"), "ids")
-        .unionByName(arr_ids)
+    _, ids_df = D.steady_ids_with_arrivals(
+        arrivals, spark.read.parquet(idx_path)
     )
     pairs = D.minhash_lsh_pairs_incremental(
         None, "doc_id", "text", "__nw", ids_df=ids_df,
@@ -728,7 +723,6 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     index probe), the corpus graph is never re-shuffled (rep-graph
     contraction), and the assignment fold's relabel map is
     batch-bounded and broadcast."""
-    import glob
     import os
 
     from oamap_spark.sources.staging import staging_path
@@ -751,8 +745,6 @@ def stream_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     P.foreach_batch_cluster_maintenance(
         stream, spark, index_dir, pairs_dir, asg_dir
     )
-    gens = sorted(
-        int(os.path.basename(p).split("=")[1])
-        for p in glob.glob(os.path.join(asg_dir, "gen=*"))
+    return spark.read.parquet(
+        os.path.join(asg_dir, f"gen={P.latest_gen(asg_dir)}")
     )
-    return spark.read.parquet(os.path.join(asg_dir, f"gen={gens[-1]}"))

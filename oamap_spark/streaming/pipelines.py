@@ -359,6 +359,24 @@ def staged_documents_slices(
     return out
 
 
+def latest_gen(asg_dir: str, below: int | None = None) -> int | None:
+    """Largest ``gen=<N>`` partition id under ``asg_dir`` (optionally
+    strictly below ``below`` — the replay-idempotency restriction), or
+    None when no generation exists. Filesystem listing only, no Spark
+    job. One body for the parsing that was duplicated between the
+    maintenance batch fold and the query-side readback (r11 review,
+    SCALE.md r12 queue)."""
+    import glob
+
+    gens = [
+        int(os.path.basename(p).split("=")[1])
+        for p in glob.glob(os.path.join(asg_dir, "gen=*"))
+    ]
+    if below is not None:
+        gens = [g for g in gens if g < below]
+    return max(gens) if gens else None
+
+
 def _batch_partitions(d: str, below: int) -> set[int]:
     """Batch ids of the ``batch=<id>`` partitions present under ``d``
     that are strictly below ``below`` — a filesystem listing, no Spark
@@ -564,8 +582,6 @@ def cluster_maintenance_batch_body(
     generation directory; apply_components_update is deterministic
     and idempotent on its inputs, so the rewrite is byte-equal in
     content. Module-level so the contract is directly testable."""
-    import glob
-
     from oamap_spark.operators.clustering import apply_components_update
 
     incremental_dedup_batch_body(batch, batch_id, index_dir, pairs_dir)
@@ -573,13 +589,9 @@ def cluster_maintenance_batch_body(
     pairs = bspark.read.parquet(
         os.path.join(pairs_dir, f"batch={batch_id}")
     ).select("id_a", "id_b")
-    gens = sorted(
-        int(os.path.basename(p).split("=")[1])
-        for p in glob.glob(os.path.join(asg_dir, "gen=*"))
-        if int(os.path.basename(p).split("=")[1]) < batch_id
-    )
-    if gens:
-        asg = bspark.read.parquet(os.path.join(asg_dir, f"gen={gens[-1]}"))
+    gen = latest_gen(asg_dir, below=batch_id)
+    if gen is not None:
+        asg = bspark.read.parquet(os.path.join(asg_dir, f"gen={gen}"))
     else:  # first batch: no prior state
         asg = bspark.createDataFrame([], "node long, cluster_id long")
     apply_components_update(asg, pairs).write.mode("overwrite").parquet(

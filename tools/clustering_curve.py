@@ -116,14 +116,8 @@ def main() -> None:
 
         # daily arm A — incremental maintenance
         t0 = time.perf_counter()
-        arr_ids = D.flagged_shingle_ids_table(
-            arrivals.withColumn("__nw", F.lit(True)), "doc_id", "text",
-            "__nw", N,
-        )
-        ids_df = (
-            spark.read.parquet(idx)
-            .select("id", F.lit(False).alias("is_new"), "ids")
-            .unionByName(arr_ids)
+        _, ids_df = D.steady_ids_with_arrivals(
+            arrivals, spark.read.parquet(idx), n=N
         )
         new_pairs = cache.track(
             D.minhash_lsh_pairs_incremental(
